@@ -26,6 +26,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects; read it as a raw nanos-since-epoch
+    * long (legacy conf) and derive an epoch-seconds column + a
+    * microsecond-precision timestamp. DuckDB-oracle equivalents:
+    * `epoch_ns(ts)//1000000000` and `ts` itself.
+    */
+  def eventsNorm(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    load(s, d, "events")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

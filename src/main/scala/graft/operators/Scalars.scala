@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY.md §2.8): JSON extraction, date
+  * bucketing/formatting, string composition — all codegen'd
+  * built-ins, no UDFs in the hot path.
+  */
+object Scalars {
+
+  /** JSON field extraction + aggregation (reference:
+    * `get_json_object(extend_info,'product_status')`,
+    * AreaTop3ProductSpark.java:453 — note the reference omits the
+    * `$.` path prefix, tolerated by Hive; Spark requires it). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.eventsNorm(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+              col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("k")
+  }
+
+  /** Date parse/format/bucket (reference: util/DateUtils.java:11-180 —
+    * yyyyMMdd keys, date_hour composite keys). Monthly rollup via
+    * date_format; the composite "date_hour" string key of the
+    * reference becomes real derived columns. */
+  def qDateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+  }
+
+  /** Hour-of-day histogram over the event stream (reference:
+    * DateUtils.getDateHour composite key, util/DateUtils.java:88-94;
+    * used for the per-(date,hour) session counts at
+    * UserVisitSessionAnalyzeSpark.java:736). */
+  def qDateHour(spark: SparkSession, dir: String): DataFrame = {
+    Tables.eventsNorm(spark, dir)
+      .groupBy(date_format(col("event_time"), "yyyy-MM-dd").as("date"),
+               hour(col("event_time")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("date", "hour")
+  }
+
+  /** String composition + conditional mapping (reference:
+    * ConcatLongStringUDF.java:8-16 `concat_long_string(id,':',name)`
+    * and the product_status if() at AreaTop3ProductSpark.java:453 —
+    * both are plain built-ins in Spark, no UDF registration needed). */
+  def qConcatConditional(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .select(
+        concat(col("c_custkey"), lit(":"), col("c_name")).as("custkey_name"),
+        when(col("c_acctbal") > 0, "positive").otherwise("non_positive").as("balance_status"))
+      .orderBy("custkey_name")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sessionization + session analytics over the `events` stream table —
+  * the Spark-first re-expression of the reference's session job
+  * (reference: spark/session/UserVisitSessionAnalyzeSpark.java).
+  *
+  * The reference's data carries a pre-assigned `session_id`; our
+  * events table doesn't, so we sessionize the standard way: a gap
+  * cutoff per user (lag + running sum of session starts), which is
+  * strictly more general. All stats that the reference computed with
+  * a custom string-packed accumulator
+  * (SessionAggrStatAccumulator.java:18-90) become a single
+  * conditional-aggregation pass.
+  *
+  * Scale notes: one shuffle on user_id for the window, then the
+  * groupBy(user_id, session_idx) reuses the same partitioning (no
+  * second exchange — user_id is a prefix of the group keys). At
+  * 100 TB the window state per user is bounded by that user's events;
+  * skewed power-users are handled by AQE.
+  */
+object Sessions {
+
+  val SessionGapSeconds = 1800L
+
+  /** Per-user gap-based session assignment. */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsNorm(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.withColumn("prev_sec", lag("ts_sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull ||
+             col("ts_sec") - col("prev_sec") > SessionGapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Session roll-up: one row per (user, session) with visit/step
+    * length (reference fold: UserVisitSessionAnalyzeSpark.java:304-421
+    * — max(time)-min(time), count, min(time)). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min("ts_sec").as("start_sec"),
+        (max("ts_sec") - min("ts_sec")).as("visit_length"),
+        count(lit(1)).as("step_length"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .orderBy("user_id", "session_idx")
+
+  /** Whole-population session stats: bucketed visit-length /
+    * step-length ratios in ONE conditional-agg row — replaces the
+    * reference's custom accumulator + driver-side ratio math
+    * (UserVisitSessionAnalyzeSpark.java:1021-1114). Ratios 2-decimal
+    * HALF_UP like util/NumberUtils.java:16-19. */
+  def qSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = qSessionize(spark, dir)
+    def ratio(cond: Column): Column =
+      round(sum(when(cond, 1).otherwise(0)) / count(lit(1)), 2)
+    sessions.agg(
+      count(lit(1)).as("session_count"),
+      ratio(col("visit_length") <= 60).as("visit_1m"),
+      ratio(col("visit_length") > 60 && col("visit_length") <= 600).as("visit_1m_10m"),
+      ratio(col("visit_length") > 600 && col("visit_length") <= 1800).as("visit_10m_30m"),
+      ratio(col("visit_length") > 1800).as("visit_30m_plus"),
+      ratio(col("step_length") <= 3).as("step_1_3"),
+      ratio(col("step_length") > 3 && col("step_length") <= 9).as("step_4_9"),
+      ratio(col("step_length") > 9).as("step_10_plus"))
+  }
+
+  /** Page single-hop conversion rate (reference: PageOneStepConvert
+    * RateSpark.java — in-group sort + adjacent pairing at 159-217,
+    * driver-side chained rates at 270-308). Spark-first: lag() window
+    * for adjacency, then the rate chain is itself a lag() over the
+    * per-split counts — fully distributed, no driver loop.
+    * Flow: view → click → purchase. rate(split_i) =
+    * pv(split_i) / pv(split_{i-1}), first split vs start-page PV. */
+  def qPageConvertRate(spark: SparkSession, dir: String): DataFrame = {
+    val flow = Seq("view", "click", "purchase")
+    val splits = flow.zip(flow.tail).map { case (a, b) => s"${a}_$b" }
+    val posDf = {
+      import spark.implicits._
+      splits.zipWithIndex.map { case (s, i) => (s, i + 1) }.toDF("split", "pos")
+    }
+    val e = Tables.eventsNorm(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = e
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select(concat(col("prev_type"), lit("_"), col("event_type")).as("split"))
+    val pairCounts = pairs.join(broadcast(posDf), "split")
+      .groupBy("split", "pos").agg(count(lit(1)).as("pv"))
+    val startPv = e.where(col("event_type") === flow.head)
+      .agg(count(lit(1)).as("start_pv"))
+    val wOrd = Window.orderBy("pos") // #splits rows — single tiny partition is fine
+    pairCounts.crossJoin(startPv)
+      .withColumn("prev_pv", coalesce(lag("pv", 1).over(wOrd), col("start_pv")))
+      .select(col("split"), col("pv"),
+              round(col("pv") / col("prev_pv"), 4).as("convert_rate"))
+      .orderBy("split")
+  }
+}

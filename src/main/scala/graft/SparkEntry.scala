@@ -36,6 +36,18 @@ object SparkEntry {
     "q_date_buckets"     -> (Scalars.qDateBuckets _),
     "q_date_hour"        -> (Scalars.qDateHour _),
     "q_concat_conditional" -> (Scalars.qConcatConditional _),
+    "dedup_exact"          -> (Dedup.qDedupExact _),
+    "dedup_minhash_lsh"    -> (Dedup.qDedupMinhashLsh _),
+    "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
+    "dedup_simhash"        -> (Dedup.qDedupSimhash _),
+    "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
+    "sim_brute_force"      -> (Similarity.qSimBruteForce _),
+    "sim_ivf"              -> (Similarity.qSimIvf _),
+    "text_stats"           -> (TextAnalysis.qTextStats _),
+    "text_quality"         -> (TextAnalysis.qTextQuality _),
+    "text_langid"          -> (TextAnalysis.qTextLangid _),
+    "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
+    "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,7 +89,7 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers_without_orders
          FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_left_join_zerofill" ->
       """SELECT p_partkey,
@@ -183,5 +195,144 @@ object SparkEntry {
       """SELECT c_custkey || ':' || c_name AS custkey_name,
          CASE WHEN c_acctbal > 0 THEN 'positive' ELSE 'non_positive' END AS balance_status
          FROM customer ORDER BY custkey_name""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_id""",
+    "dedup_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         mh AS (SELECT doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         j AS (SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) /
+           (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+         n AS (SELECT doc_id, count(*) AS ns FROM e GROUP BY 1),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+               FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, shared, shared / (na.ns + nb.ns - shared) AS jaccard
+               FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
+         SELECT doc_a, doc_b, shared, round(jaccard, 6) AS jaccard FROM j
+         WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      """WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS toks FROM d0),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM t),
+         b AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(hx, p, 1)) - 1 AS v
+               FROM h CROSS JOIN range(1, 17) ps(p)),
+         votes AS (SELECT doc_id, p,
+            sum(CASE WHEN (v & 8) > 0 THEN 1 ELSE -1 END) AS s3,
+            sum(CASE WHEN (v & 4) > 0 THEN 1 ELSE -1 END) AS s2,
+            sum(CASE WHEN (v & 2) > 0 THEN 1 ELSE -1 END) AS s1,
+            sum(CASE WHEN (v & 1) > 0 THEN 1 ELSE -1 END) AS s0
+            FROM b GROUP BY doc_id, p),
+         digits AS (SELECT doc_id, p, substr('0123456789abcdef',
+            CAST(1 + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END + CASE WHEN s2 > 0 THEN 4 ELSE 0 END
+               + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS INT), 1) AS c
+            FROM votes),
+         sig AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS sh FROM digits GROUP BY doc_id),
+         bands AS (SELECT doc_id, bb AS band_id, substr(sh, CAST(1 + 4 * bb AS INT), 4) AS bucket
+            FROM sig CROSS JOIN range(0, 4) bs(bb)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         ham AS (SELECT doc_a, doc_b,
+            CAST(list_sum(list_transform(range(1, 17), p ->
+              bit_count(xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
+                            strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY id_a, id_b""",
+    "sim_brute_force" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q_id, vec_id AS neighbor_id,
+            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sim
+            FROM embeddings CROSS JOIN q WHERE vec_id != q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, round(sim, 4) AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    "sim_ivf" ->
+      """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM best WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM assigned WHERE vec_id < 10),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+             FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, round(sim, 4) AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    "text_stats" ->
+      """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len
+         FROM d ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         SELECT doc_id, round(0.4 * least(len(toks) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks)), 4) AS quality_score
+         FROM d ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH d AS (SELECT lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         v AS (SELECT lang,
+           length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh_chars,
+           length(text) AS n,
+           len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS v_en,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS v_de,
+           len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS v_fr,
+           len(list_filter(toks, t -> t IN ('el','la','y','los','que'))) AS v_es
+           FROM d),
+         p AS (SELECT lang, CASE WHEN zh_chars * 3 > n THEN 'zh'
+            WHEN v_de > v_en AND v_de >= v_fr AND v_de >= v_es THEN 'de'
+            WHEN v_fr > v_en AND v_fr >= v_es THEN 'fr'
+            WHEN v_es > v_en THEN 'es'
+            ELSE 'en' END AS pred_lang FROM v)
+         SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""",
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM d ORDER BY doc_id""",
+    "text_top_tokens" ->
+      """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
+         GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
   )
 }

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Shared text primitives for the dedup / text-analysis operators.
+  * Every helper is a pure Column expression (codegen'd or
+  * higher-order builtin, never a Scala UDF) and each has an exact
+  * DuckDB equivalent so results stay oracle-checkable:
+  *
+  *   tokens(c)    ~ string_split_regex(trim(c), '\s+')
+  *   shingles3(t) ~ list_distinct(list_transform(range(1, len(t)-1),
+  *                    i -> array_to_string(t[i:i+2], ' ')))
+  */
+object Text {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct 3-gram word shingles (empty for docs under 3 tokens). */
+  def shingles3(toks: Column): Column =
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast(ArrayType(StringType))))
+
+  /** Seeded MinHash component: min over shingles of md5("<seed>|" + s).
+    * Using the md5 *string* min (lexicographic) keeps the signature
+    * reproducible in any engine with md5 — no engine-specific hash. */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, x => md5(concat(lit(s"$seed|"), x))))
+
+  /** LSH band hash over two adjacent minhash components. */
+  def band(mh1: Column, mh2: Column): Column = md5(concat(mh1, mh2))
+}

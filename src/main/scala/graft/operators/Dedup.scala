@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{SimHash, Text}
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline side of the engine. Four families:
+  * exact (hash groupBy), MinHash+LSH (banded candidate join + exact
+  * verify), n-gram Jaccard (inverted shingle index), SimHash
+  * (custom expression + banded hamming verify). Embedding-cosine
+  * near-dup lives in Similarity.scala.
+  *
+  * Scale notes: nothing here is quadratic in the corpus. Candidate
+  * generation always goes through an equi-join on a hash bucket
+  * (band or shingle), i.e. a shuffle keyed on the bucket — the
+  * standard way to dedup 100 TB. Only verified candidate *pairs*
+  * (tiny) are ever joined back to full signatures.
+  */
+object Dedup {
+
+  private val MinhashSeeds = 8  // 4 bands × 2 rows
+  private val JaccardThreshold = 0.5
+  private val NgramJaccardThreshold = 0.8
+  // Of 64 bits. Over 3-gram shingles the planted near-dups sit at
+  // hamming ≤ 7 and unrelated pairs at ≥ 16 — 12 splits them cleanly.
+  // (Unigram-token simhash does NOT separate on this corpus: the
+  // shared ~40-word vocab collapses token sets.)
+  private val SimhashMaxHamming = 12
+
+  /** Exact dedup: canonical row per distinct text, by content hash
+    * (groupBy md5 — one shuffle on the hash, min doc_id wins). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  /** Document signatures: distinct 3-gram shingles + 8 minhashes +
+    * 4 LSH bands, all computed in one scalar projection (no explode,
+    * no shuffle). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("shingles"))
+    val withMh = (0 until MinhashSeeds).foldLeft(base) { (df, j) =>
+      df.withColumn(s"mh$j", Text.minhash(col("shingles"), j))
+    }
+    withMh.withColumn("bands",
+      array((0 until MinhashSeeds / 2).map(b =>
+        Text.band(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+  }
+
+  /** MinHash+LSH near-dup detection: shingle → minhash → band →
+    * bucket self-join → exact-Jaccard verify. The band join is the
+    * only shuffle over the corpus; the verify join touches only
+    * candidate pairs. */
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
+    val bands = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "bucket")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+        (size(col("sh_a")) + size(col("sh_b")) -
+         size(array_intersect(col("sh_a"), col("sh_b")))))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup via an inverted shingle index —
+    * no LSH approximation: pairs sharing ≥1 shingle are scored
+    * exactly. Heavier than LSH (every co-shingle pair is a row in
+    * the join) but exact; the high threshold keeps output tiny. */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= NgramJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+              round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature over the distinct 3-gram
+    * shingles via the custom [[graft.functions.SimHash64]] expression
+    * (one scalar pass per doc), banded by 4 hex chars for candidates,
+    * verified by exact bit-level hamming distance. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        SimHash.simhash64(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+      .cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("sh"), 1 + 4 * b, 4)): _*)).as(Seq("band_id", "bucket")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("hamming", expr(
+        """aggregate(transform(sequence(1, 16), p ->
+           bit_count((instr('0123456789abcdef', substr(sh_a, p, 1)) - 1) ^
+                     (instr('0123456789abcdef', substr(sh_b, p, 1)) - 1))),
+           0, (acc, x) -> acc + x)""").cast("long"))
+      .where(col("hamming") <= SimhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

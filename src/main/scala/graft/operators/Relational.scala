@@ -96,6 +96,7 @@ object Relational {
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust   = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 300000.0) // customers with no large order
     cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers_without_orders"))

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis operators over `documents`: token statistics,
+  * quality scoring, language-ID heuristic, fingerprinting, corpus
+  * token counts. All pure Column expressions — per-doc work is a
+  * scalar projection (no shuffle); only the corpus-level rollups
+  * aggregate.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to")
+
+  private def toks: Column = Text.tokens(col("text"))
+
+  /** Per-document token statistics (token counting surface). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        round(aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(toks), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Heuristic quality score: length saturation + lexical diversity +
+    * stopword share, HALF_UP to 4 decimals. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val stopRatio =
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(lit(0.4) * lengthScore + lit(0.3) * diversity +
+              lit(0.3) * stopRatio, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic (CJK codepoint share, then stopword votes
+    * per candidate language) → confusion matrix against the labeled
+    * `lang` column. */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "es" -> Seq("el", "la", "y", "los", "que"))
+    def votes(lang: String): Column =
+      size(filter(toks, t => t.isin(markers(lang): _*)))
+    val zhChars = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+    val pred =
+      when(zhChars * 3 > length(col("text")), "zh")
+        .when(votes("de") > votes("en") && votes("de") >= votes("fr") &&
+              votes("de") >= votes("es"), "de")
+        .when(votes("fr") > votes("en") && votes("fr") >= votes("es"), "fr")
+        .when(votes("es") > votes("en"), "es")
+        .otherwise("en")
+    Tables.documents(spark, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Normalized content fingerprint (whitespace-collapsed md5) —
+    * the formatting-insensitive doc identity used upstream of exact
+    * dedup. */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(concat_ws(" ", toks)).as("fp"))
+      .orderBy("doc_id")
+
+  /** Corpus-level token frequency (explode + count — the reference's
+    * flatMap+reduceByKey word-count shape,
+    * UserVisitSessionAnalyzeSpark.java:1398-1441). */
+  def qTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(20)
+}

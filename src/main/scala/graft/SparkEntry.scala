@@ -48,6 +48,10 @@ object SparkEntry {
     "text_langid"          -> (TextAnalysis.qTextLangid _),
     "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
+    "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
+    "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
+    "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
+    "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -334,5 +338,38 @@ object SparkEntry {
       """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
          SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    "stream_blacklist" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS date, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id, count(*) AS n
+           FROM events GROUP BY 1, 2, 3)
+         SELECT DISTINCT user_id FROM c WHERE n >= 3 ORDER BY user_id""",
+    "stream_running_totals" ->
+      """WITH clicks AS (SELECT ts, event_type AS province,
+           'city_' || (user_id % 10) AS city, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id FROM events),
+         c AS (SELECT CAST(ts AS DATE) AS d, user_id, ad_id, count(*) AS n
+               FROM clicks GROUP BY 1, 2, 3),
+         bl AS (SELECT DISTINCT user_id FROM c WHERE n >= 3)
+         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date, province, city, ad_id,
+                count(*) AS click_count
+         FROM clicks WHERE user_id NOT IN (SELECT user_id FROM bl)
+         GROUP BY 1, 2, 3, 4 ORDER BY date, province, city, ad_id""",
+    "stream_province_top3" ->
+      """WITH clicks AS (SELECT CAST(ts AS DATE) AS d, event_type AS province,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id FROM events),
+         agg AS (SELECT d, province, ad_id, count(*) AS click_count FROM clicks GROUP BY 1, 2, 3),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY d, province
+               ORDER BY click_count DESC, ad_id) AS BIGINT) AS "rank" FROM agg)
+         SELECT strftime(d, '%Y-%m-%d') AS date, province, ad_id, click_count, "rank"
+         FROM r WHERE "rank" <= 3 ORDER BY date, province, "rank" """,
+    "stream_sliding_window" ->
+      """WITH clicks AS (SELECT ts,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id FROM events),
+         w AS (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, ad_id FROM clicks
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', ad_id FROM clicks)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, ad_id, count(*) AS click_count
+         FROM w GROUP BY 1, 2 ORDER BY window_start, ad_id""",
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.AdStream
+
+/** Batch-mode runs of the streaming transforms in
+  * [[graft.streaming.AdStream]] over the `events` table — the same
+  * logical plans Structured Streaming executes incrementally, run
+  * here to completion so the driver's DuckDB oracle can check them.
+  * (The incremental/stateful behavior itself is covered by
+  * MemoryStream specs in src/test.)
+  *
+  * `events` lacks the reference's (province, city, ad) columns, so a
+  * deterministic adapter derives them: province := event_type,
+  * city := user_id mod 10, ad_id := props.k mod 10.
+  */
+object StreamingAnalogs {
+
+  val BlacklistThreshold = 3L
+
+  /** events → the ad-click schema AdStream expects. */
+  def eventsAsClicks(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsNorm(spark, dir).select(
+      col("event_time"),
+      col("event_type").as("province"),
+      concat(lit("city_"), col("user_id") % 10).as("city"),
+      col("user_id"),
+      (get_json_object(col("props"), "$.k").cast("long") % 10).as("ad_id"))
+
+  private def dateAsString(df: DataFrame): DataFrame =
+    df.withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+
+  /** Dynamic blacklist: users crossing the daily per-ad click
+    * threshold. */
+  def qStreamBlacklist(spark: SparkSession, dir: String): DataFrame =
+    AdStream.blacklist(
+      AdStream.dailyUserAdCounts(eventsAsClicks(spark, dir)), BlacklistThreshold)
+      .orderBy("user_id")
+
+  /** Running per-(day, province, city, ad) totals with the blacklist
+    * feedback applied (anti join), i.e. the reference's ad_stat
+    * contents after convergence. */
+  def qStreamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsAsClicks(spark, dir)
+    val bl = AdStream.blacklist(
+      AdStream.dailyUserAdCounts(clicks), BlacklistThreshold)
+    dateAsString(AdStream.runningStats(AdStream.filterBlacklisted(clicks, bl)))
+      .orderBy("date", "province", "city", "ad_id")
+  }
+
+  /** Daily top-3 ads per province (reference ad_province_top3 —
+    * implementing the documented intent rank<=3, not the rank>=3 bug
+    * at AdClickRealTimeSpark.java:658). */
+  def qStreamProvinceTop3(spark: SparkSession, dir: String): DataFrame =
+    dateAsString(AdStream.provinceTop3(
+      AdStream.runningStats(eventsAsClicks(spark, dir))))
+      .orderBy("date", "province", "rank")
+
+  /** Sliding-window click trend (1 h window / 30 min slide). */
+  def qStreamSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    AdStream.clickTrend(eventsAsClicks(spark, dir),
+        windowDur = "1 hour", slide = "30 minutes")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+              col("ad_id"), col("click_count"))
+      .orderBy("window_start", "ad_id")
+}

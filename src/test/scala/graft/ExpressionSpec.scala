@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GroupConcatDistinct, SimHash, Text, VectorFunctions}
+
+/** Unit tests for the custom expressions against independent
+  * reference implementations. */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala SimHash reference (same algorithm, written
+    * independently of the Catalyst expression's loop structure). */
+  private def simhashRef(tokens: Seq[String]): String = {
+    val votes = Array.fill(64)(0)
+    tokens.foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      for (bit <- 0 until 64) {
+        val b = (d(bit / 8) >> (7 - bit % 8)) & 1
+        votes(bit) += (if (b == 1) 1 else -1)
+      }
+    }
+    (0 until 16).map { p =>
+      val v = (0 until 4).map(k => if (votes(p * 4 + k) > 0) 8 >> k else 0).sum
+      "0123456789abcdef" (v)
+    }.mkString
+  }
+
+  test("SimHash64 matches the reference implementation") {
+    val inputs = Seq(
+      Seq("alpha", "beta", "gamma"),
+      Seq("one"),
+      Seq("a", "b", "c", "d", "e", "f", "g"),
+      Seq.empty[String])
+    val got = inputs.toDF("toks")
+      .select(SimHash.simhash64($"toks").as("sh"))
+      .as[String].collect()
+    assert(got.toSeq == inputs.map(simhashRef))
+  }
+
+  test("SimHash64 property: random token lists — expression == reference") {
+    val rnd = new scala.util.Random(7)
+    val inputs = Seq.fill(30)(
+      Seq.fill(rnd.nextInt(20))(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString))
+    val got = inputs.toDF("toks")
+      .select(SimHash.simhash64($"toks").as("sh")).as[String].collect()
+    assert(got.toSeq == inputs.map(simhashRef))
+    got.foreach(sh => assert(sh.length == 16 && sh.forall("0123456789abcdef".contains(_))))
+  }
+
+  test("native cosine matches HOF-composition cosine") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() - 0.5f),
+      Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val diffs = df.select(
+      abs(VectorFunctions.cosine($"a", $"b") -
+          VectorFunctions.cosineViaHof(
+            $"a".cast("array<double>"), $"b".cast("array<double>"))).as("d"))
+      .as[Double].collect()
+    assert(diffs.forall(_ < 1e-12))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12 && math.abs(got(1)) < 1e-12)
+  }
+
+  test("GroupConcatDistinct dedupes, sorts, handles substrings") {
+    // the reference's contains()-based dedupe would drop "1:Beijing"
+    // when "11:Beijing" is present — ours must keep both
+    val df = Seq(("g", "11:Beijing"), ("g", "1:Beijing"), ("g", "11:Beijing"))
+      .toDF("k", "v")
+    val got = df.groupBy("k").agg(GroupConcatDistinct($"v").as("c"))
+      .select("c").as[String].collect()
+    assert(got.toSeq == Seq("11:Beijing,1:Beijing"))
+  }
+
+  test("shingles3 produces n-2 distinct shingles in order") {
+    val got = Seq("a b c d").toDF("text")
+      .select(Text.shingles3(Text.tokens($"text")))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(Text.shingles3(Text.tokens($"text")))
+      .as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+}

@@ -52,6 +52,8 @@ object SparkEntry {
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
     "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
+    "mm_decode"            -> (Multimodal.qMultimodalDecode _),
+    "mm_frames"            -> (Multimodal.qMultimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -371,5 +373,23 @@ object SparkEntry {
            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', ad_id FROM clicks)
          SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, ad_id, count(*) AS click_count
          FROM w GROUP BY 1, 2 ORDER BY window_start, ad_id""",
+    "mm_decode" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(1 + (ascii(substr(text, 1, 1)) % 64) AS BIGINT) AS width,
+           CAST(1 + (ascii(substr(text, 2, 1)) % 64) AS BIGINT) AS height,
+           round(CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+             i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) / n, 4) AS mean_byte
+         FROM b ORDER BY doc_id""",
+    "mm_frames" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         f0 AS (SELECT doc_id, text, n,
+                CAST(unnest(range(0, (n + 63) // 64)) AS BIGINT) AS frame_idx FROM b),
+         f AS (SELECT * FROM f0 WHERE frame_idx % 4 = 0)
+         SELECT doc_id, frame_idx,
+           CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_len,
+           CAST(list_sum(list_transform(range(1, CAST(least(64, n - frame_idx * 64) AS INT) + 1),
+              i -> ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1)))) % 256 AS BIGINT) AS checksum
+         FROM f ORDER BY doc_id, frame_idx""",
   )
 }

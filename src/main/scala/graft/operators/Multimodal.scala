@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in batched
+  * per-partition passes. No image/audio codec ships in this
+  * container, so the decode kernel is a clearly-marked deterministic
+  * STUB — but everything Spark-side is real: the binary schema, the
+  * typed Dataset, the mapPartitions batching (modeling a vectorized
+  * decoder that amortizes per-batch setup), and the frame-sampling
+  * explode. Swapping `decodeStub`/`frameChecksum` for a real codec
+  * is a one-function change.
+  *
+  * The stub is arithmetic over the raw bytes, so a SQL oracle can
+  * reproduce it byte-for-byte (documents are ASCII; byte == char
+  * codepoint in both engines).
+  */
+object Multimodal {
+
+  /** Typed media row: binary payload + source metadata. */
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** Stub "decoded image" features. Deterministic fake of a decode:
+    * dimensions from the leading bytes, mean intensity over the
+    * payload. A real implementation would call the codec here. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long,
+                          height: Long, mean_byte: Double)
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long,
+                   checksum: Long)
+
+  /** documents.text → opaque binary payloads (the real pipeline would
+    * read image/audio bytes from object storage). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("image/stub").as("media_type"),
+              col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode kernel — replace with a real codec at deploy time. */
+  private def decodeStub(r: MediaRow): DecodedMedia = {
+    val b = r.content
+    val w = 1L + (if (b.length > 0) (b(0) & 0xff) % 64 else 0)
+    val h = 1L + (if (b.length > 1) (b(1) & 0xff) % 64 else 0)
+    var sum = 0L
+    var i = 0
+    while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+    val mean = if (b.length == 0) 0.0 else sum.toDouble / b.length
+    DecodedMedia(r.doc_id, b.length.toLong, w, h,
+      BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Batched decode: partitions are processed in fixed-size groups,
+    * the shape a vectorized decoder (or GPU batch) wants — per-batch
+    * setup cost is amortized, memory is bounded by `batchSize`. */
+  def decode(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // real codecs initialize once per batch here
+        batch.map(decodeStub)
+      }
+    }
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames, keep
+    * every `every`-th frame with a per-frame checksum ("video" path;
+    * explode-shaped output). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64,
+                   every: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val b = r.content
+      val nFrames = (b.length + frameSize - 1) / frameSize
+      (0 until nFrames).filter(_ % every == 0).map { f =>
+        val start = f * frameSize
+        val end = math.min(start + frameSize, b.length)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum += (b(i) & 0xff); i += 1 }
+        Frame(r.doc_id, f.toLong, (end - start).toLong, sum % 256)
+      }
+    }
+  }
+
+  /** Oracle-checkable query: decoded stub features per doc. */
+  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Oracle-checkable query: sampled frames per doc. */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(id: Long, s: String) =
+    MediaRow(id, "image/stub", s.getBytes("UTF-8"))
+
+  test("decode stub derives dims and mean from bytes; batching preserves rows") {
+    val ds = Seq(media(1, "abcd"), media(2, "A" * 200)).toDS()
+    val got = Multimodal.decode(ds, batchSize = 1).collect().sortBy(_.doc_id)
+    assert(got(0).n_bytes == 4)
+    assert(got(0).width == 1 + 'a' % 64 && got(0).height == 1 + 'b' % 64)
+    assert(got(0).mean_byte == ('a' + 'b' + 'c' + 'd') / 4.0)
+    assert(got(1).n_bytes == 200 && got(1).mean_byte == 65.0)
+  }
+
+  test("frame sampling keeps every k-th frame with exact tail length") {
+    // 300 bytes, 64-byte frames → frames 0..4 (tail = 44), every 4th → 0 and 4
+    val ds = Seq(media(9, "x" * 300)).toDS()
+    val frames = Multimodal.sampleFrames(ds, frameSize = 64, every = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 4L))
+    assert(frames(0).frame_len == 64 && frames(1).frame_len == 44)
+    assert(frames(0).checksum == (120L * 64) % 256)
+    assert(frames(1).checksum == (120L * 44) % 256)
+  }
+
+  test("empty payload yields zero-dim decode and no frames") {
+    val ds = Seq(media(5, "")).toDS()
+    val d = Multimodal.decode(ds).collect().head
+    assert(d.n_bytes == 0 && d.width == 1 && d.height == 1 && d.mean_byte == 0.0)
+    assert(Multimodal.sampleFrames(ds).collect().isEmpty)
+  }
+}

@@ -54,6 +54,9 @@ object SparkEntry {
     "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
+    "q_param_filter"       -> (ParamFilters.qParamFilter _),
+    "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
+    "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -391,5 +394,38 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(1, CAST(least(64, n - frame_idx * 64) AS INT) + 1),
               i -> ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1)))) % 256 AS BIGINT) AS checksum
          FROM f ORDER BY doc_id, frame_idx""",
+    "q_param_filter" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+           AND strftime(ts, '%Y-%m-%d') <= '2024-01-25'
+           AND value >= 10.0 AND value <= 150.0
+           AND event_type IN ('view', 'click', 'purchase')
+           AND props LIKE '%7%'
+         GROUP BY 1 ORDER BY event_type""",
+    "q_stratified_sample" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g),
+         sess AS (SELECT user_id, session_idx, min(ts_sec) AS start_sec
+                  FROM s GROUP BY user_id, session_idx),
+         sh AS (SELECT user_id, session_idx,
+                strftime(make_timestamp(start_sec * 1000000), '%Y-%m-%d_%H') AS date_hour FROM sess),
+         t AS (SELECT count(*) AS total FROM sh),
+         q AS (SELECT sh.*, count(*) OVER (PARTITION BY date_hour) AS g_cnt, total
+               FROM sh CROSS JOIN t),
+         r AS (SELECT *, greatest(1, CAST(floor(100 * g_cnt / total) AS BIGINT)) AS quota,
+               CAST(row_number() OVER (PARTITION BY date_hour
+                 ORDER BY md5(user_id || '_' || session_idx), user_id, session_idx) AS BIGINT) AS rn
+               FROM q)
+         SELECT date_hour, user_id, session_idx FROM r WHERE rn <= quota
+         ORDER BY date_hour, user_id, session_idx""",
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
   )
 }

@@ -38,17 +38,23 @@ object Dedup {
       .orderBy("canonical_id")
 
   /** Document signatures: distinct 3-gram shingles + 8 minhashes +
-    * 4 LSH bands, all computed in one scalar projection (no explode,
-    * no shuffle). */
+    * 4 LSH bands. Shingles are exploded once and the 8 component
+    * minima come out of a single codegen'd hash aggregate — much
+    * faster than evaluating 8 interpreted higher-order `transform`
+    * lambdas per document, and the same one-shuffle-on-doc_id cost
+    * profile at any scale. collect_set in the same pass returns the
+    * distinct-shingle set the verify join needs. */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("shingles"))
-    val withMh = (0 until MinhashSeeds).foldLeft(base) { (df, j) =>
-      df.withColumn(s"mh$j", Text.minhash(col("shingles"), j))
-    }
-    withMh.withColumn("bands",
-      array((0 until MinhashSeeds / 2).map(b =>
-        Text.band(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+    val minCols = (0 until MinhashSeeds).map(j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
+    sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shingles"), minCols: _*)
+      .withColumn("bands",
+        array((0 until MinhashSeeds / 2).map(b =>
+          Text.band(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
   }
 
   /** MinHash+LSH near-dup detection: shingle → minhash → band →

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.core.TaskParams
+
+/** Parameterized filtering + stratified sampling + skew-salting —
+  * the remaining session-job surfaces from SURVEY.md §2.2/§2.6/§4.
+  */
+object ParamFilters {
+
+  /** The fixed task parameters the oracle encodes (stand-in for the
+    * reference's MySQL task row). */
+  val DemoParams: TaskParams = TaskParams(
+    startDate = Some("2024-01-05"),
+    endDate = Some("2024-01-25"),
+    minValue = Some(10.0),
+    maxValue = Some(150.0),
+    categories = Some(Seq("view", "click", "purchase")),
+    keywords = Some(Seq("7")))
+
+  /** Multi-predicate optional-param filter (reference session filter,
+    * UserVisitSessionAnalyzeSpark.java:505-669 + ValidUtils): every
+    * present param becomes one pushable Column predicate. */
+  def qParamFilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsNorm(spark, dir)
+    val pred = TaskParams.predicate(DemoParams,
+      dateCol = date_format(col("event_time"), "yyyy-MM-dd"),
+      valueCol = col("value"),
+      categoryCol = col("event_type"),
+      kindCol = lit(""),            // no kind column in events; param absent
+      textCol = col("props"))
+    e.where(pred)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Stratified proportional sampling of sessions per (date, hour)
+    * stratum (reference random extract: 100 sessions/task allocated
+    * time-proportionally, UserVisitSessionAnalyzeSpark.java:763-826).
+    * The reference uses an unseeded Random on the driver; we rank by
+    * an md5 of the session key — deterministic, distributed, and
+    * reproducible in the SQL oracle. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Sessions.qSessionize(spark, dir)
+      .withColumn("date_hour",
+        date_format(timestamp_seconds(col("start_sec")), "yyyy-MM-dd_HH"))
+    val total = sessions.agg(count(lit(1)).as("total"))
+    val wG = Window.partitionBy("date_hour")
+    val wRank = Window.partitionBy("date_hour")
+      .orderBy(md5(concat_ws("_", col("user_id"), col("session_idx"))),
+               col("user_id"), col("session_idx"))
+    sessions.crossJoin(total)
+      .withColumn("g_cnt", count(lit(1)).over(wG))
+      .withColumn("quota",
+        greatest(lit(1L), floor(lit(100) * col("g_cnt") / col("total"))))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .where(col("rn") <= col("quota"))
+      .select("date_hour", "user_id", "session_idx")
+      .orderBy("date_hour", "user_id", "session_idx")
+  }
+
+  /** Two-stage salted aggregation (the reference's random_prefix /
+    * remove_random_prefix skew idiom, AreaTop3ProductSpark.java:
+    * 323-348 + README.md:1395-1410). The salt here is derived from a
+    * data column instead of rand() so the result is reproducible;
+    * stage 1 spreads a hot group key over `SaltBuckets` partial
+    * groups, stage 2 folds the partials. Output must equal the plain
+    * one-stage aggregate — which is exactly what the oracle asserts.
+    * (With AQE skew handling on, this idiom is usually unnecessary —
+    * kept as the explicit operator surface.) */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val SaltBuckets = 8
+    val li = Tables.lineitem(spark, dir)
+    li.withColumn("salt", pmod(col("l_orderkey"), lit(SaltBuckets)))
+      .groupBy("salt", "l_returnflag")
+      .agg(count(lit(1)).as("partial_cnt"),
+           sum("l_quantity").as("partial_qty"))
+      .groupBy("l_returnflag")
+      .agg(sum("partial_cnt").as("cnt"),
+           round(sum("partial_qty"), 2).as("qty"))
+      .orderBy("l_returnflag")
+  }
+}

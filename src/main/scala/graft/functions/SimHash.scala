@@ -33,7 +33,7 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
+    val md = SimHash64.localMd5.get()
     var t = 0
     while (t < arr.numElements()) {
       if (!arr.isNullAt(t)) {
@@ -67,6 +67,13 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  /** MessageDigest.getInstance is surprisingly expensive per call;
+    * one instance per executor thread, reset per token. */
+  private[functions] val localMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 object SimHash {

@@ -93,9 +93,18 @@ object Dedup {
       .select(col("doc_id"),
         explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pair generation via per-shingle posting lists instead of a
+    // self-join: one shuffle groups postings, pairs are exploded
+    // in-place (sorted, so da < db), and partial aggregation folds
+    // them before the pair shuffle. Same output as the equi-self-join
+    // formulation the oracle uses, one heavy shuffle fewer.
+    val pairs = sh.groupBy("sh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+           transform(slice(docs, i + 2, size(docs) - i - 1), y ->
+             struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")

@@ -48,6 +48,7 @@ object SparkEntry {
     "text_langid"          -> (TextAnalysis.qTextLangid _),
     "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
+    "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
@@ -343,6 +344,11 @@ object SparkEntry {
       """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
          SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "stream_blacklist" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS date, user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id, count(*) AS n

@@ -70,6 +70,21 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
+  /** BPE-ish subword token counting: the GPT-2-style pre-tokenizer
+    * regex (contractions / letter runs / digit runs / punctuation
+    * runs, each with optional leading space) — the unit a byte-pair
+    * encoder would then merge. Whitespace token counts are in
+    * [[qTextStats]]; this is the tokenizer-shaped count an LLM data
+    * pipeline budgets by. */
+  def qTextTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Normalized content fingerprint (whitespace-collapsed md5) —
     * the formatting-insensitive doc identity used upstream of exact
     * dedup. */

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import graft.functions.{CosineSimilarity, SimHash64}
+
+/** Cosine of a vector with itself: 1.0 unless the vector is all-zero
+  * (then 0.0, matching [[CosineSimilarity]]'s zero-denominator
+  * convention). One early-exit pass, no multiplies. */
+case class SelfCosine(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "self_cosine"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.getFloat(i) != 0.0f) return 1.0
+      i += 1
+    }
+    0.0
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Algebraic simplification: `cosine_similarity(x, x)` needs no dot
+  * product — the answer is 1.0 (or 0.0 for the zero vector, null for
+  * null). Arises naturally when a generic scoring template is joined
+  * to itself. The optimizer's expression tree is the right place for
+  * this — callers don't have to special-case it. */
+object SimplifySelfCosine extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        SelfCosine(a)
+    }
+}
+
+/** Session extensions: the optimizer rule above, plus SQL-name
+  * registration of the custom expressions so `spark.sql("SELECT
+  * cosine_similarity(a, b) …")` works without the Scala API.
+  * Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+  }
+}

@@ -107,6 +107,20 @@ object AdStream {
               col("ad_id"), col("click_count"))
   }
 
+  /** Wire a streaming aggregate to a per-batch upsert sink
+    * (reference: foreachRDD + foreachPartition + DAO upserts,
+    * AdClickRealTimeSpark.java:265-311,488-538). `upsertBatch` gets
+    * each micro-batch DataFrame + its id — production passes
+    * JdbcUpsertSink.upsert, tests pass an in-memory merger. */
+  def sinkPerBatch(stats: DataFrame, queryName: String,
+                   upsertBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stats.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .foreachBatch(upsertBatch)
+      .start()
+
   /** Kafka source for production (topic of reference-format lines).
     * Not exercised in this container (no Kafka broker / connector
     * jar); MemoryStream and file sources drive the same plans in

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,19 +21,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens × 64 row blow-up with a scalar projection. Tokens should be
   * pre-deduplicated (array_distinct) by the caller — set semantics,
   * matching the reference's dedupe-before-aggregate idiom.
+  *
+  * Codegen emits a call to the static [[SimHash64.compute]] kernel so
+  * the surrounding stage stays inside whole-stage codegen (a
+  * CodegenFallback would interpret the whole expression subtree).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash64"
 
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${SimHash64.getClass.getName.stripSuffix("$")}.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** MessageDigest.getInstance is surprisingly expensive per call;
+    * one instance per executor thread, reset per token. */
+  private val localMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   private val hexChars = "0123456789abcdef".toCharArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): UTF8String = {
     val votes = new Array[Int](64)
-    val md = SimHash64.localMd5.get()
+    val md = localMd5.get()
     var t = 0
     while (t < arr.numElements()) {
       if (!arr.isNullAt(t)) {
@@ -64,16 +84,6 @@ case class SimHash64(child: Expression)
     }
     UTF8String.fromString(new String(out))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  /** MessageDigest.getInstance is surprisingly expensive per call;
-    * one instance per executor thread, reset per token. */
-  private[functions] val localMd5: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 object SimHash {

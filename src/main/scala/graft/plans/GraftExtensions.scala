@@ -61,3 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHash64(args.head)))
   }
 }
+
+object GraftExtensions {
+  /** Install into an already-built session (builder extensions only
+    * bind at construction — getOrCreate on a live session silently
+    * ignores `withExtensions`). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(SimplifySelfCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifySelfCosine
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", args => CosineSimilarity(args(0), args(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", args => SimHash64(args.head), "scala_udf")
+  }
+}

@@ -9,15 +9,11 @@ import graft.plans.{GraftExtensions, SelfCosine}
 class ExtensionsSpec extends SparkSpec {
 
   private lazy val extSpark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+    // getOrCreate on a live session ignores withExtensions (another
+    // suite may have built the session first) — use the install path,
+    // which is also what production code on a shared session calls
+    GraftExtensions.install(spark)
+    spark
   }
 
   test("SQL-registered custom functions are callable") {

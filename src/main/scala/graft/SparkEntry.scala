@@ -55,6 +55,9 @@ object SparkEntry {
     "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
+    "q_running_total"      -> (Analytic.qRunningTotal _),
+    "q_set_ops"            -> (Analytic.qSetOps _),
+    "q_rollup"             -> (Analytic.qRollup _),
     "q_param_filter"       -> (ParamFilters.qParamFilter _),
     "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
@@ -144,13 +147,13 @@ object SparkEntry {
                   count(*) AS step_length
                   FROM s GROUP BY user_id, session_idx)
          SELECT count(*) AS session_count,
-           round(sum(CASE WHEN visit_length <= 60 THEN 1 ELSE 0 END) / count(*), 2) AS visit_1m,
-           round(sum(CASE WHEN visit_length > 60 AND visit_length <= 600 THEN 1 ELSE 0 END) / count(*), 2) AS visit_1m_10m,
-           round(sum(CASE WHEN visit_length > 600 AND visit_length <= 1800 THEN 1 ELSE 0 END) / count(*), 2) AS visit_10m_30m,
-           round(sum(CASE WHEN visit_length > 1800 THEN 1 ELSE 0 END) / count(*), 2) AS visit_30m_plus,
-           round(sum(CASE WHEN step_length <= 3 THEN 1 ELSE 0 END) / count(*), 2) AS step_1_3,
-           round(sum(CASE WHEN step_length > 3 AND step_length <= 9 THEN 1 ELSE 0 END) / count(*), 2) AS step_4_9,
-           round(sum(CASE WHEN step_length > 9 THEN 1 ELSE 0 END) / count(*), 2) AS step_10_plus
+           floor((sum(CASE WHEN visit_length <= 60 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS visit_1m,
+           floor((sum(CASE WHEN visit_length > 60 AND visit_length <= 600 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS visit_1m_10m,
+           floor((sum(CASE WHEN visit_length > 600 AND visit_length <= 1800 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS visit_10m_30m,
+           floor((sum(CASE WHEN visit_length > 1800 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS visit_30m_plus,
+           floor((sum(CASE WHEN step_length <= 3 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS step_1_3,
+           floor((sum(CASE WHEN step_length > 3 AND step_length <= 9 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS step_4_9,
+           floor((sum(CASE WHEN step_length > 9 THEN 1 ELSE 0 END) / count(*)) * 100 + 0.5) / 100 AS step_10_plus
          FROM sess""",
     "q_page_convert_rate" ->
       """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -161,7 +164,7 @@ object SparkEntry {
          j AS (SELECT pos.split, pos.pos, pc.pv FROM pos JOIN pc ON pos.split = pc.split),
          st AS (SELECT count(*) AS start_pv FROM events WHERE event_type = 'view')
          SELECT split, pv,
-                round(pv / coalesce(lag(pv) OVER (ORDER BY pos), start_pv), 4) AS convert_rate
+                floor(pv / coalesce(lag(pv) OVER (ORDER BY pos), start_pv) * 10000 + 0.5) / 10000 AS convert_rate
          FROM j CROSS JOIN st ORDER BY split""",
     "q_area_top3" ->
       """WITH fact AS (
@@ -313,13 +316,13 @@ object SparkEntry {
          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len
+           floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000 + 0.5) / 10000 AS avg_token_len
          FROM d ORDER BY doc_id""",
     "text_quality" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-         SELECT doc_id, round(0.4 * least(len(toks) / 100.0, 1.0)
+         SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
            + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-           + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks)), 4) AS quality_score
+           + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality_score
          FROM d ORDER BY doc_id""",
     "text_langid" ->
       """WITH d AS (SELECT lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -387,8 +390,8 @@ object SparkEntry {
          SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
            CAST(1 + (ascii(substr(text, 1, 1)) % 64) AS BIGINT) AS width,
            CAST(1 + (ascii(substr(text, 2, 1)) % 64) AS BIGINT) AS height,
-           round(CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
-             i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) / n, 4) AS mean_byte
+           floor(CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+             i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_byte
          FROM b ORDER BY doc_id""",
     "mm_frames" ->
       """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
@@ -400,6 +403,29 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(1, CAST(least(64, n - frame_idx * 64) AS INT) + 1),
               i -> ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1)))) % 256 AS BIGINT) AS checksum
          FROM f ORDER BY doc_id, frame_idx""",
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+         CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS gap_days
+         FROM orders WHERE o_custkey < 100
+         ORDER BY o_custkey, o_orderkey""",
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+         SELECT (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS union_count,
+                (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS intersect_count,
+                (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS except_count""",
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+                coalesce(n_name, 'ALL') AS nation_name,
+                count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region_name, nation_name""",
     "q_param_filter" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events

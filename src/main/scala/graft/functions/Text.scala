@@ -18,6 +18,18 @@ object Text {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Engine-portable HALF_UP rounding for non-negative doubles:
+    * `floor(x·10^s + 0.5)/10^s` — identical IEEE ops in any engine.
+    * Spark's `round()` rounds the shortest decimal string of the
+    * double (BigDecimal.valueOf) while DuckDB rounds the binary
+    * value, so they disagree on values like 0.49025 whose double is
+    * just below the half-boundary; ratios of small integers hit such
+    * values constantly. SQL mirror: floor(x * 1e4 + 0.5) / 1e4. */
+  def roundPortable(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
+
   /** Distinct 3-gram word shingles (empty for docs under 3 tokens). */
   def shingles3(toks: Column): Column =
     array_distinct(

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic capabilities beyond the reference's surface (the
+  * reference uses only row_number and has no set operations or
+  * grouping sets — SURVEY §2.5/§2.7): frame-spec windows, lead/lag
+  * analytics, union/intersect/except, rollup. A user of the reference
+  * switching here gets these for free; they're part of the
+  * "complete engine" story.
+  */
+object Analytic {
+
+  /** Frame-spec window: per-customer running revenue + order gap in
+    * days (rowsBetween cumulative frame, lag analytics). */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") < 100)
+      .withColumn("running_revenue",
+        round(sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("total_price"),
+              col("running_revenue"), col("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set operations: customers active in 1994 vs 1995 — union /
+    * intersect / except cardinalities in one row. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def custsIn(y: Int) = orders
+      .where(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val a = custsIn(1994)
+    val b = custsIn(1995)
+    val u = a.union(b).distinct().count()
+    val i = a.intersect(b).count()
+    val e = a.except(b).count()
+    import spark.implicits._
+    Seq((u, i, e)).toDF("union_count", "intersect_count", "except_count")
+  }
+
+  /** Rollup over the region/nation hierarchy with grouping flags —
+    * subtotals + grand total in one pass. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_acctbal"))
+      .orderBy("region_name", "nation_name")
+  }
+}

@@ -51,8 +51,9 @@ object Multimodal {
     var i = 0
     while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
     val mean = if (b.length == 0) 0.0 else sum.toDouble / b.length
+    // floor(x·1e4 + 0.5)/1e4: same IEEE ops as the SQL oracle
     DecodedMedia(r.doc_id, b.length.toLong, w, h,
-      BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      math.floor(mean * 1e4 + 0.5) / 1e4)
   }
 
   /** Batched decode: partitions are processed in fixed-size groups,

@@ -61,7 +61,8 @@ object Sessions {
   def qSessionStats(spark: SparkSession, dir: String): DataFrame = {
     val sessions = qSessionize(spark, dir)
     def ratio(cond: Column): Column =
-      round(sum(when(cond, 1).otherwise(0)) / count(lit(1)), 2)
+      graft.functions.Text.roundPortable(
+        sum(when(cond, 1).otherwise(0)) / count(lit(1)), 2)
     sessions.agg(
       count(lit(1)).as("session_count"),
       ratio(col("visit_length") <= 60).as("visit_1m"),
@@ -101,7 +102,8 @@ object Sessions {
     pairCounts.crossJoin(startPv)
       .withColumn("prev_pv", coalesce(lag("pv", 1).over(wOrd), col("start_pv")))
       .select(col("split"), col("pv"),
-              round(col("pv") / col("prev_pv"), 4).as("convert_rate"))
+              graft.functions.Text.roundPortable(
+                col("pv") / col("prev_pv"), 4).as("convert_rate"))
       .orderBy("split")
   }
 }

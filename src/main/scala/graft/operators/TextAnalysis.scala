@@ -25,7 +25,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_calc"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-        round(aggregate(transform(toks, t => length(t)), lit(0),
+        Text.roundPortable(aggregate(transform(toks, t => length(t)), lit(0),
           (acc, x) => acc + x).cast("double") / size(toks), 4).as("avg_token_len"))
       .orderBy("doc_id")
 
@@ -39,7 +39,7 @@ object TextAnalysis {
     val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        round(lit(0.4) * lengthScore + lit(0.3) * diversity +
+        Text.roundPortable(lit(0.4) * lengthScore + lit(0.3) * diversity +
               lit(0.3) * stopRatio, 4).as("quality_score"))
       .orderBy("doc_id")
   }

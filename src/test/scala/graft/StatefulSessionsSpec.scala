@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{SessionEvent, SessionOut}
+
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermark timeout closes idle sessions; in-batch gaps split sessions") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val withTime = input.toDS()
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .withWatermark("event_time", "0 seconds")
+      .as[SessionEvent]
+    val q = StatefulSessions.sessionize(withTime, gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: one open session for user 1 (two events 100s apart)
+      input.addData(SessionEvent(1L, 1000L, "view"),
+                    SessionEvent(1L, 1100L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").isEmpty) // still open
+
+      // batch 2: a far-future event for user 2 pushes the watermark
+      // past 1100 + 1800 → user 1's session times out and is emitted
+      input.addData(SessionEvent(2L, 100000L, "view"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 200000L, "view")) // advance watermark again
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[SessionOut].collect()
+        .sortBy(_.user_id)
+      assert(closed.exists(s => s.user_id == 1L && s.visit_length == 100L &&
+        s.step_length == 2L && s.purchases == 1L), closed.mkString(","))
+      // user 2's first session (single event) closed by the in-batch gap
+      // or timeout depending on watermark progression
+      assert(closed.count(_.user_id == 2L) <= 1)
+    } finally q.stop()
+  }
+
+  test("batch-mode stateful sessionizer agrees with the window-based one") {
+    val e = graft.Tables.eventsNorm(spark, sf)
+      .select(col("user_id"), col("ts_sec"), col("event_type"))
+      .as[SessionEvent]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[SessionOut]
+    val stateful = e.groupByKey(_.user_id)
+      .flatMapGroups { (u, evs) =>
+        // run the same state function shape without GroupState: batch
+        // reference = sort + gap-split
+        val sorted = evs.toSeq.sortBy(_.ts_sec)
+        val out = scala.collection.mutable.ListBuffer[SessionOut]()
+        var start = -1L; var last = -1L; var steps = 0L; var purch = 0L
+        sorted.foreach { ev =>
+          if (start < 0) { start = ev.ts_sec; last = ev.ts_sec; steps = 1
+            purch = if (ev.event_type == "purchase") 1 else 0 }
+          else if (ev.ts_sec - last <= 1800L) { last = ev.ts_sec; steps += 1
+            purch += (if (ev.event_type == "purchase") 1 else 0) }
+          else { out += SessionOut(u, start, last - start, steps, purch)
+            start = ev.ts_sec; last = ev.ts_sec; steps = 1
+            purch = if (ev.event_type == "purchase") 1 else 0 }
+        }
+        if (start >= 0) out += SessionOut(u, start, last - start, steps, purch)
+        out.iterator
+      }
+    val fromWindows = graft.operators.Sessions.qSessionize(spark, sf)
+      .select(col("user_id"), col("start_sec"), col("visit_length"),
+              col("step_length"), col("purchases"))
+      .as[SessionOut]
+    val a = stateful.collect().toSet
+    val b = fromWindows.collect().toSet
+    assert(a == b, s"stateful=${a.size} windows=${b.size} diff=${(a diff b).take(3)}")
+  }
+}

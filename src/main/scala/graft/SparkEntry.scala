@@ -58,6 +58,7 @@ object SparkEntry {
     "q_running_total"      -> (Analytic.qRunningTotal _),
     "q_set_ops"            -> (Analytic.qSetOps _),
     "q_rollup"             -> (Analytic.qRollup _),
+    "q_percentiles"        -> (Analytic.qPercentiles _),
     "q_param_filter"       -> (ParamFilters.qParamFilter _),
     "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
@@ -426,6 +427,11 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY region_name, nation_name""",
+    "q_percentiles" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_value,
+         floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q_param_filter" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events

@@ -48,6 +48,21 @@ object Analytic {
     Seq((u, i, e)).toDF("union_count", "intersect_count", "except_count")
   }
 
+  /** Exact distinct counts + exact interpolated percentiles per
+    * group (the OLAP summary surface; at 100 TB these swap to
+    * approx_count_distinct / percentile_approx sketches — exact here
+    * so the oracle can check the plumbing). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.roundPortable
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        roundPortable(expr("percentile(value, 0.5)"), 4).as("p50_value"),
+        roundPortable(expr("percentile(value, 0.95)"), 4).as("p95_value"))
+      .orderBy("event_type")
+  }
+
   /** Rollup over the region/nation hierarchy with grouping flags —
     * subtotals + grand total in one pass. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {

@@ -43,9 +43,9 @@ object StreamingAnalogs {
     * feedback applied (anti join), i.e. the reference's ad_stat
     * contents after convergence. */
   def qStreamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
-    // consumed by two subtrees (blacklist + stats) — cache to avoid
-    // scanning + JSON-parsing events twice
-    val clicks = eventsAsClicks(spark, dir).cache()
+    // consumed by two subtrees (blacklist + stats); measured: caching
+    // costs more than the second scan+parse at this row size
+    val clicks = eventsAsClicks(spark, dir)
     val bl = AdStream.blacklist(
       AdStream.dailyUserAdCounts(clicks), BlacklistThreshold)
     dateAsString(AdStream.runningStats(AdStream.filterBlacklisted(clicks, bl)))

@@ -59,6 +59,8 @@ object SparkEntry {
     "q_set_ops"            -> (Analytic.qSetOps _),
     "q_rollup"             -> (Analytic.qRollup _),
     "q_percentiles"        -> (Analytic.qPercentiles _),
+    "q_range_join"         -> (TemporalJoins.qRangeJoin _),
+    "q_asof_join"          -> (TemporalJoins.qAsofJoin _),
     "q_param_filter"       -> (ParamFilters.qParamFilter _),
     "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
@@ -432,6 +434,26 @@ object SparkEntry {
          floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_value,
          floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         err AS (SELECT event_id AS err_id, user_id AS err_user, ts_sec AS err_sec
+                 FROM e WHERE event_type = 'error')
+         SELECT err_id, count(e.event_id) AS n_preceding
+         FROM err LEFT JOIN e
+           ON err_user = e.user_id
+          AND e.ts_sec >= err_sec - 600 AND e.ts_sec < err_sec
+         GROUP BY err_id ORDER BY err_id""",
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         t AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts_sec END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_sec
+               FROM e)
+         SELECT event_id, user_id, last_click_sec,
+                ts_sec - last_click_sec AS gap_sec
+         FROM t WHERE event_type = 'error' ORDER BY event_id""",
     "q_param_filter" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events

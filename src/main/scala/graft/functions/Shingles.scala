@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct 3-gram word shingles of a text column in one native pass.
+  *
+  * Semantically identical to the built-in composition
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(split(trim(text), "\\s+"), i, 3))))` (kept as
+  * [[Text.shinglesViaHof]] and cross-checked in tests), but the
+  * higher-order-function chain interprets four lambdas per shingle;
+  * this expression tokenizes once and builds the deduped shingle set
+  * in a tight loop — it is the hot scalar path of every text-dedup
+  * operator. Codegen delegates to the static kernel so the stage
+  * stays in whole-stage codegen.
+  */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${Shingles3.getClass.getName.stripSuffix("$")}.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Shingles3 {
+  // exactly java.util.regex \s+, matching split(trim(text), "\\s+")
+  private val Whitespace = Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = Whitespace.split(text.toString.trim)
+    if (toks.length < 3 || (toks.length == 1 && toks(0).isEmpty))
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - 3) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Shingles3(ColumnBridge.expression(c)))
+  }
+}

@@ -30,8 +30,13 @@ object Text {
     floor(c * p + 0.5) / p
   }
 
-  /** Distinct 3-gram word shingles (empty for docs under 3 tokens). */
-  def shingles3(toks: Column): Column =
+  /** Distinct 3-gram word shingles of a text column (empty for docs
+    * under 3 tokens) — the native one-pass expression. */
+  def shingles3(text: Column): Column = Shingles3(text)
+
+  /** Built-in-composition equivalent of [[shingles3]], kept as the
+    * no-custom-code fallback and cross-check. */
+  def shinglesViaHof(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),

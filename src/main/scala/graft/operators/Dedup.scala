@@ -47,7 +47,7 @@ object Dedup {
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+        explode(Text.shingles3(col("text"))).as("sh"))
     val minCols = (0 until MinhashSeeds).map(j =>
       min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
     sh.groupBy("doc_id")
@@ -91,7 +91,7 @@ object Dedup {
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+        explode(Text.shingles3(col("text"))).as("sh"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     // Pair generation via per-shingle posting lists instead of a
     // self-join: one shuffle groups postings, pairs are exploded
@@ -123,7 +123,7 @@ object Dedup {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        SimHash.simhash64(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+        SimHash.simhash64(Text.shingles3(col("text"))).as("sh"))
       .cache()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>

@@ -82,12 +82,27 @@ class ExpressionSpec extends SparkSpec {
 
   test("shingles3 produces n-2 distinct shingles in order") {
     val got = Seq("a b c d").toDF("text")
-      .select(Text.shingles3(Text.tokens($"text")))
+      .select(Text.shingles3($"text"))
       .as[Seq[String]].collect().head
     assert(got == Seq("a b c", "b c d"))
     val short = Seq("a b").toDF("text")
-      .select(Text.shingles3(Text.tokens($"text")))
+      .select(Text.shingles3($"text"))
       .as[Seq[String]].collect().head
     assert(short.isEmpty)
+  }
+
+  test("native shingles3 equals the built-in HOF composition on fixture docs") {
+    val docs = graft.Tables.documents(spark, sf)
+    val both = docs.select(
+      Text.shingles3($"text").as("native"),
+      Text.shinglesViaHof(Text.tokens($"text")).as("hof"))
+    val diff = both.where(not($"native" === $"hof")).count()
+    assert(diff == 0L)
+    // edge inputs: empty, whitespace-only, exactly 3 tokens, dup shingles
+    val edge = Seq("", "   ", "x y z", "a b a b a b a b").toDF("text")
+      .select(Text.shingles3($"text").as("native"),
+              Text.shinglesViaHof(Text.tokens($"text")).as("hof"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
 }

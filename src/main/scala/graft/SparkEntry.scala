@@ -49,6 +49,7 @@ object SparkEntry {
     "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
+    "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
@@ -350,6 +351,20 @@ object SparkEntry {
       """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
          SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM
+                (SELECT DISTINCT doc_id, token FROM e) GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, token, tf, tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+               FROM tf JOIN df USING (token) CROSS JOIN n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token) AS BIGINT) AS "rank" FROM s)
+         SELECT doc_id, "rank", token, tf,
+                floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
+         FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank" """,
     "text_tokens_bpe" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

@@ -93,6 +93,29 @@ object TextAnalysis {
       .select(col("doc_id"), md5(concat_ws(" ", toks)).as("fp"))
       .orderBy("doc_id")
 
+  /** Per-document top terms by TF-IDF — the classic relevance
+    * weighting over the corpus: one explode, two aggregations (term
+    * frequency per doc, document frequency per term), a broadcast of
+    * the doc count, and a per-doc ranking window. */
+  def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toksE = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tf = toksE.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toksE.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), col("token"))
+    tf.join(df, "token").crossJoin(nDocs)
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+              Text.roundPortable(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Corpus-level token frequency (explode + count — the reference's
     * flatMap+reduceByKey word-count shape,
     * UserVisitSessionAnalyzeSpark.java:1398-1441). */

@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties README claims
+  * (pushdown, broadcast, single-shuffle sessionization) asserted
+  * against the actual physical plans so a refactor can't silently
+  * lose them.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formattedPlanOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("scan filters and projection reach the parquet reader") {
+    val p = formattedPlanOf("q_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"), p)
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_extendedprice"), "read schema not pruned")
+  }
+
+  test("dimension joins broadcast, fact side does not shuffle before the join") {
+    val p = planOf("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("area top3 broadcasts all three dims and the part join") {
+    val p = planOf("q_area_top3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("sessionization shuffles once on user_id before window + agg") {
+    val p = planOf("q_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("semi and anti joins plan as fused join operators") {
+    assert(planOf("q_semi_join").contains("LeftSemi"), planOf("q_semi_join"))
+    assert(planOf("q_anti_join").contains("LeftAnti"), planOf("q_anti_join"))
+  }
+
+  test("conditional-agg stats use partial + final hash aggregation") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

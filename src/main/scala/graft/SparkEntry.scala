@@ -36,6 +36,7 @@ object SparkEntry {
     "q_date_buckets"     -> (Scalars.qDateBuckets _),
     "q_date_hour"        -> (Scalars.qDateHour _),
     "q_concat_conditional" -> (Scalars.qConcatConditional _),
+    "q_sql_interface"      -> (Scalars.qSqlInterface _),
     "dedup_exact"          -> (Dedup.qDedupExact _),
     "dedup_minhash_lsh"    -> (Dedup.qDedupMinhashLsh _),
     "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
@@ -212,6 +213,18 @@ object SparkEntry {
       """SELECT c_custkey || ':' || c_name AS custkey_name,
          CASE WHEN c_acctbal > 0 THEN 'positive' ELSE 'non_positive' END AS balance_status
          FROM customer ORDER BY custkey_name""",
+    "q_sql_interface" ->
+      """WITH order_rev AS (
+           SELECT o_custkey, count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment,
+                count(*) AS n_customers,
+                round(sum(revenue), 2) AS segment_revenue,
+                max(n_orders) AS max_orders
+         FROM customer JOIN order_rev ON c_custkey = o_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY canonical_id""",

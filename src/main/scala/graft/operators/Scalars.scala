@@ -47,6 +47,27 @@ object Scalars {
       .orderBy("date", "hour")
   }
 
+  /** The SQL-text interface end-to-end (reference job 3 is chained
+    * `sqlContext.sql` over temp tables, AreaTop3ProductSpark.java:
+    * 296-510): register the fixtures as views and run one CTE-chained
+    * statement through the parser — same Catalyst plan as the
+    * DataFrame form, no temp-table round trips. */
+  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH order_rev AS (
+           SELECT o_custkey, count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment,
+                count(*) AS n_customers,
+                round(sum(revenue), 2) AS segment_revenue,
+                max(n_orders) AS max_orders
+         FROM customer JOIN order_rev ON c_custkey = o_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""")
+  }
+
   /** String composition + conditional mapping (reference:
     * ConcatLongStringUDF.java:8-16 `concat_long_string(id,':',name)`
     * and the product_status if() at AreaTop3ProductSpark.java:453 —

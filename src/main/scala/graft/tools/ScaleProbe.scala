@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+
+/** Scaling harness: replicates the sf0.1 fixtures ×N with key offsets
+  * (texts perturbed per replica so near-dup structure doesn't collapse
+  * into cross-replica exact duplicates), then times representative
+  * queries at 1× and N×. Evidence that the plans scale linearly-ish
+  * in rows rather than quadratically — the local stand-in for the
+  * 100 TB question. Results → SCALING.md.
+  *
+  *   sbt "runMain graft.tools.ScaleProbe [N]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_sfbig_x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.ts is INT64 nanos — read as long (replicas then store long)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def replicate(name: String, transform: (DataFrame, Int) => DataFrame): Unit = {
+      val out = s"$dst/$name.parquet"
+      if (!new java.io.File(out).exists()) {
+        val base = Tables.load(spark, src, name)
+        val big = (0 until factor).map(i => transform(base, i)).reduce(_ union _)
+        big.write.mode(SaveMode.Overwrite).parquet(out)
+      }
+    }
+    val KEY = 100000000L
+    replicate("lineitem", (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KEY))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * KEY)))
+    replicate("orders", (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KEY))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * KEY)))
+    replicate("customer", (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * KEY)))
+    replicate("part", (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * KEY)))
+    replicate("supplier", (df, _) => df)
+    replicate("nation", (df, _) => df)
+    replicate("region", (df, _) => df)
+    replicate("events", (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * KEY))
+        .withColumn("user_id", col("user_id") + lit(i * KEY)))
+    replicate("documents", (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * KEY))
+        // distinct replica marker token keeps near-dup pairs intra-replica
+        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+    replicate("embeddings", (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * KEY)))
+
+    val probes = Seq("q1_agg", "q_join_shuffle", "q_sessionize",
+      "q_window_topn", "q_scan_filter", "dedup_minhash_lsh",
+      "dedup_simhash", "text_tfidf", "stream_running_totals")
+
+    def timeAll(dir: String): Map[String, Double] = probes.map { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+
+    timeAll(src) // warmup (JIT + codegen)
+    val base = timeAll(src)
+    val big = timeAll(dst)
+    println(f"[scale] ${"query"}%-24s ${"1x(s)"}%8s ${s"${factor}x(s)"}%8s ${"ratio"}%7s")
+    probes.foreach { q =>
+      println(f"[scale] $q%-24s ${base(q)}%8.2f ${big(q)}%8.2f ${big(q) / base(q)}%7.1f")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.AdStream
 
@@ -81,6 +82,32 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 1L))
       val starts = rows.map(_.getTimestamp(0).getTime / 1000L).sorted.toSeq
       assert(starts == Seq(1800L, 3600L)) // 00:30 and 01:00 windows
+    } finally q.stop()
+  }
+
+  test("late events behind the watermark are dropped from window aggregates") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = AdStream.clickTrend(AdStream.parse(input.toDF()),
+        windowDur = "1 hour", slide = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("trend_late")
+      .outputMode("update").start()
+    try {
+      input.addData(line(10000L, "P", "C", 1, 1))
+      q.processAllAvailable()
+      input.addData(line(20000L, "P", "C", 1, 1)) // watermark → 10000
+      q.processAllAvailable()
+      input.addData(line(40000L, "P", "C", 1, 1)) // watermark → 20000
+      q.processAllAvailable()
+      val before = spark.table("trend_late").count()
+      // t=5000 is far behind the 20000s watermark: its windows end
+      // ≤ 7200 < 20000, so the event must be silently dropped
+      input.addData(line(5000L, "P", "C", 1, 1))
+      q.processAllAvailable()
+      val after = spark.table("trend_late")
+      assert(after.count() == before, "late event was not dropped")
+      assert(after.where(col("window_start") < to_timestamp(lit("1970-01-01 01:00:00")))
+        .count() == 0)
     } finally q.stop()
   }
 

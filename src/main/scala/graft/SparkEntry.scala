@@ -74,11 +74,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+         floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+         floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
          count(*) AS count_order,
-         round(avg(l_discount), 6) AS avg_disc
+         floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_scan_filter" ->
@@ -89,19 +89,19 @@ object SparkEntry {
          ORDER BY l_orderkey, l_partkey, l_quantity""",
     "q_join_broadcast" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-         count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+         count(*) AS n_customers, floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY region_name, nation_name""",
     "q_join_shuffle" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_lines,
-         round(sum(l_quantity), 2) AS qty
+         floor((sum(l_quantity)) * 100 + 0.5) / 100 AS qty
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -115,7 +115,7 @@ object SparkEntry {
          coalesce(cnt, 0) AS order_count,
          coalesce(qty, 0.0) AS total_qty
          FROM part LEFT JOIN (
-           SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+           SELECT l_partkey, count(*) AS cnt, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS qty
            FROM lineitem GROUP BY l_partkey
          ) ON p_partkey = l_partkey
          ORDER BY p_partkey""",
@@ -196,15 +196,15 @@ object SparkEntry {
       """WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
            CAST(row_number() OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS "rank" FROM orders)
-         SELECT o_orderpriority, "rank", o_orderkey, round(o_totalprice, 2) AS total_price
+         SELECT o_orderpriority, "rank", o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS total_price
          FROM ranked WHERE "rank" <= 3 ORDER BY o_orderpriority, "rank" """,
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         count(*) AS n, round(sum(value), 2) AS total_value
+         count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
          FROM events GROUP BY 1 ORDER BY k""",
     "q_date_buckets" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
          FROM orders GROUP BY 1 ORDER BY month""",
     "q_date_hour" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS date, CAST(hour(ts) AS BIGINT) AS hour,
@@ -217,11 +217,11 @@ object SparkEntry {
     "q_sql_interface" ->
       """WITH order_rev AS (
            SELECT o_custkey, count(*) AS n_orders,
-                  round(sum(o_totalprice), 2) AS revenue
+                  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
            FROM orders GROUP BY o_custkey)
          SELECT c_mktsegment,
                 count(*) AS n_customers,
-                round(sum(revenue), 2) AS segment_revenue,
+                floor((sum(revenue)) * 100 + 0.5) / 100 AS segment_revenue,
                 max(n_orders) AS max_orders
          FROM customer JOIN order_rev ON c_custkey = o_custkey
          GROUP BY c_mktsegment
@@ -256,7 +256,7 @@ object SparkEntry {
            len(list_intersect(sa.shingles, sb.shingles)) /
            (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
            FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
-         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j
+         SELECT doc_a, doc_b, floor((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard FROM j
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -269,7 +269,7 @@ object SparkEntry {
                FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          j AS (SELECT doc_a, doc_b, shared, shared / (na.ns + nb.ns - shared) AS jaccard
                FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
-         SELECT doc_a, doc_b, shared, round(jaccard, 6) AS jaccard FROM j
+         SELECT doc_a, doc_b, shared, floor((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard FROM j
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
       """WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -303,7 +303,7 @@ object SparkEntry {
          SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
          ORDER BY id_a, id_b""",
@@ -313,7 +313,7 @@ object SparkEntry {
             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sim
             FROM embeddings CROSS JOIN q WHERE vec_id != q_id),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
-         SELECT q_id, "rank", neighbor_id, round(sim, 4) AS sim FROM r
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "sim_ivf" ->
       """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
@@ -327,7 +327,7 @@ object SparkEntry {
              list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
              FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
-         SELECT q_id, "rank", neighbor_id, round(sim, 4) AS sim FROM r
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
@@ -436,9 +436,9 @@ object SparkEntry {
               i -> ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1)))) % 256 AS BIGINT) AS checksum
          FROM f ORDER BY doc_id, frame_idx""",
     "q_running_total" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
-         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-           ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+      """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS total_price,
+         floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)) * 100 + 0.5) / 100 AS running_revenue,
          CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS gap_days
          FROM orders WHERE o_custkey < 100
@@ -452,7 +452,7 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
                 coalesce(n_name, 'ALL') AS nation_name,
-                count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+                count(*) AS n_customers, floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -484,7 +484,7 @@ object SparkEntry {
                 ts_sec - last_click_sec AS gap_sec
          FROM t WHERE event_type = 'error' ORDER BY event_id""",
     "q_param_filter" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      """SELECT event_type, count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
            AND strftime(ts, '%Y-%m-%d') <= '2024-01-25'
@@ -514,7 +514,7 @@ object SparkEntry {
          SELECT date_hour, user_id, session_idx FROM r WHERE rn <= quota
          ORDER BY date_hour, user_id, session_idx""",
     "q_salted_agg" ->
-      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+      """SELECT l_returnflag, count(*) AS cnt, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS qty
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "pipeline_training_data" ->
       """WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -18,13 +18,15 @@ object Text {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Engine-portable HALF_UP rounding for non-negative doubles:
-    * `floor(x·10^s + 0.5)/10^s` — identical IEEE ops in any engine.
-    * Spark's `round()` rounds the shortest decimal string of the
-    * double (BigDecimal.valueOf) while DuckDB rounds the binary
+  /** Engine-portable rounding: `floor(x·10^s + 0.5)/10^s` — identical
+    * IEEE ops in any engine (HALF_UP for positives, half-toward-+inf
+    * for negatives; what matters is that both sides compute the same
+    * bits). Spark's `round()` rounds the shortest decimal string of
+    * the double (BigDecimal.valueOf) while DuckDB rounds the binary
     * value, so they disagree on values like 0.49025 whose double is
     * just below the half-boundary; ratios of small integers hit such
-    * values constantly. SQL mirror: floor(x * 1e4 + 0.5) / 1e4. */
+    * values constantly. Used for EVERY rounded double the oracle
+    * compares; SQL mirror: floor(x * 1e4 + 0.5) / 1e4. */
   def roundPortable(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
     floor(c * p + 0.5) / p

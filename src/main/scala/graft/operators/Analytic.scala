@@ -21,13 +21,13 @@ object Analytic {
     Tables.orders(spark, dir)
       .where(col("o_custkey") < 100)
       .withColumn("running_revenue",
-        round(sum("o_totalprice")
+        graft.functions.Text.roundPortable(sum("o_totalprice")
           .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .withColumn("prev_date", lag("o_orderdate", 1).over(w))
       .withColumn("gap_days",
         datediff(col("o_orderdate"), col("prev_date")).cast("long"))
       .select(col("o_custkey"), col("o_orderkey"),
-              round(col("o_totalprice"), 2).as("total_price"),
+              graft.functions.Text.roundPortable(col("o_totalprice"), 2).as("total_price"),
               col("running_revenue"), col("gap_days"))
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -74,7 +74,7 @@ object Analytic {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-           round(sum("c_acctbal"), 2).as("total_acctbal"))
+           graft.functions.Text.roundPortable(sum("c_acctbal"), 2).as("total_acctbal"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region_name"),
         coalesce(col("n_name"), lit("ALL")).as("nation_name"),

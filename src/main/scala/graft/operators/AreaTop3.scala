@@ -72,7 +72,7 @@ object AreaTop3 {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
-              round(col("o_totalprice"), 2).as("total_price"))
+              graft.functions.Text.roundPortable(col("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderpriority", "rank")
   }
 }

@@ -80,7 +80,7 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) -
          size(array_intersect(col("sh_a"), col("sh_b")))))
       .where(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), graft.functions.Text.roundPortable(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -112,7 +112,7 @@ object Dedup {
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= NgramJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("shared"),
-              round(col("jaccard"), 6).as("jaccard"))
+              graft.functions.Text.roundPortable(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -34,7 +34,7 @@ object ParamFilters {
       textCol = col("props"))
     e.where(pred)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Text.roundPortable(sum("value"), 2).as("total_value"))
       .orderBy("event_type")
   }
 
@@ -81,7 +81,7 @@ object ParamFilters {
            sum("l_quantity").as("partial_qty"))
       .groupBy("l_returnflag")
       .agg(sum("partial_cnt").as("cnt"),
-           round(sum("partial_qty"), 2).as("qty"))
+           graft.functions.Text.roundPortable(sum("partial_qty"), 2).as("qty"))
       .orderBy("l_returnflag")
   }
 }

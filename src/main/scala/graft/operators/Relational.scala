@@ -24,11 +24,11 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        graft.functions.Text.roundPortable(sum("l_quantity"), 2).as("sum_qty"),
+        graft.functions.Text.roundPortable(sum("l_extendedprice"), 2).as("sum_base_price"),
+        graft.functions.Text.roundPortable(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         count(lit(1)).as("count_order"),
-        round(avg("l_discount"), 6).as("avg_disc"))
+        graft.functions.Text.roundPortable(avg("l_discount"), 6).as("avg_disc"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -57,7 +57,7 @@ object Relational {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(count(lit(1)).as("n_customers"),
-           round(sum("c_acctbal"), 2).as("total_acctbal"))
+           graft.functions.Text.roundPortable(sum("c_acctbal"), 2).as("total_acctbal"))
       .orderBy("region_name", "nation_name")
   }
 
@@ -72,7 +72,7 @@ object Relational {
       .join(cust, orders("o_custkey") === cust("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-           round(sum("o_totalprice"), 2).as("revenue"))
+           graft.functions.Text.roundPortable(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("c_mktsegment")
   }
 
@@ -86,7 +86,7 @@ object Relational {
     li.join(big, li("l_orderkey") === big("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
-           round(sum("l_quantity"), 2).as("qty"))
+           graft.functions.Text.roundPortable(sum("l_quantity"), 2).as("qty"))
       .orderBy("l_returnflag")
   }
 
@@ -110,7 +110,7 @@ object Relational {
     val part = Tables.part(spark, dir)
     val li   = Tables.lineitem(spark, dir)
     val cnts = li.groupBy("l_partkey")
-      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      .agg(count(lit(1)).as("cnt"), graft.functions.Text.roundPortable(sum("l_quantity"), 2).as("qty"))
     part.join(cnts, part("p_partkey") === cnts("l_partkey"), "left")
       .select(col("p_partkey"),
               coalesce(col("cnt"), lit(0L)).as("order_count"),

@@ -19,7 +19,7 @@ object Scalars {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
               col("value"))
       .groupBy("k")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Text.roundPortable(sum("value"), 2).as("total_value"))
       .orderBy("k")
   }
 
@@ -31,7 +31,7 @@ object Scalars {
     Tables.orders(spark, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum("o_totalprice"), 2).as("revenue"))
+           graft.functions.Text.roundPortable(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("month")
   }
 
@@ -57,11 +57,11 @@ object Scalars {
     spark.sql(
       """WITH order_rev AS (
            SELECT o_custkey, count(*) AS n_orders,
-                  round(sum(o_totalprice), 2) AS revenue
+                  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
            FROM orders GROUP BY o_custkey)
          SELECT c_mktsegment,
                 count(*) AS n_customers,
-                round(sum(revenue), 2) AS segment_revenue,
+                floor(sum(revenue) * 100 + 0.5) / 100 AS segment_revenue,
                 max(n_orders) AS max_orders
          FROM customer JOIN order_rev ON c_custkey = o_custkey
          GROUP BY c_mktsegment

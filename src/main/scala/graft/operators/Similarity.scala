@@ -36,7 +36,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-              round(col("sim"), 4).as("sim"))
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -66,7 +66,7 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-              round(col("sim"), 4).as("sim"))
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -81,7 +81,7 @@ object Similarity {
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= NearDupThreshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"), graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
   }
 }

@@ -67,6 +67,9 @@ object SparkEntry {
     "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
     "pipeline_training_data" -> (Pipeline.qTrainingPipeline _),
+    "q_funnel"             -> (Sessions.qFunnel _),
+    "vec_norms"            -> (Vectors.qVectorNorms _),
+    "q_value_histogram"    -> (Vectors.qValueHistogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,5 +563,44 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, quality FROM exact
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          ORDER BY doc_id""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+         v AS (SELECT user_id, session_idx,
+               min(CASE WHEN event_type = 'view' THEN ts_sec END) AS v_sec
+               FROM s GROUP BY 1, 2),
+         c AS (SELECT s.user_id, s.session_idx,
+               min(CASE WHEN s.event_type = 'click' AND s.ts_sec > v.v_sec THEN s.ts_sec END) AS c_sec
+               FROM s JOIN v ON s.user_id = v.user_id AND s.session_idx = v.session_idx
+               GROUP BY 1, 2),
+         p AS (SELECT s.user_id, s.session_idx,
+               min(CASE WHEN s.event_type = 'purchase' AND s.ts_sec > c.c_sec THEN s.ts_sec END) AS p_sec
+               FROM s JOIN c ON s.user_id = c.user_id AND s.session_idx = c.session_idx
+               GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions, count(v_sec) AS n_view,
+                count(c_sec) AS n_view_click, count(p_sec) AS n_view_click_purchase,
+                floor((count(c_sec) / CAST(count(v_sec) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rate_click,
+                floor((count(p_sec) / CAST(count(c_sec) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rate_purchase
+         FROM v JOIN c USING (user_id, session_idx) JOIN p USING (user_id, session_idx)""",
+    "vec_norms" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         n AS (SELECT label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v),
+         u AS (SELECT label, norm, abs(1.0 - sqrt(list_sum(list_transform(
+                 list_transform(e, x -> CASE WHEN norm = 0.0 THEN 0.0 ELSE x / norm END),
+                 x -> x * x)))) AS unit_err FROM n)
+         SELECT label, count(*) AS n,
+                floor(avg(norm) * 10000 + 0.5) / 10000 AS avg_norm,
+                floor(max(norm) * 10000 + 0.5) / 10000 AS max_norm,
+                floor(max(unit_err) * 10000 + 0.5) / 10000 AS max_unit_err
+         FROM u GROUP BY 1 ORDER BY label""",
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value / 20.0) * 20 AS BIGINT) AS bucket_low, count(*) AS n,
+         floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+         FROM events GROUP BY 1 ORDER BY bucket_low""",
   )
 }

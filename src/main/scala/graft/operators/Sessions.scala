@@ -74,6 +74,38 @@ object Sessions {
       ratio(col("step_length") > 9).as("step_10_plus"))
   }
 
+  /** Ordered funnel: sessions that contain view → click → purchase in
+    * that temporal order, with stage conversion rates. Stage k's
+    * timestamp is the earliest matching event after stage k-1 —
+    * computed as one aggregate per stage over the sessionized events
+    * (each stage joins the previous stage's result back; at scale all
+    * three joins share the (user, session) partitioning). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionized(spark, dir)
+      .select("user_id", "session_idx", "ts_sec", "event_type")
+    val keys = Seq("user_id", "session_idx")
+    val v = s.groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "view", col("ts_sec"))).as("v_sec"))
+    val c = s.join(v, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "click" &&
+                    col("ts_sec") > col("v_sec"), col("ts_sec"))).as("c_sec"))
+    val p = s.join(c, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "purchase" &&
+                    col("ts_sec") > col("c_sec"), col("ts_sec"))).as("p_sec"))
+    val joined = v.join(c, keys).join(p, keys)
+    joined.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("v_sec")).as("n_view"),
+      count(col("c_sec")).as("n_view_click"),
+      count(col("p_sec")).as("n_view_click_purchase"),
+      graft.functions.Text.roundPortable(
+        count(col("c_sec")) / count(col("v_sec")).cast("double"), 4).as("rate_click"),
+      graft.functions.Text.roundPortable(
+        count(col("p_sec")) / count(col("c_sec")).cast("double"), 4).as("rate_purchase"))
+  }
+
   /** Page single-hop conversion rate (reference: PageOneStepConvert
     * RateSpark.java — in-group sort + adjacent pairing at 159-217,
     * driver-side chained rates at 270-308). Spark-first: lag() window

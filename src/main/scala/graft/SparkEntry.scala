@@ -60,6 +60,7 @@ object SparkEntry {
     "q_running_total"      -> (Analytic.qRunningTotal _),
     "q_set_ops"            -> (Analytic.qSetOps _),
     "q_rollup"             -> (Analytic.qRollup _),
+    "q_cube"               -> (Analytic.qCube _),
     "q_percentiles"        -> (Analytic.qPercentiles _),
     "q_range_join"         -> (TemporalJoins.qRangeJoin _),
     "q_asof_join"          -> (TemporalJoins.qAsofJoin _),
@@ -461,6 +462,13 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY region_name, nation_name""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS n,
+                floor(sum(l_quantity) * 100 + 0.5) / 100 AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
     "q_percentiles" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_value,

@@ -48,6 +48,21 @@ object Analytic {
     Seq((u, i, e)).toDF("union_count", "intersect_count", "except_count")
   }
 
+  /** Cube over (returnflag, linestatus): all four grouping
+    * combinations in one pass (completes the grouping-sets family
+    * next to [[qRollup]]). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.roundPortable
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           roundPortable(sum("l_quantity"), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("n"), col("qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
   /** Exact distinct counts + exact interpolated percentiles per
     * group (the OLAP summary surface; at 100 TB these swap to
     * approx_count_distinct / percentile_approx sketches — exact here

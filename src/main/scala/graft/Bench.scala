@@ -33,6 +33,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // collect accumulated garbage OUTSIDE the timed window so a
+      // full-GC pause doesn't land inside one arbitrary query's time
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

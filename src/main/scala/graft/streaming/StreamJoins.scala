@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming surfaces beyond the reference's DStream feature set:
+  * watermarked stream deduplication (exactly-once ingest for the
+  * training-data pipeline) and a stream-stream interval join
+  * (impression→click attribution). Both maintain bounded state via
+  * watermarks.
+  */
+object StreamJoins {
+
+  /** Drop duplicate events by id within the watermark horizon —
+    * at-least-once sources (Kafka replays, retried producers) become
+    * exactly-once downstream. State holds ids only until the
+    * watermark passes. Works on batch frames too (plain
+    * dropDuplicates). */
+  def dedupEvents(events: DataFrame,
+                  idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("event_time", watermark)
+      else events
+    src.dropDuplicates(idCol)
+  }
+
+  /** Attribute clicks to impressions: same ad, click within
+    * `attributionWindow` after the impression. Event-time range
+    * condition + watermarks on both sides bound the join state. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      attributionWindow: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val imps =
+      (if (impressions.isStreaming)
+        impressions.withWatermark("imp_time", watermark)
+      else impressions).select(col("ad_id"), col("imp_time"))
+    val clks =
+      (if (clicks.isStreaming) clicks.withWatermark("click_time", watermark)
+      else clicks).select(col("ad_id").as("click_ad"), col("click_time"),
+        col("user_id"))
+    imps.join(clks,
+      col("ad_id") === col("click_ad") &&
+      col("click_time") >= col("imp_time") &&
+      col("click_time") <= col("imp_time") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("ad_id"), col("imp_time"), col("click_time"), col("user_id"))
+  }
+}

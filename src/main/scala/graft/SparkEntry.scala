@@ -56,6 +56,7 @@ object SparkEntry {
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
     "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
+    "stream_attribution"   -> (StreamingAnalogs.qAttribution _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "q_running_total"      -> (Analytic.qRunningTotal _),
@@ -460,6 +461,16 @@ object SparkEntry {
            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', ad_id FROM clicks)
          SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, ad_id, count(*) AS click_count
          FROM w GROUP BY 1, 2 ORDER BY window_start, ad_id""",
+    "stream_attribution" ->
+      """WITH c AS (SELECT event_type, epoch_ns(ts)//1000000000 AS sec,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id FROM events),
+         imps AS (SELECT ad_id, sec AS imp_sec FROM c WHERE event_type = 'view'),
+         clks AS (SELECT ad_id, sec AS click_sec FROM c WHERE event_type = 'click')
+         SELECT i.ad_id AS ad_id, count(*) AS n_attributed
+         FROM imps i JOIN clks k
+           ON i.ad_id = k.ad_id
+          AND k.click_sec >= i.imp_sec AND k.click_sec <= i.imp_sec + 3600
+         GROUP BY i.ad_id ORDER BY i.ad_id""",
     "mm_decode" ->
       """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents)
          SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,

@@ -60,6 +60,22 @@ object StreamingAnalogs {
       AdStream.runningStats(eventsAsClicks(spark, dir))))
       .orderBy("date", "province", "rank")
 
+  /** Impression→click attribution (stream-stream interval join run
+    * in batch): view events are impressions, click events clicks;
+    * a click attributes to every same-ad impression within the hour
+    * before it. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsAsClicks(spark, dir)
+    val imps = clicks.where(col("province") === "view")
+      .select(col("ad_id"), col("event_time").as("imp_time"))
+    val clks = clicks.where(col("province") === "click")
+      .select(col("ad_id"), col("event_time").as("click_time"), col("user_id"))
+    graft.streaming.StreamJoins.attributeClicks(imps, clks)
+      .groupBy("ad_id")
+      .agg(count(lit(1)).as("n_attributed"))
+      .orderBy("ad_id")
+  }
+
   /** Sliding-window click trend (1 h window / 30 min slide). */
   def qStreamSlidingWindow(spark: SparkSession, dir: String): DataFrame =
     AdStream.clickTrend(eventsAsClicks(spark, dir),

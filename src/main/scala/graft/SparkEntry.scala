@@ -32,6 +32,7 @@ object SparkEntry {
     "q_page_convert_rate" -> (Sessions.qPageConvertRate _),
     "q_area_top3"        -> (AreaTop3.qAreaTop3 _),
     "q_window_topn"      -> (AreaTop3.qWindowTopN _),
+    "q_grouped_topk_custom" -> (AreaTop3.qGroupedTopKCustom _),
     "q_json_extract"     -> (Scalars.qJsonExtract _),
     "q_date_buckets"     -> (Scalars.qDateBuckets _),
     "q_date_hour"        -> (Scalars.qDateHour _),
@@ -204,6 +205,13 @@ object SparkEntry {
              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS "rank" FROM orders)
          SELECT o_orderpriority, "rank", o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS total_price
          FROM ranked WHERE "rank" <= 3 ORDER BY o_orderpriority, "rank" """,
+    "q_grouped_topk_custom" ->
+      """WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+         SELECT o_orderpriority, o_orderkey,
+                floor(o_totalprice * 100 + 0.5) / 100 AS total_price
+         FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""",
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value

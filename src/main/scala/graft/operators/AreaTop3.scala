@@ -60,6 +60,20 @@ object AreaTop3 {
       .orderBy("area", "rank")
   }
 
+  /** Grouped top-N through the custom [[graft.plans.GroupedTopK]]
+    * physical operator (bounded per-key heaps, partial → shuffle →
+    * final; no per-group sort) — same semantics as [[qWindowTopN]],
+    * which the oracle asserts. */
+  def qGroupedTopKCustom(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GroupedTopKApi.groupedTopK(
+        Tables.orders(spark, dir),
+        keys = Seq("o_orderpriority"), order = "o_totalprice",
+        tie = "o_orderkey", k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              graft.functions.Text.roundPortable(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** Grouped top-N via row_number (reference: RowNumberWindowFunction
     * .java:31-43 demo; AdClickRealTimeSpark.java:643-659 province
     * top-3, whose `WHERE rank>=3` is a reference bug — we implement

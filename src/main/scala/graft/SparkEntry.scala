@@ -38,6 +38,7 @@ object SparkEntry {
     "q_date_hour"        -> (Scalars.qDateHour _),
     "q_concat_conditional" -> (Scalars.qConcatConditional _),
     "q_sql_interface"      -> (Scalars.qSqlInterface _),
+    "q_pivot"              -> (Scalars.qPivot _),
     "dedup_exact"          -> (Dedup.qDedupExact _),
     "dedup_minhash_lsh"    -> (Dedup.qDedupMinhashLsh _),
     "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
@@ -205,6 +206,14 @@ object SparkEntry {
              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS "rank" FROM orders)
          SELECT o_orderpriority, "rank", o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS total_price
          FROM ranked WHERE "rank" <= 3 ORDER BY o_orderpriority, "rank" """,
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1 ORDER BY date""",
     "q_grouped_topk_custom" ->
       """WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_orderpriority

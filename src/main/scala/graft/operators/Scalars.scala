@@ -47,6 +47,19 @@ object Scalars {
       .orderBy("date", "hour")
   }
 
+  /** Pivot: long→wide reshape (per-day counts fanned out into one
+    * column per event type). With the value list given explicitly the
+    * plan is a single aggregate — no extra pass to discover values. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val kinds = Seq("view", "click", "purchase", "signup", "error")
+    Tables.eventsNorm(spark, dir)
+      .groupBy(date_format(col("event_time"), "yyyy-MM-dd").as("date"))
+      .pivot("event_type", kinds)
+      .agg(count(lit(1)))
+      .na.fill(0L, kinds)
+      .orderBy("date")
+  }
+
   /** The SQL-text interface end-to-end (reference job 3 is chained
     * `sqlContext.sql` over temp tables, AreaTop3ProductSpark.java:
     * 296-510): register the fixtures as views and run one CTE-chained

@@ -314,8 +314,8 @@ object SparkEntry {
                + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS INT), 1) AS c
             FROM votes),
          sig AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS sh FROM digits GROUP BY doc_id),
-         bands AS (SELECT doc_id, bb AS band_id, substr(sh, CAST(1 + 2 * bb AS INT), 2) AS bucket
-            FROM sig CROSS JOIN range(0, 8) bs(bb)),
+         bands AS (SELECT doc_id, bb AS band_id, substr(sh, CAST(1 + 2 * bb AS INT), 4) AS bucket
+            FROM sig CROSS JOIN range(0, 7) bs(bb)),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
             JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          ham AS (SELECT doc_a, doc_b,
@@ -479,13 +479,13 @@ object SparkEntry {
          SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, ad_id, count(*) AS click_count
          FROM w GROUP BY 1, 2 ORDER BY window_start, ad_id""",
     "stream_attribution" ->
-      """WITH c AS (SELECT event_type, epoch_ns(ts)//1000000000 AS sec,
+      """WITH c AS (SELECT event_type, user_id, epoch_ns(ts)//1000000000 AS sec,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id FROM events),
-         imps AS (SELECT ad_id, sec AS imp_sec FROM c WHERE event_type = 'view'),
-         clks AS (SELECT ad_id, sec AS click_sec FROM c WHERE event_type = 'click')
+         imps AS (SELECT ad_id, user_id, sec AS imp_sec FROM c WHERE event_type = 'view'),
+         clks AS (SELECT ad_id, user_id, sec AS click_sec FROM c WHERE event_type = 'click')
          SELECT i.ad_id AS ad_id, count(*) AS n_attributed
          FROM imps i JOIN clks k
-           ON i.ad_id = k.ad_id
+           ON i.ad_id = k.ad_id AND i.user_id = k.user_id
           AND k.click_sec >= i.imp_sec AND k.click_sec <= i.imp_sec + 3600
          GROUP BY i.ad_id ORDER BY i.ad_id""",
     "mm_decode" ->

@@ -125,13 +125,16 @@ object Dedup {
       .select(col("doc_id"),
         SimHash.simhash64(Text.shingles3(col("text"))).as("sh"))
       .cache()
-    // 8 bands × 8 bits: a pair with ≤7 flipped bits cannot touch all
-    // 8 bands, so recall is 100% up to hamming 7 (the planted
-    // near-dups all sit ≤7). Candidate volume grows vs 4×16-bit
-    // bands but the hamming verify is cheap.
+    // Banding is the recall/cost dial (measured in SCALING.md):
+    // 8 × 8-bit bands give 100% recall at hamming ≤ 7 but candidate
+    // pairs grow quadratically with corpus size (256-value buckets);
+    // 7 overlapping 16-bit bands (stride 2 hex chars) keep ~86-92%
+    // recall with ~200× fewer candidates and scale linearly — the
+    // default here. The exact-recall alternative for the same
+    // threshold is dedup_ngram_jaccard.
     val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 8).map(b =>
-        substring(col("sh"), 1 + 2 * b, 2)): _*)).as(Seq("band_id", "bucket")))
+      posexplode(array((0 until 7).map(b =>
+        substring(col("sh"), 1 + 2 * b, 4)): _*)).as(Seq("band_id", "bucket")))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&

@@ -67,9 +67,9 @@ object StreamingAnalogs {
   def qAttribution(spark: SparkSession, dir: String): DataFrame = {
     val clicks = eventsAsClicks(spark, dir)
     val imps = clicks.where(col("province") === "view")
-      .select(col("ad_id"), col("event_time").as("imp_time"))
+      .select(col("ad_id"), col("user_id"), col("event_time").as("imp_time"))
     val clks = clicks.where(col("province") === "click")
-      .select(col("ad_id"), col("event_time").as("click_time"), col("user_id"))
+      .select(col("ad_id"), col("user_id"), col("event_time").as("click_time"))
     graft.streaming.StreamJoins.attributeClicks(imps, clks)
       .groupBy("ad_id")
       .agg(count(lit(1)).as("n_attributed"))

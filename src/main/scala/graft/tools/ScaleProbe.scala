@@ -63,8 +63,10 @@ object ScaleProbe {
       df.withColumn("vec_id", col("vec_id") + lit(i * KEY)))
 
     val probes = Seq("q1_agg", "q_join_shuffle", "q_sessionize",
-      "q_window_topn", "q_scan_filter", "dedup_minhash_lsh",
-      "dedup_simhash", "text_tfidf", "stream_running_totals")
+      "q_window_topn", "q_grouped_topk_custom", "q_scan_filter",
+      "dedup_minhash_lsh", "dedup_simhash", "text_tfidf",
+      "stream_running_totals", "stream_attribution",
+      "pipeline_training_data")
 
     def timeAll(dir: String): Map[String, Double] = probes.map { name =>
       val t0 = System.nanoTime()

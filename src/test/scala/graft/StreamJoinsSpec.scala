@@ -31,22 +31,23 @@ class StreamJoinsSpec extends SparkSpec {
 
   test("stream-stream interval join attributes clicks within the window") {
     implicit val ctx = spark.sqlContext
-    val imps = MemoryStream[(Long, Long)]   // (ad_id, imp_sec)
-    val clicks = MemoryStream[(Long, Long, Long)] // (ad_id, click_sec, user)
-    val impDf = imps.toDF().toDF("ad_id", "imp_sec")
+    val imps = MemoryStream[(Long, Long, Long)]   // (ad_id, user, imp_sec)
+    val clicks = MemoryStream[(Long, Long, Long)] // (ad_id, user, click_sec)
+    val impDf = imps.toDF().toDF("ad_id", "user_id", "imp_sec")
       .withColumn("imp_time", timestamp_seconds(col("imp_sec")))
-    val clickDf = clicks.toDF().toDF("ad_id", "click_sec", "user_id")
+    val clickDf = clicks.toDF().toDF("ad_id", "user_id", "click_sec")
       .withColumn("click_time", timestamp_seconds(col("click_sec")))
     val q = StreamJoins.attributeClicks(impDf, clickDf)
       .writeStream.format("memory").queryName("attrib_out")
       .outputMode("append").start()
     try {
-      imps.addData((7L, 1000L))
+      imps.addData((7L, 42L, 1000L))
       clicks.addData(
-        (7L, 1500L, 42L),   // within 1h → attributed
-        (7L, 999L, 43L),    // before the impression → no
-        (7L, 1000L + 3601L, 44L), // past the window → no
-        (8L, 1500L, 45L))   // different ad → no
+        (7L, 42L, 1500L),   // same ad+user within 1h → attributed
+        (7L, 42L, 999L),    // before the impression → no
+        (7L, 42L, 1000L + 3601L), // past the window → no
+        (7L, 99L, 1500L),   // different user → no
+        (8L, 42L, 1500L))   // different ad → no
       q.processAllAvailable()
       val got = spark.table("attrib_out")
         .select("ad_id", "user_id").as[(Long, Long)].collect().toSet
@@ -55,11 +56,11 @@ class StreamJoinsSpec extends SparkSpec {
   }
 
   test("batch mode: same transforms run without watermarks") {
-    val imps = Seq((7L, ts(1000))).toDF("ad_id", "imp_time")
-    val clicks = Seq((7L, ts(1500), 42L), (7L, ts(9999), 9L))
-      .toDF("ad_id", "click_time", "user_id")
+    val imps = Seq((7L, 42L, ts(1000))).toDF("ad_id", "user_id", "imp_time")
+    val clicks = Seq((7L, 42L, ts(1500)), (7L, 42L, ts(9999)))
+      .toDF("ad_id", "user_id", "click_time")
     val got = StreamJoins.attributeClicks(imps, clicks)
-      .select("user_id").as[Long].collect().toSeq
-    assert(got == Seq(42L))
+      .select("click_time").as[java.sql.Timestamp].collect().toSeq
+    assert(got == Seq(ts(1500)))
   }
 }

@@ -37,6 +37,21 @@ class GroupedTopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
   }
 
+  test("partial heaps merge correctly across many input partitions") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").repartition(7)
+    val custom = GroupedTopKApi.groupedTopK(orders,
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val viaWindow = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(custom == viaWindow)
+  }
+
   test("k larger than group size returns whole groups; ties break by min tie") {
     val df = Seq(
       ("a", 10.0, 1L), ("a", 10.0, 2L), ("a", 5.0, 3L),

@@ -43,7 +43,8 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (Dedup.qDedupMinhashLsh _),
     "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
     "dedup_simhash"        -> (Dedup.qDedupSimhash _),
-    "dedup_clusters"       -> (Dedup.qDedupClusters _),
+    "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
+    "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
@@ -325,6 +326,44 @@ object SparkEntry {
             FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
     "dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         mh AS (SELECT doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         p AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         tc AS (
+           SELECT a, b FROM p
+           UNION
+           SELECT tc.a, p.b FROM tc JOIN p ON tc.b = p.a),
+         clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a)
+         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""",
+    "dedup_clusters_dist" ->
       """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))

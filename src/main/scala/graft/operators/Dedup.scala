@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{SimHash, Text}
@@ -8,15 +9,17 @@ import graft.functions.{SimHash, Text}
 /** Deduplication operators over the `documents` table — the
   * training-data-pipeline side of the engine. Four families:
   * exact (hash groupBy), MinHash+LSH (banded candidate join + exact
-  * verify), n-gram Jaccard (inverted shingle index), SimHash
+  * verify), n-gram Jaccard (prefix-filtered inverted index), SimHash
   * (custom expression + banded hamming verify). Embedding-cosine
   * near-dup lives in Similarity.scala.
   *
   * Scale notes: nothing here is quadratic in the corpus. Candidate
   * generation always goes through an equi-join on a hash bucket
-  * (band or shingle), i.e. a shuffle keyed on the bucket — the
-  * standard way to dedup 100 TB. Only verified candidate *pairs*
-  * (tiny) are ever joined back to full signatures.
+  * (band or prefix shingle), i.e. a shuffle keyed on the bucket —
+  * the standard way to dedup 100 TB. Only verified candidate *pairs*
+  * (tiny) are ever joined back to full signatures, and cluster
+  * labels are assigned by distributed min-label propagation, not a
+  * driver-side pass.
   */
 object Dedup {
 
@@ -37,17 +40,20 @@ object Dedup {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("canonical_id")
 
-  /** Document signatures: distinct 3-gram shingles + 8 minhashes +
-    * 4 LSH bands. Shingles are exploded once and the 8 component
-    * minima come out of a single codegen'd hash aggregate — much
-    * faster than evaluating 8 interpreted higher-order `transform`
-    * lambdas per document, and the same one-shuffle-on-doc_id cost
-    * profile at any scale. collect_set in the same pass returns the
-    * distinct-shingle set the verify join needs. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(Text.shingles3(col("text"))).as("sh"))
+  /** Document signatures for any (doc_id, text) projection: distinct
+    * 3-gram shingles + 8 minhashes + 4 LSH bands. Shingles are
+    * exploded once and the 8 component minima come out of a single
+    * codegen'd hash aggregate — much faster than evaluating 8
+    * interpreted higher-order `transform` lambdas per document, and
+    * the same one-shuffle-on-doc_id cost profile at any scale.
+    * collect_set in the same pass returns the distinct-shingle set
+    * the verify join needs. Shared by the standalone LSH query, the
+    * cluster query, and the curation pipeline (which feeds only its
+    * quality/exact survivors — computing signatures over documents
+    * that a cheaper upstream filter already dropped is pure waste). */
+  private[operators] def signaturesOf(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(Text.shingles3(col("text"))).as("sh"))
     val minCols = (0 until MinhashSeeds).map(j =>
       min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
     sh.groupBy("doc_id")
@@ -57,12 +63,16 @@ object Dedup {
           Text.band(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
   }
 
-  /** MinHash+LSH near-dup detection: shingle → minhash → band →
-    * bucket self-join → exact-Jaccard verify. The band join is the
-    * only shuffle over the corpus; the verify join touches only
-    * candidate pairs. */
-  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).cache()
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(Tables.documents(spark, dir))
+
+  /** LSH candidate generation + exact-Jaccard verify over a
+    * signature table: band equi-self-join (the only corpus-wide
+    * shuffle) → distinct candidate pairs → exact verify touching
+    * pairs only. Returns (doc_a, doc_b, jaccard ≥ threshold),
+    * jaccard unrounded. Callers should cache `sigs`: it is read by
+    * the band join (twice) and the verify join (twice). */
+  private[operators] def lshVerifiedPairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "bucket")))
     val cands = bands.as("a")
@@ -80,50 +90,80 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) -
          size(array_intersect(col("sh_a"), col("sh_b")))))
       .where(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), graft.functions.Text.roundPortable(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup detection: shingle → minhash → band →
+    * bucket self-join → exact-Jaccard verify. */
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
+    lshVerifiedPairs(sigs)
+      .select(col("doc_a"), col("doc_b"),
+        Text.roundPortable(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard near-dup via an inverted shingle index —
-    * no LSH approximation: pairs sharing ≥1 shingle are scored
-    * exactly. Heavier than LSH (every co-shingle pair is a row in
-    * the join) but exact; the high threshold keeps output tiny. */
+  /** Exact n-gram Jaccard near-dup via a PREFIX-FILTERED inverted
+    * index — still exact (no LSH approximation), but candidate
+    * generation only indexes each document's `|d| - ⌈t·|d|⌉ + 1`
+    * globally-rarest shingles (the prefix-filtering bound: two sets
+    * with Jaccard ≥ t MUST share a shingle within those prefixes
+    * under any fixed global order, here (document-frequency, shingle)
+    * ascending). A stop-shingle shared by 10^6 docs sorts last and
+    * never enters a prefix, so posting lists — quadratic pair
+    * generators in the naive inverted index — stay bounded by the
+    * rare-shingle df distribution. Verification computes exact
+    * Jaccard on the full shingle sets for candidate pairs only, so
+    * output is identical to the all-pairs formulation the oracle
+    * runs. */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(Text.shingles3(col("text"))).as("sh"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    // Pair generation via per-shingle posting lists instead of a
-    // self-join: one shuffle groups postings, pairs are exploded
-    // in-place (sorted, so da < db), and partial aggregation folds
-    // them before the pair shuffle. Same output as the equi-self-join
-    // formulation the oracle uses, one heavy shuffle fewer.
-    val pairs = sh.groupBy("sh")
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .select(explode(expr(
-        """flatten(transform(docs, (x, i) ->
-           transform(slice(docs, i + 2, size(docs) - i - 1), y ->
-             struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
-      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(Text.shingles3(col("text"))).as("sh"))
+    // global document frequency = the prefix order (rarest first)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(wDoc))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rnk") <=
+        col("ns") - ceil(lit(NgramJaccardThreshold) * col("ns")) + 1)
+      .select("doc_id", "sh")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on full shingle sets; candidate pairs are tiny →
+    // broadcast them so the corpus-side set table never shuffles
+    val sets = docs.select(col("doc_id"),
+      Text.shingles3(col("text")).as("shingles"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    broadcast(cands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("shared", inter.cast("long"))
+      .withColumn("jaccard",
+        col("shared") / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .where(col("jaccard") >= NgramJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("shared"),
-              graft.functions.Text.roundPortable(col("jaccard"), 6).as("jaccard"))
+              Text.roundPortable(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup: 64-bit signature over the distinct 3-gram
     * shingles via the custom [[graft.functions.SimHash64]] expression
     * (one scalar pass per doc), banded by 4 hex chars for candidates,
-    * verified by exact bit-level hamming distance. */
+    * verified by exact bit-level hamming distance. Documents with no
+    * shingles (< 3 tokens) are dropped before banding — an all-zero
+    * signature would otherwise pair every pair of short docs at
+    * hamming 0, which is noise, and the oracle's unnest-based
+    * formulation never emits them either. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        SimHash.simhash64(Text.shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), Text.shingles3(col("text")).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), SimHash.simhash64(col("shs")).as("sh"))
       .cache()
     // Banding is the recall/cost dial (measured in SCALING.md):
     // 8 × 8-bit bands give 100% recall at hamming ≤ 7 but candidate
@@ -155,16 +195,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Connected-component dedup clusters over the LSH-verified pairs:
-    * each document involved in any near-dup pair → the minimum doc_id
-    * of its component (the canonical survivor). The pair graph is
-    * tiny relative to the corpus (output of the verify step), so a
-    * driver-side union-find over the collected edges is the right
-    * tool — documented exception to the no-collect rule; the oracle
-    * computes the same components with a recursive CTE. */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** How many verified pairs the driver-side union-find is still
+    * allowed to handle. Above this the distributed path always runs —
+    * near-dup pair graphs on real web corpora are billions of edges,
+    * far beyond any driver heap. */
+  private[operators] val DriverCcMaxEdges = 100000L
+
+  /** Distributed connected components over an undirected edge list
+    * (doc_a, doc_b) → (doc_id, cluster_id = min doc_id of the
+    * component). Iterative min-label propagation with pointer
+    * shortcutting: each round every vertex takes the minimum of its
+    * own label, its neighbors' labels, and its label's label (the
+    * shortcut gives the O(log n) convergence of large-star/small-star
+    * on chain-shaped components). Each round is two equi-joins + one
+    * aggregate; lineage is truncated per round with localCheckpoint
+    * so plans don't grow with the iteration count. */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    val MaxIter = 50
+    while (!converged && iter < MaxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val viaShortcut = labels.select(col("id"), col("label").as("lid"))
+        .join(labels.withColumnRenamed("id", "lid")
+                    .withColumnRenamed("label", "label2"), "lid")
+        .select(col("id"), col("label2").as("label"))
+      val next = labels.union(viaNeighbor).union(viaShortcut)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $MaxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find — only legal under [[DriverCcMaxEdges]]:
+    * the cheap exact path when the verified pair set is known-tiny. */
+  private def driverComponents(spark: SparkSession,
+                               edges: Array[(Long, Long)]): DataFrame = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -180,8 +262,38 @@ object Dedup {
     }
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     import spark.implicits._
-    nodes.map(n => (n, find(n))).toSeq
-      .toDF("doc_id", "cluster_id")
-      .orderBy("doc_id")
+    nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
   }
+
+  /** Connected-component dedup clusters over the LSH-verified pairs:
+    * each document involved in any near-dup pair → the minimum doc_id
+    * of its component (the canonical survivor). Label assignment is
+    * the distributed min-label propagation above; the driver-side
+    * union-find runs only when a row-count guard proves the pair set
+    * tiny (`forceDistributed = true` disables even that, for scale
+    * probes and the distributed-path gate query). The oracle computes
+    * the same components with a recursive CTE. */
+  def qDedupClusters(spark: SparkSession, dir: String,
+                     forceDistributed: Boolean): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
+    val pairs = lshVerifiedPairs(sigs).select("doc_a", "doc_b").cache()
+    val result =
+      if (forceDistributed) connectedComponents(pairs)
+      else {
+        val n = pairs.limit((DriverCcMaxEdges + 1).toInt).count()
+        if (n <= DriverCcMaxEdges)
+          driverComponents(spark,
+            pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+        else connectedComponents(pairs)
+      }
+    result.orderBy("doc_id")
+  }
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    qDedupClusters(spark, dir, forceDistributed = false)
+
+  /** The distributed-path gate: identical semantics, min-label
+    * propagation forced so the scale path itself is oracle-checked. */
+  def qDedupClustersDist(spark: SparkSession, dir: String): DataFrame =
+    qDedupClusters(spark, dir, forceDistributed = true)
 }

@@ -12,11 +12,22 @@ import graft.functions.Text
   * stage is one of the independently oracle-verified operators; the
   * composition itself is also oracle-checked.
   *
+  * Stage order IS the optimization: the quality gate and exact dedup
+  * are pure projections/one-hash-shuffle, so they run first and the
+  * expensive stage — shingle/minhash signatures + the LSH band join —
+  * only ever sees the surviving documents. Restricting LSH to
+  * survivors is exact, not an approximation: a pair is a candidate
+  * iff the two docs share a band bucket and is verified pairwise, so
+  * pairs among survivors are identical whether or not dropped docs
+  * participated. The survivor set and its signatures are each
+  * materialized once and reused (the signature table feeds the band
+  * join twice and the verify join twice).
+  *
   * Near-dup rule: for every verified pair (a < b) whose both sides
   * survived the earlier stages, drop b — deterministic, one pass, no
-  * iterative connected components (documented simplification; at
-  * 100 TB a connected-components pass over the tiny verified-pair
-  * set is cheap if cluster-canonical choice matters).
+  * iterative connected components (cluster-canonical choice, when it
+  * matters, is `Dedup.qDedupClusters`' distributed label
+  * propagation over the same verified pairs).
   */
 object Pipeline {
 
@@ -32,7 +43,7 @@ object Pipeline {
       lit(0.3) * (size(filter(toks,
         t => t.isin("the", "a", "and", "of", "to"))).cast("double") / nTok)
 
-    // stage 1: quality gate
+    // stage 1: quality gate (projection-only — no shuffle)
     val gated = docs
       .withColumn("quality", Text.roundPortable(quality, 4))
       .withColumn("n_tokens", nTok.cast("long"))
@@ -42,13 +53,11 @@ object Pipeline {
     val wExact = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     val exact = gated.withColumn("rn", row_number().over(wExact))
       .where(col("rn") === 1).drop("rn")
+      .cache()
 
-    // stage 3: near-dup removal from the LSH-verified pairs
-    val pairs = Dedup.qDedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val ids = exact.select(col("doc_id"))
-    val drops = pairs
-      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    // stage 3: near-dup removal — signatures + LSH over survivors only
+    val sigs = Dedup.signaturesOf(exact.select("doc_id", "text")).cache()
+    val drops = Dedup.lshVerifiedPairs(sigs)
       .select(col("doc_b").as("doc_id")).distinct()
 
     exact.join(drops, Seq("doc_id"), "left_anti")

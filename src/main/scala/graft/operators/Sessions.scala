@@ -76,26 +76,29 @@ object Sessions {
 
   /** Ordered funnel: sessions that contain view → click → purchase in
     * that temporal order, with stage conversion rates. Stage k's
-    * timestamp is the earliest matching event after stage k-1 —
-    * computed as one aggregate per stage over the sessionized events
-    * (each stage joins the previous stage's result back; at scale all
-    * three joins share the (user, session) partitioning). */
+    * timestamp is the earliest matching event after stage k-1.
+    * ONE aggregation pass over the sessionized events: the per-session
+    * event list is collected in the same groupBy that computes the
+    * first-view timestamp (session lengths bound the list), and the
+    * click/purchase stage timestamps are array folds over it — no
+    * joins, no recomputed window lineage. The groupBy keys extend the
+    * sessionize window's user_id partitioning, so there is exactly one
+    * shuffle in the whole query. */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val s = sessionized(spark, dir)
       .select("user_id", "session_idx", "ts_sec", "event_type")
-    val keys = Seq("user_id", "session_idx")
-    val v = s.groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "view", col("ts_sec"))).as("v_sec"))
-    val c = s.join(v, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "click" &&
-                    col("ts_sec") > col("v_sec"), col("ts_sec"))).as("c_sec"))
-    val p = s.join(c, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "purchase" &&
-                    col("ts_sec") > col("c_sec"), col("ts_sec"))).as("p_sec"))
-    val joined = v.join(c, keys).join(p, keys)
-    joined.agg(
+    val perSession = s.groupBy("user_id", "session_idx")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_sec"))).as("v_sec"),
+        collect_list(struct(col("ts_sec"), col("event_type"))).as("evs"))
+      // a null v_sec/c_sec nulls the comparison → filter drops the
+      // row → array_min(empty) = null: exactly the stage-gating the
+      // join formulation expressed
+      .withColumn("c_sec", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'click' AND e.ts_sec > v_sec), e -> e.ts_sec)")))
+      .withColumn("p_sec", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'purchase' AND e.ts_sec > c_sec), e -> e.ts_sec)")))
+    perSession.agg(
       count(lit(1)).as("n_sessions"),
       count(col("v_sec")).as("n_view"),
       count(col("c_sec")).as("n_view_click"),

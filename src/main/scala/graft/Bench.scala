@@ -5,12 +5,29 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line with per-query seconds.
   *
-  * Two passes: an untimed warmup (JIT + codegen compilation + parquet
-  * footer caching — none of which a long-running cluster pays per
-  * query), then `clearCache()` so no query reads another pass's
-  * cached data, then the timed pass.
+  * Measurement protocol (each query, in declaration order):
+  *   1. one untimed warmup pass over all queries (JIT + codegen
+  *      compilation + parquet footer caching — none of which a
+  *      long-running cluster pays per query), then `clearCache()`;
+  *   2. `Reps` timed runs; the reported figure is the MEDIAN, so a
+  *      stray full-GC or page-cache miss can't masquerade as a plan
+  *      regression (the round-2 bench, with one run and swallowed
+  *      errors, could not tell noise from regression);
+  *   3. per-query `rows` (the count the timed action returned) and
+  *      `err` (first exception message, null when green) are emitted
+  *      alongside, so a failing query is visible as a failure rather
+  *      than as a fast time.
+  * Cache is cleared and garbage collected between runs, OUTSIDE the
+  * timed window, so no query reads another's cached data and no GC
+  * pause lands inside one arbitrary query's time.
   */
 object Bench {
+
+  private val Reps = 3
+
+  private case class QueryResult(sec: Double, reps: Seq[Double],
+                                 rows: Long, err: Option[String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,24 +41,52 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
-    spark.catalog.clearCache()
-
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       spark.catalog.clearCache()
-      // collect accumulated garbage OUTSIDE the timed window so a
-      // full-GC pause doesn't land inside one arbitrary query's time
-      System.gc()
-      name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val results: Seq[(String, QueryResult)] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        var rows = -1L
+        var err: Option[String] = None
+        val times = (1 to Reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val t = try {
+            rows = fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            if (err.isEmpty)
+              err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            None
+          }
+          spark.catalog.clearCache()
+          System.gc()
+          t
+        }
+        val median =
+          if (times.isEmpty) -1.0
+          else times.sorted.apply(times.size / 2)
+        name -> QueryResult(median, times, rows, err)
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, r) =>
+      val reps = r.reps.mkString("[", ",", "]")
+      val err = r.err.map(jstr).getOrElse("null")
+      s"""${jstr(k)}:{"sec":${r.sec},"reps":$reps,"rows":${r.rows},"err":$err}"""
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, r) => math.max(r.sec, 0.0) }.sum
+    val nErr = results.count { case (_, r) => r.err.nonEmpty }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"reps":$Reps,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

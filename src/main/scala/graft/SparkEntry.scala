@@ -78,6 +78,49 @@ object SparkEntry {
     "q_value_histogram"    -> (Vectors.qValueHistogram _),
   )
 
+  /** One oracle for both cluster gates: dedup_clusters (guarded
+    * driver/distributed dispatch) and dedup_clusters_dist (distributed
+    * path forced) intentionally compute the same result, so threshold
+    * or shingle changes edit exactly one query. */
+  private val DedupClustersOracleSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         mh AS (SELECT doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         p AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         tc AS (
+           SELECT a, b FROM p
+           UNION
+           SELECT tc.a, p.b FROM tc JOIN p ON tc.b = p.a),
+         clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a)
+         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -254,7 +297,7 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY canonical_id""",
     "dedup_minhash_lsh" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
                  ELSE [] END) AS shingles FROM d),
@@ -283,7 +326,7 @@ object SparkEntry {
          SELECT doc_a, doc_b, floor((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard FROM j
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
                  ELSE [] END) AS shingles FROM d),
@@ -296,7 +339,7 @@ object SparkEntry {
          SELECT doc_a, doc_b, shared, floor((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard FROM j
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
-      """WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
                  ELSE [] END) AS toks FROM d0),
@@ -325,82 +368,8 @@ object SparkEntry {
                             strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
             FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
-    "dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [] END) AS shingles FROM d),
-         mh AS (SELECT doc_id, shingles,
-           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
-           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
-           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
-           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
-           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
-           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
-           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
-           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
-           FROM s),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
-           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         pairs AS (SELECT doc_a, doc_b FROM (
-           SELECT doc_a, doc_b,
-             len(list_intersect(sa.shingles, sb.shingles)) /
-             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
-           WHERE jaccard >= 0.5),
-         p AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-               UNION SELECT doc_b, doc_a FROM pairs),
-         tc AS (
-           SELECT a, b FROM p
-           UNION
-           SELECT tc.a, p.b FROM tc JOIN p ON tc.b = p.a),
-         clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-                      FROM tc GROUP BY a)
-         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""",
-    "dedup_clusters_dist" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [] END) AS shingles FROM d),
-         mh AS (SELECT doc_id, shingles,
-           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
-           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
-           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
-           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
-           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
-           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
-           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
-           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
-           FROM s),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
-           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         pairs AS (SELECT doc_a, doc_b FROM (
-           SELECT doc_a, doc_b,
-             len(list_intersect(sa.shingles, sb.shingles)) /
-             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
-           WHERE jaccard >= 0.5),
-         p AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-               UNION SELECT doc_b, doc_a FROM pairs),
-         tc AS (
-           SELECT a, b FROM p
-           UNION
-           SELECT tc.a, p.b FROM tc JOIN p ON tc.b = p.a),
-         clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-                      FROM tc GROUP BY a)
-         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""",
+    "dedup_clusters" -> DedupClustersOracleSql,
+    "dedup_clusters_dist" -> DedupClustersOracleSql,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS sim
@@ -430,20 +399,20 @@ object SparkEntry {
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "text_stats" ->
-      """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      """WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
            floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000 + 0.5) / 10000 AS avg_token_len
          FROM d ORDER BY doc_id""",
     "text_quality" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
            + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality_score
          FROM d ORDER BY doc_id""",
     "text_langid" ->
-      """WITH d AS (SELECT lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      """WITH d AS (SELECT lang, text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          v AS (SELECT lang,
            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh_chars,
            length(text) AS n,
@@ -459,14 +428,14 @@ object SparkEntry {
             ELSE 'en' END AS pred_lang FROM v)
          SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""",
     "text_fingerprint" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM d ORDER BY doc_id""",
     "text_top_tokens" ->
-      """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
     "text_tfidf" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          e AS (SELECT doc_id, unnest(toks) AS token FROM d),
          tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
          df AS (SELECT token, count(*) AS df FROM
@@ -634,7 +603,7 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS qty
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "pipeline_training_data" ->
-      """WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
                  ELSE [] END) AS shingles FROM d0),

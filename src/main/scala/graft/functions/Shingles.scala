@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantically identical to the built-in composition
   * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
-  * slice(split(trim(text), "\\s+"), i, 3))))` (kept as
+  * slice(tokens(text), i, 3))))` (kept as
   * [[Text.shinglesViaHof]] and cross-checked in tests), but the
   * higher-order-function chain interprets four lambdas per shingle;
   * this expression tokenizes once and builds the deduped shingle set
@@ -37,12 +37,15 @@ case class Shingles3(child: Expression) extends UnaryExpression {
 }
 
 object Shingles3 {
-  // exactly java.util.regex \s+, matching split(trim(text), "\\s+")
+  // exactly java.util.regex \s+, matching Text.tokens' split
   private val Whitespace = Pattern.compile("\\s+")
 
   def compute(text: UTF8String): ArrayData = {
-    val toks = Whitespace.split(text.toString.trim)
-    if (toks.length < 3 || (toks.length == 1 && toks(0).isEmpty))
+    // No String.trim (strips ≤ U+0020, unlike SQL trim): split the
+    // raw text and drop empty tokens — same rule as Text.tokens and
+    // the oracle's list_filter(string_split_regex(...), t -> t != '')
+    val toks = Whitespace.split(text.toString).filter(_.nonEmpty)
+    if (toks.length < 3)
       return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     var i = 0

@@ -9,14 +9,19 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * higher-order builtin, never a Scala UDF) and each has an exact
   * DuckDB equivalent so results stay oracle-checkable:
   *
-  *   tokens(c)    ~ string_split_regex(trim(c), '\s+')
+  *   tokens(c)    ~ list_filter(string_split_regex(c, '\s+'), t -> t != '')
   *   shingles3(t) ~ list_distinct(list_transform(range(1, len(t)-1),
   *                    i -> array_to_string(t[i:i+2], ' ')))
   */
 object Text {
 
-  /** Whitespace tokenization. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization. Deliberately NOT `split(trim(c))`:
+    * Java trim strips every char ≤ U+0020 while SQL trim strips
+    * spaces only, so a tab/newline-leading doc would tokenize
+    * differently in the two engines. Splitting untrimmed and
+    * dropping empty tokens is unambiguous in both. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
 
   /** Engine-portable rounding: `floor(x·10^s + 0.5)/10^s` — identical
     * IEEE ops in any engine (HALF_UP for positives, half-toward-+inf

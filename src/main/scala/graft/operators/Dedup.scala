@@ -94,7 +94,10 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup detection: shingle → minhash → band →
-    * bucket self-join → exact-Jaccard verify. */
+    * bucket self-join → exact-Jaccard verify. The signature cache is
+    * part of the returned (lazy) plan, so its lifetime is owned by
+    * whoever runs the terminal action — Bench/Verify/ScaleProbe call
+    * `spark.catalog.clearCache()` after each query. */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir).cache()
     lshVerifiedPairs(sigs)
@@ -134,12 +137,18 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on full shingle sets; candidate pairs are tiny →
-    // broadcast them so the corpus-side set table never shuffles
+    // exact verify on full shingle sets. No broadcast hint on the
+    // candidate side: prefix filtering bounds candidates by the
+    // rare-shingle df distribution, but a clique of k near-identical
+    // docs still yields ~k²/2 unprunable pairs, so "tiny" is a
+    // property of the corpus, not the algorithm. AQE sees the actual
+    // post-shuffle size and broadcasts iff it fits — the well-behaved
+    // corpus gets the broadcast plan, the adversarial one degrades to
+    // a shuffle join instead of an 8 GB broadcast failure.
     val sets = docs.select(col("doc_id"),
       Text.shingles3(col("text")).as("shingles"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    broadcast(cands)
+    cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("shared", inter.cast("long"))
@@ -248,10 +257,15 @@ object Dedup {
   private def driverComponents(spark: SparkSession,
                                edges: Array[(Long, Long)]): DataFrame = {
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find + path compression: parent chains can reach the
+    // ~100k edge bound when unions arrive in adverse order, which
+    // would overflow the stack if this recursed
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val next = parent(c); parent(c) = r; c = next }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
@@ -277,16 +291,25 @@ object Dedup {
                      forceDistributed: Boolean): DataFrame = {
     val sigs = signatures(spark, dir).cache()
     val pairs = lshVerifiedPairs(sigs).select("doc_a", "doc_b").cache()
-    val result =
-      if (forceDistributed) connectedComponents(pairs)
-      else {
-        val n = pairs.limit((DriverCcMaxEdges + 1).toInt).count()
-        if (n <= DriverCcMaxEdges)
-          driverComponents(spark,
-            pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
-        else connectedComponents(pairs)
-      }
-    result.orderBy("doc_id")
+    try {
+      val result =
+        if (forceDistributed) connectedComponents(pairs)
+        else {
+          val n = pairs.limit((DriverCcMaxEdges + 1).toInt).count()
+          if (n <= DriverCcMaxEdges)
+            driverComponents(spark,
+              pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+          else connectedComponents(pairs)
+        }
+      result.orderBy("doc_id")
+    } finally {
+      // both paths have materialized everything downstream of the
+      // caches (collect, or the eager localCheckpoints inside
+      // connectedComponents) — release executor storage now instead
+      // of letting repeated invocations accumulate it
+      pairs.unpersist()
+      sigs.unpersist()
+    }
   }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =

@@ -56,12 +56,20 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Expression,
       val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
       val boundTie = BindReferences.bindReference(tieExpr, childOutput)
       // min-heap ordered by (order asc, tie desc): the root is the
-      // currently-worst row, evicted when a better one arrives
-      case class Entry(ord: Double, tie: Long, row: UnsafeRow)
+      // currently-worst row, evicted when a better one arrives.
+      // Null semantics mirror the window formulation
+      // `orderBy(desc(order), asc(tie))`: a null order ranks below
+      // every value (desc = nulls last), a null tie ranks above every
+      // value (asc = nulls first).
+      case class Entry(ordNull: Boolean, ord: Double,
+                       tieNull: Boolean, tie: Long, row: UnsafeRow)
       val cmp = new java.util.Comparator[Entry] {
         override def compare(a: Entry, b: Entry): Int = {
+          if (a.ordNull != b.ordNull) return if (a.ordNull) -1 else 1
           val c = java.lang.Double.compare(a.ord, b.ord)
-          if (c != 0) c else java.lang.Long.compare(b.tie, a.tie)
+          if (c != 0) return c
+          if (a.tieNull != b.tieNull) return if (a.tieNull) 1 else -1
+          java.lang.Long.compare(b.tie, a.tie)
         }
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
@@ -72,8 +80,12 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Expression,
           heap = new java.util.PriorityQueue[Entry](limit + 1, cmp)
           heaps.put(key.copy(), heap)
         }
-        val e = Entry(boundOrder.eval(row).asInstanceOf[Double],
-          boundTie.eval(row).asInstanceOf[Long],
+        val oVal = boundOrder.eval(row)
+        val tVal = boundTie.eval(row)
+        val e = Entry(oVal == null,
+          if (oVal == null) 0.0 else oVal.asInstanceOf[Double],
+          tVal == null,
+          if (tVal == null) 0L else tVal.asInstanceOf[Long],
           row.asInstanceOf[UnsafeRow].copy())
         if (heap.size < limit) heap.add(e)
         else if (cmp.compare(e, heap.peek()) > 0) { heap.poll(); heap.add(e) }
@@ -118,7 +130,19 @@ object GroupedTopKApi {
       .find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"column $name not in ${analyzed.output.map(_.name)}"))
+    // fail at plan time with a readable message, not at executor
+    // runtime with a ClassCastException from Entry's primitive fields
+    val orderAttr = attr(order)
+    if (orderAttr.dataType != org.apache.spark.sql.types.DoubleType)
+      throw new IllegalArgumentException(
+        s"groupedTopK order column '$order' must be DOUBLE, " +
+        s"got ${orderAttr.dataType.simpleString}")
+    val tieAttr = attr(tie)
+    if (tieAttr.dataType != org.apache.spark.sql.types.LongType)
+      throw new IllegalArgumentException(
+        s"groupedTopK tie column '$tie' must be BIGINT, " +
+        s"got ${tieAttr.dataType.simpleString}")
     ColumnBridge.ofRows(spark, GroupedTopK(
-      keys.map(attr), attr(order), attr(tie), k, analyzed))
+      keys.map(attr), orderAttr, tieAttr, k, analyzed))
   }
 }

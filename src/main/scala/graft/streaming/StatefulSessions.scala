@@ -65,9 +65,16 @@ object StatefulSessions {
       cur.foreach { s =>
         state.update(s)
         // event-time timeouts only exist under a watermark (i.e. a
-        // streaming Dataset); batch runs skip them
-        try state.setTimeoutTimestamp((s.last_sec + gapSeconds) * 1000L)
-        catch { case _: UnsupportedOperationException => }
+        // streaming Dataset); batch runs skip them. The timeout must
+        // not be at-or-behind the current watermark (Spark raises
+        // IllegalArgumentException and kills the query) — a late event
+        // whose session would already have expired arms the timeout at
+        // watermark+1ms instead, closing the session on the next
+        // watermark advance.
+        try {
+          val target = (s.last_sec + gapSeconds) * 1000L
+          state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1L, target))
+        } catch { case _: UnsupportedOperationException => }
       }
     }
     out.iterator

@@ -105,4 +105,37 @@ class ExpressionSpec extends SparkSpec {
       .collect()
     edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
+
+  test("tab/newline-leading docs tokenize like space-leading ones (trim parity)") {
+    // Java String.trim strips every char <= U+0020; SQL trim strips
+    // spaces only. The tokenizer must not depend on either: leading
+    // tab, newline, CR, or space all yield the same tokens/shingles.
+    val variants = Seq("alpha beta gamma delta", " alpha beta gamma delta",
+      "\talpha beta gamma delta", "\nalpha beta gamma delta",
+      "\r\n alpha beta gamma delta", "alpha beta gamma delta \t\n")
+    val rows = variants.toDF("text").select(
+      Text.tokens($"text").as("toks"),
+      Text.shingles3($"text").as("native"),
+      Text.shinglesViaHof(Text.tokens($"text")).as("hof"))
+      .collect()
+    val expectToks = Seq("alpha", "beta", "gamma", "delta")
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == expectToks, r.toString)
+      assert(r.getSeq[String](1) == Seq("alpha beta gamma", "beta gamma delta"), r.toString)
+      assert(r.getSeq[String](1) == r.getSeq[String](2), r.toString)
+    }
+    // property: random whitespace-padded docs — native == HOF == filtered split
+    val rnd = new scala.util.Random(11)
+    val ws = Array(" ", "\t", "\n", "\r")
+    val docs = Seq.fill(40) {
+      val n = rnd.nextInt(6)
+      val body = Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString)
+        .mkString(ws(rnd.nextInt(4)))
+      ws(rnd.nextInt(4)) * rnd.nextInt(3) + body + ws(rnd.nextInt(4)) * rnd.nextInt(3)
+    }
+    val prop = docs.toDF("text").select(
+      Text.shingles3($"text").as("native"),
+      Text.shinglesViaHof(Text.tokens($"text")).as("hof")).collect()
+    prop.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
 }

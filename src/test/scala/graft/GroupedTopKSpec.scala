@@ -52,6 +52,35 @@ class GroupedTopKSpec extends SparkSpec {
     assert(custom == viaWindow)
   }
 
+  test("wrong-typed order/tie columns are rejected at plan time") {
+    val df = Seq(("a", 1, 2L)).toDF("k", "v_int", "id")
+    val e1 = intercept[IllegalArgumentException] {
+      GroupedTopKApi.groupedTopK(df, Seq("k"), "v_int", "id", 2)
+    }
+    assert(e1.getMessage.contains("must be DOUBLE"), e1.getMessage)
+    val df2 = Seq(("a", 1.0, "x")).toDF("k", "v", "id_str")
+    val e2 = intercept[IllegalArgumentException] {
+      GroupedTopKApi.groupedTopK(df2, Seq("k"), "v", "id_str", 2)
+    }
+    assert(e2.getMessage.contains("must be BIGINT"), e2.getMessage)
+  }
+
+  test("null order ranks last, null tie ranks first — like desc/asc windows") {
+    val df = Seq[(String, Option[Double], Option[Long])](
+      ("a", Some(10.0), Some(1L)), ("a", None, Some(2L)),
+      ("a", Some(5.0), Some(3L)), ("a", Some(10.0), None))
+      .toDF("k", "v", "id")
+    val got = GroupedTopKApi.groupedTopK(df, Seq("k"), "v", "id", 2)
+      .select("id").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    // v=10 rows win over v=5 and v=null; between the two v=10 rows
+    // both fit in k=2 (null id = nulls-first would even outrank id=1)
+    assert(got == Set(1L, -1L), got)
+    val got1 = GroupedTopKApi.groupedTopK(df, Seq("k"), "v", "id", 1)
+      .select("id").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    // k=1: null tie ranks FIRST among equal order values
+    assert(got1 == Set(-1L), got1)
+  }
+
   test("k larger than group size returns whole groups; ties break by min tie") {
     val df = Seq(
       ("a", 10.0, 1L), ("a", 10.0, 2L), ("a", 5.0, 3L),

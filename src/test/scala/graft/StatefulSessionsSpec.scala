@@ -41,6 +41,34 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an event behind the watermark does not kill the query") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val withTime = input.toDS()
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .withWatermark("event_time", "0 seconds")
+      .as[SessionEvent]
+    val q = StatefulSessions.sessionize(withTime, gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      // push the watermark far ahead of epoch 1000 + gap
+      input.addData(SessionEvent(9L, 200000L, "view"))
+      q.processAllAvailable()
+      // an event whose session-timeout target (1000+1800)s is far
+      // behind the current watermark (200000s): before the clamp in
+      // StatefulSessions.stateFn this raised IllegalArgumentException
+      // inside setTimeoutTimestamp and killed the whole query
+      input.addData(SessionEvent(3L, 1000L, "view"))
+      q.processAllAvailable()
+      // and the query must still process fresh events afterwards
+      input.addData(SessionEvent(9L, 500000L, "view"))
+      q.processAllAvailable()
+      assert(q.isActive, Option(q.exception).map(_.toString).getOrElse(""))
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+  }
+
   test("batch-mode stateful sessionizer agrees with the window-based one") {
     val e = graft.Tables.eventsNorm(spark, sf)
       .select(col("user_id"), col("ts_sec"), col("event_type"))

@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
     "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
+    "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
@@ -376,6 +377,20 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
          ORDER BY id_a, id_b""",
+    "dedup_embedding_blocked" ->
+      """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         asg AS (SELECT vec_id, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, c_id AS bucket FROM best WHERE rn <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         v AS (SELECT id_a, id_b,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS sim
+             FROM cand JOIN embeddings ea ON id_a = ea.vec_id JOIN embeddings eb ON id_b = eb.vec_id)
+         SELECT id_a, id_b, floor(sim * 10000 + 0.5) / 10000 AS sim FROM v
+         WHERE sim >= 0.45 ORDER BY id_a, id_b""",
     "sim_brute_force" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q_id, vec_id AS neighbor_id,

@@ -70,18 +70,80 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs. All-pairs here (the
-    * corpus fits); the IVF/LSH bucketing above is the documented
-    * scale path for the same semantics. */
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+  /** Corpora up to this size may use the exact all-pairs self-join;
+    * beyond it the blocked path always runs (all-pairs is O(n²) in
+    * the corpus — the one thing embedding dedup must never be at
+    * 100 TB). Mirrors Dedup.DriverCcMaxEdges. */
+  private[operators] val AllPairsMaxVectors = 10000L
+  private val NumProbes = 2
+
+  /** Exact all-pairs near-dup — the small-corpus oracle baseline. */
+  private def allPairsNearDup(emb: DataFrame): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= NearDupThreshold)
-      .select(col("id_a"), col("id_b"), graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-blocked near-dup: every vector is assigned to its `nProbes`
+    * nearest of `numCentroids` deterministic centroids, candidates
+    * are pairs sharing a bucket (an equi-join on the bucket id — the
+    * only corpus-wide shuffle), and candidates alone get the exact
+    * cosine verify. Same candidate-generation/verify split as the
+    * LSH text dedups. Recall is the IVF trade (multi-probe is the
+    * dial; measured in SCALING.md) — the all-pairs formulation is
+    * the exact-recall alternative, legal only under
+    * [[AllPairsMaxVectors]]. */
+  private[operators] def blockedNearDup(emb: DataFrame, numCentroids: Int,
+                                        nProbes: Int): DataFrame = {
+    val cent = emb.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= nProbes)
+      .select(col("vec_id"), col("c_id").as("bucket"))
+    val cands = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    cands.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= NearDupThreshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs. Exact all-pairs only
+    * while the corpus row count proves it affordable; any larger
+    * corpus routes through the IVF-blocked candidate join with the
+    * centroid count grown as √n (bucket size stays ~√n, so per-bucket
+    * work stays bounded as the corpus grows). */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val pairs =
+      if (n <= AllPairsMaxVectors) allPairsNearDup(emb)
+      else blockedNearDup(emb,
+        math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt), NumProbes)
+    pairs
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The blocked-path gate: IVF blocking forced with the fixed
+    * (numCentroids=8, nProbes=2) configuration the DuckDB oracle
+    * reproduces step for step — so the scale path itself is
+    * hash-checked, exactly like dedup_clusters_dist forces the
+    * distributed components path. */
+  def qDedupEmbeddingBlocked(spark: SparkSession, dir: String): DataFrame =
+    blockedNearDup(Tables.embeddings(spark, dir), NumCentroids, NumProbes)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
 }

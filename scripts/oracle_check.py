@@ -6,7 +6,7 @@ column-name-sorted value hash. Usage:
     python3 scripts/oracle_check.py <sfdir> <verify_outdir> [query ...]
 """
 import sys, json, glob, hashlib
-import duckdb, pandas as pd
+import duckdb, numpy as np, pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
@@ -24,10 +24,17 @@ def canon(df):
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
-            if v is None or (isinstance(v, float) and pd.isna(v)):
+            # np.floating covers float32/float64 scalars from parquet,
+            # which are NOT Python float instances — without this they
+            # fall through to str(v) and hash-mismatch DuckDB's rendering
+            if v is None or (isinstance(v, (float, np.floating)) and pd.isna(v)):
                 vals.append("NULL")
-            elif isinstance(v, float):
-                vals.append(f"{v:.9g}")
+            elif isinstance(v, (float, np.floating)):
+                vals.append(f"{float(v):.9g}")
+            elif isinstance(v, (list, np.ndarray)):
+                vals.append("[" + ",".join(
+                    f"{float(x):.9g}" if isinstance(x, (float, np.floating))
+                    else str(x) for x in v) + "]")
             elif hasattr(v, "strftime"):
                 vals.append(str(v))
             else:

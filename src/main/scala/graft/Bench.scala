@@ -66,9 +66,11 @@ object Bench {
           System.gc()
           t
         }
+        // lower median: for an even sample size (a rep failed) this
+        // picks the smaller middle value rather than biasing upward
         val median =
           if (times.isEmpty) -1.0
-          else times.sorted.apply(times.size / 2)
+          else times.sorted.apply((times.size - 1) / 2)
         name -> QueryResult(median, times, rows, err)
     }
 

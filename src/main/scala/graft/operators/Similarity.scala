@@ -118,22 +118,36 @@ object Similarity {
       .where(col("sim") >= NearDupThreshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs. Exact all-pairs only
-    * while the corpus row count proves it affordable; any larger
-    * corpus routes through the IVF-blocked candidate join with the
-    * centroid count grown as √n (bucket size stays ~√n, so per-bucket
-    * work stays bounded as the corpus grows). */
+  /** Embedding-cosine near-duplicate pairs, EXACT all-pairs — full
+    * recall by construction, and the semantics its oracle gate
+    * hash-checks at every size. O(n²) in the corpus, so it refuses
+    * corpora above [[AllPairsMaxVectors]] with a pointer to the scale
+    * operator instead of silently degrading recall under the same
+    * name (a query named "exact" must never return approximate
+    * results just because the input grew). */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
-    val pairs =
-      if (n <= AllPairsMaxVectors) allPairsNearDup(emb)
-      else blockedNearDup(emb,
-        math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt), NumProbes)
-    pairs
+    require(n <= AllPairsMaxVectors,
+      s"dedup_embedding is the exact all-pairs operator (O(n²)); corpus has " +
+      s"$n > $AllPairsMaxVectors vectors. Use embeddingNearDupScaled / the " +
+      s"dedup_embedding_blocked gate for the IVF-blocked scale path.")
+    allPairsNearDup(emb)
       .select(col("id_a"), col("id_b"),
         graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The scale API for embedding near-dup: IVF blocking with the
+    * centroid count grown as √n, so bucket size stays ~√n and
+    * per-bucket pair generation stays ~n^1.5 total rather than n².
+    * Approximate (recall is the IVF/multi-probe trade, measured in
+    * SCALING.md); the fixed-config variant is hash-gated as
+    * dedup_embedding_blocked. */
+  def embeddingNearDupScaled(emb: DataFrame): DataFrame = {
+    val n = emb.count()
+    blockedNearDup(emb,
+      math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt), NumProbes)
   }
 
   /** The blocked-path gate: IVF blocking forced with the fixed

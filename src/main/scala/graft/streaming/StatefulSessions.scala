@@ -50,7 +50,17 @@ object StatefulSessions {
       out += closed(user, state.get)
       state.remove()
     } else {
-      val sorted = evs.toSeq.sortBy(e => (e.ts_sec, e.event_type))
+      // Drop events at-or-behind the watermark before touching state,
+      // matching Spark's own late-data semantics for aggregations: a
+      // late straggler must not resurrect or re-arm a session whose
+      // timeout the watermark already passed. (Batch runs have no
+      // watermark; getCurrentWatermarkMs is unsupported there.)
+      val wmMs =
+        try state.getCurrentWatermarkMs
+        catch { case _: UnsupportedOperationException => Long.MinValue }
+      val sorted = evs.toSeq
+        .filter(e => e.ts_sec * 1000L >= wmMs)
+        .sortBy(e => (e.ts_sec, e.event_type))
       var cur = state.getOption
       sorted.foreach { e =>
         cur = cur match {
@@ -65,12 +75,12 @@ object StatefulSessions {
       cur.foreach { s =>
         state.update(s)
         // event-time timeouts only exist under a watermark (i.e. a
-        // streaming Dataset); batch runs skip them. The timeout must
-        // not be at-or-behind the current watermark (Spark raises
-        // IllegalArgumentException and kills the query) — a late event
-        // whose session would already have expired arms the timeout at
-        // watermark+1ms instead, closing the session on the next
-        // watermark advance.
+        // streaming Dataset); batch runs skip them. The timeout must be
+        // strictly ahead of the current watermark (Spark raises
+        // IllegalArgumentException and kills the query). With late
+        // events dropped above, target can still equal the watermark
+        // exactly (event at the watermark boundary, gap ~ 0), so the
+        // clamp stays as defense in depth.
         try {
           val target = (s.last_sec + gapSeconds) * 1000L
           state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1L, target))

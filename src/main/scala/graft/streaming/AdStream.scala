@@ -122,9 +122,11 @@ object AdStream {
       .start()
 
   /** Kafka source for production (topic of reference-format lines).
-    * Not exercised in this container (no Kafka broker / connector
-    * jar); MemoryStream and file sources drive the same plans in
-    * tests. */
+    * The broker itself can't run in this container (no Kafka
+    * connector jar); the identical downstream plan — parse → the full
+    * 4-query fan-out with checkpoint restart — runs end to end from a
+    * replayable file source in StreamFanoutE2ESpec, so everything
+    * past `.load()` is execution-covered. */
   def kafkaLines(spark: SparkSession, brokers: String, topic: String): DataFrame =
     spark.readStream
       .format("kafka")

@@ -79,7 +79,13 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }
+    // The driver captures only the tail of the run's output and parses
+    // the final JSON line from it; round 3's single mega-line (per-rep
+    // arrays inline, ~4.5 KB) overflowed that buffer and parsed as
+    // null. So: milli-rounded seconds on the final line, full per-rep /
+    // rows / err detail in BENCH_DETAIL.json next to the build.
+    def ms(x: Double): Double = math.round(x * 1000) / 1000.0
+    val qs = results.map { case (k, r) => jstr(k) + ":" + ms(r.sec) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, r) =>
       val reps = r.reps.mkString("[", ",", "]")
@@ -88,7 +94,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (_, r) => math.max(r.sec, 0.0) }.sum
     val nErr = results.count { case (_, r) => r.err.nonEmpty }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"reps":$Reps,"errors":$nErr,"sf":"$sfDir"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"reps":$Reps,"errors":$nErr,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"reps":$Reps,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

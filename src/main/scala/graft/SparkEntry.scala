@@ -39,6 +39,7 @@ object SparkEntry {
     "q_concat_conditional" -> (Scalars.qConcatConditional _),
     "q_sql_interface"      -> (Scalars.qSqlInterface _),
     "q_pivot"              -> (Scalars.qPivot _),
+    "q_csv_explode"        -> (Scalars.qCsvExplode _),
     "dedup_exact"          -> (Dedup.qDedupExact _),
     "dedup_minhash_lsh"    -> (Dedup.qDedupMinhashLsh _),
     "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
@@ -68,11 +69,13 @@ object SparkEntry {
     "q_rollup"             -> (Analytic.qRollup _),
     "q_cube"               -> (Analytic.qCube _),
     "q_percentiles"        -> (Analytic.qPercentiles _),
+    "q_approx_sketch"      -> (Analytic.qApproxSketch _),
     "q_range_join"         -> (TemporalJoins.qRangeJoin _),
     "q_asof_join"          -> (TemporalJoins.qAsofJoin _),
     "q_param_filter"       -> (ParamFilters.qParamFilter _),
     "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
+    "q_skew_join_salted"   -> (ParamFilters.qSkewJoinSalted _),
     "pipeline_training_data" -> (Pipeline.qTrainingPipeline _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
@@ -259,6 +262,17 @@ object SparkEntry {
          count(*) FILTER (event_type = 'signup') AS signup,
          count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY 1 ORDER BY date""",
+    "q_csv_explode" ->
+      """WITH packed AS (
+           SELECT l_orderkey,
+                  string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ',') AS part_ids
+           FROM lineitem GROUP BY 1),
+         exploded AS (
+           SELECT CAST(unnest(string_split(part_ids, ',')) AS BIGINT) AS part_id
+           FROM packed)
+         SELECT part_id, count(*) AS n_orders
+         FROM exploded GROUP BY 1
+         ORDER BY n_orders DESC, part_id LIMIT 20""",
     "q_grouped_topk_custom" ->
       """WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_orderpriority
@@ -564,6 +578,14 @@ object SparkEntry {
          floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_value,
          floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // The sketches themselves are engine-specific; the contract the
+    // oracle checks is "exact values match AND every tolerance
+    // boolean is true" — a sketch drifting past tolerance flips a
+    // boolean on the Spark side and fails the hash.
+    "q_approx_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         true AS hll_within_5pct, true AS p50_within_5pct
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                     epoch_ns(ts)//1000000000 AS ts_sec FROM events),
@@ -617,6 +639,12 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS qty
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    // plain (unsalted) join — the salted plan must produce exactly this
+    "q_skew_join_salted" ->
+      """SELECT p_brand, count(*) AS n_items,
+                floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
     "pipeline_training_data" ->
       """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3

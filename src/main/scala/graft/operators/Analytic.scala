@@ -78,6 +78,33 @@ object Analytic {
       .orderBy("event_type")
   }
 
+  /** Sketch twins of [[qPercentiles]]: approx_count_distinct (HLL++)
+    * and percentile_approx (KLL-style) next to their exact
+    * counterparts, the summary surface actually used at 100 TB where
+    * exact countDistinct is a full shuffle of every distinct key.
+    * The sketches are non-deterministic across engines, so the gate
+    * asserts a *tolerance contract* the oracle can check exactly:
+    * the exact values plus booleans that must all be true (HLL within
+    * its configured 2% rsd ×2.5, percentile sketch within 5%). A
+    * drifting sketch flips a boolean and fails the hash. */
+  def qApproxSketch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        approx_count_distinct("user_id", 0.02).as("hll_users"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile_approx(value, 0.5, 10000)").as("p50_sketch"))
+      .select(
+        col("event_type"), col("n_users"),
+        (abs(col("hll_users") - col("n_users")) <= col("n_users") * lit(0.05))
+          .as("hll_within_5pct"),
+        (abs(col("p50_sketch") - col("p50_exact")) <=
+          greatest(abs(col("p50_exact")) * lit(0.05), lit(0.05)))
+          .as("p50_within_5pct"))
+      .orderBy("event_type")
+  }
+
   /** Rollup over the region/nation hierarchy with grouping flags —
     * subtotals + grand total in one pass. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {

@@ -72,6 +72,29 @@ object ParamFilters {
     * one-stage aggregate — which is exactly what the oracle asserts.
     * (With AQE skew handling on, this idiom is usually unnecessary —
     * kept as the explicit operator surface.) */
+  /** Salted SKEW JOIN — the join-side companion of [[qSaltedAgg]]
+    * (reference README.md skew playbook: sample the hot keys, salt the
+    * fact side, replicate the dim side ×S, join on (key, salt)). The
+    * fact rows spread a hot join key over S sub-keys; the dim side is
+    * exploded S ways so every sub-key still finds its match; the
+    * post-join aggregate is unchanged — which is exactly what the
+    * plain-join oracle asserts. AQE's skew-join split handles the
+    * mid-shuffle case automatically; this is the explicit form for
+    * when the skew is known up front (or the join is sort-merge and
+    * one key exceeds a single executor). */
+  def qSkewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(S)).cast("int"))
+    val part = Tables.part(spark, dir)
+      .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+    li.join(part, li("l_partkey") === part("p_partkey") && li("salt") === part("salt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+           graft.functions.Text.roundPortable(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val SaltBuckets = 8
     val li = Tables.lineitem(spark, dir)

@@ -81,6 +81,28 @@ object Scalars {
          ORDER BY c_mktsegment""")
   }
 
+  /** CSV-packed multi-value cell → `explode(split(...))` (the
+    * reference's signature storage idiom: `order_category_ids` packs
+    * many category ids into one comma-joined string column, unpacked
+    * with flatMap-over-split at UserVisitSessionAnalyzeSpark.java:
+    * 1398-1441). Stage 1 PACKS per-order part ids into that shape;
+    * stage 2 is the operator under test — split + explode back to one
+    * row per id, then count orders per part (top 20). The explode is
+    * a generator inside whole-stage codegen, no UDTF registration. */
+  def qCsvExplode(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(concat_ws(",",
+        sort_array(collect_set(col("l_partkey").cast("string")))).as("part_ids"))
+    packed
+      .select(explode(split(col("part_ids"), ",")).as("part_id_s"))
+      .select(col("part_id_s").cast("long").as("part_id"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_id"))
+      .limit(20)
+  }
+
   /** String composition + conditional mapping (reference:
     * ConcatLongStringUDF.java:8-16 `concat_long_string(id,':',name)`
     * and the product_status if() at AreaTop3ProductSpark.java:453 —

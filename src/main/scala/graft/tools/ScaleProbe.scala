@@ -64,7 +64,9 @@ object ScaleProbe {
 
     val probes = Seq("q1_agg", "q_join_shuffle", "q_sessionize",
       "q_window_topn", "q_grouped_topk_custom", "q_scan_filter",
-      "dedup_minhash_lsh", "dedup_simhash", "text_tfidf",
+      "q_funnel", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_clusters_dist",
+      "dedup_embedding_blocked", "text_tfidf",
       "stream_running_totals", "stream_attribution",
       "pipeline_training_data")
 

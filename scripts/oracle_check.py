@@ -32,9 +32,17 @@ def canon(df):
             elif isinstance(v, (float, np.floating)):
                 vals.append(f"{float(v):.9g}")
             elif isinstance(v, (list, np.ndarray)):
-                vals.append("[" + ",".join(
-                    f"{float(x):.9g}" if isinstance(x, (float, np.floating))
-                    else str(x) for x in v) + "]")
+                # elements get the same null canon as scalars: None and
+                # NaN both render "NULL" (a NaN would otherwise print
+                # 'nan' here but 'NULL' as a scalar, and Spark-parquet
+                # vs DuckDB list representations would hash-mismatch)
+                def elem(x):
+                    if x is None or (isinstance(x, (float, np.floating)) and pd.isna(x)):
+                        return "NULL"
+                    if isinstance(x, (float, np.floating)):
+                        return f"{float(x):.9g}"
+                    return str(x)
+                vals.append("[" + ",".join(elem(x) for x in v) + "]")
             elif hasattr(v, "strftime"):
                 vals.append(str(v))
             else:

@@ -9,10 +9,14 @@ import org.apache.spark.sql.SparkSession
   *   1. one untimed warmup pass over all queries (JIT + codegen
   *      compilation + parquet footer caching — none of which a
   *      long-running cluster pays per query), then `clearCache()`;
-  *   2. `Reps` timed runs; the reported figure is the MEDIAN, so a
-  *      stray full-GC or page-cache miss can't masquerade as a plan
-  *      regression (the round-2 bench, with one run and swallowed
-  *      errors, could not tell noise from regression);
+  *   2. timed runs — `BaseReps` normally, `HeavyReps` when the first
+  *      timed rep exceeds `HeavyThresholdSec` (expensive queries are
+  *      exactly where a stray full-GC or page-cache miss is large
+  *      relative to nothing and where round 4's 3-rep median landed
+  *      on a 9×-noisy rep); the reported figure is the MEDIAN of the
+  *      reps, so noise can't masquerade as a plan regression (the
+  *      round-2 bench, with one run and swallowed errors, could not
+  *      tell noise from regression);
   *   3. per-query `rows` (the count the timed action returned) and
   *      `err` (first exception message, null when green) are emitted
   *      alongside, so a failing query is visible as a failure rather
@@ -23,7 +27,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val Reps = 3
+  private val BaseReps = 3
+  private val HeavyReps = 7
+  private val HeavyThresholdSec = 2.0
 
   private case class QueryResult(sec: Double, reps: Seq[Double],
                                  rows: Long, err: Option[String])
@@ -52,7 +58,7 @@ object Bench {
       case (name, fn) =>
         var rows = -1L
         var err: Option[String] = None
-        val times = (1 to Reps).flatMap { _ =>
+        def oneRep(): Option[Double] = {
           val t0 = System.nanoTime()
           val t = try {
             rows = fn(spark, sfDir).count()
@@ -66,6 +72,13 @@ object Bench {
           System.gc()
           t
         }
+        val first = oneRep()
+        // adaptive rep count: a >2 s query gets 7 reps so one noisy
+        // rep can't drag the median (round 4's pipeline_training_data
+        // printed 4.52 s off reps 2.25/4.52/20.4 — env noise, not plan)
+        val reps =
+          if (first.exists(_ > HeavyThresholdSec)) HeavyReps else BaseReps
+        val times = first.toSeq ++ (2 to reps).flatMap(_ => oneRep())
         // lower median: for an even sample size (a rep failed) this
         // picks the smaller middle value rather than biasing upward
         val median =
@@ -94,9 +107,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (_, r) => math.max(r.sec, 0.0) }.sum
     val nErr = results.count { case (_, r) => r.err.nonEmpty }
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"reps":$Reps,"errors":$nErr,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"reps":$Reps,"errors":$nErr,"sf":"$sfDir"}""")
+    // detail path is overridable (-Dbench.detail.path=…) and always
+    // logged absolute, so a different launch CWD can't silently lose it
+    val detailPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("bench.detail.path", "BENCH_DETAIL.json")).toAbsolutePath
+    java.nio.file.Files.write(detailPath,
+      s"""{"reps":$BaseReps,"heavyReps":$HeavyReps,"heavyThresholdSec":$HeavyThresholdSec,"errors":$nErr,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+    System.err.println(s"[bench] detail written to $detailPath")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"reps":$BaseReps,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -584,7 +584,7 @@ object SparkEntry {
     // boolean on the Spark side and fails the hash.
     "q_approx_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
-         true AS hll_within_5pct, true AS p50_within_5pct
+         true AS hll_within_8pct, true AS p50_within_5pct
          FROM events GROUP BY 1 ORDER BY event_type""",
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
@@ -627,13 +627,21 @@ object SparkEntry {
                   FROM s GROUP BY user_id, session_idx),
          sh AS (SELECT user_id, session_idx,
                 strftime(make_timestamp(start_sec * 1000000), '%Y-%m-%d_%H') AS date_hour FROM sess),
-         t AS (SELECT count(*) AS total FROM sh),
-         q AS (SELECT sh.*, count(*) OVER (PARTITION BY date_hour) AS g_cnt, total
-               FROM sh CROSS JOIN t),
-         r AS (SELECT *, greatest(1, CAST(floor(100 * g_cnt / total) AS BIGINT)) AS quota,
-               CAST(row_number() OVER (PARTITION BY date_hour
+         st AS (SELECT date_hour, count(*) AS g_cnt FROM sh GROUP BY 1),
+         qt AS (SELECT date_hour, g_cnt,
+                 CAST(floor(100 * g_cnt / sum(g_cnt) OVER ()) AS BIGINT) AS base,
+                 100 * g_cnt / sum(g_cnt) OVER ()
+                   - floor(100 * g_cnt / sum(g_cnt) OVER ()) AS rem
+                FROM st),
+         qf AS (SELECT *, 100 - sum(base) OVER () AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, date_hour) AS rr
+                FROM qt),
+         qq AS (SELECT date_hour,
+                 base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota FROM qf),
+         r AS (SELECT sh.*, quota,
+               CAST(row_number() OVER (PARTITION BY sh.date_hour
                  ORDER BY md5(user_id || '_' || session_idx), user_id, session_idx) AS BIGINT) AS rn
-               FROM q)
+               FROM sh JOIN qq USING (date_hour))
          SELECT date_hour, user_id, session_idx FROM r WHERE rn <= quota
          ORDER BY date_hour, user_id, session_idx""",
     "q_salted_agg" ->

@@ -43,6 +43,34 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Total row count read from parquet FOOTERS only — a driver-side
+    * metadata read: no Spark job, no data scan. Stops summing once
+    * `stopAfter` is exceeded, so on a huge corpus a size *guard*
+    * costs O(1) footers rather than O(files) — callers only need to
+    * know "at or under the bound, exactly" vs "over it". */
+  def parquetRowCount(spark: SparkSession, path: String,
+                      stopAfter: Long = Long.MaxValue): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      else Array(fs.getFileStatus(p))
+    var total = 0L
+    val it = statuses.iterator
+    while (it.hasNext && total <= stopAfter) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(it.next(), conf))
+      try total += reader.getRecordCount
+      finally reader.close()
+    }
+    total
+  }
+
   /** Registers every table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -33,19 +33,21 @@ object Analytic {
   }
 
   /** Set operations: customers active in 1994 vs 1995 — union /
-    * intersect / except cardinalities in one row. */
+    * intersect / except cardinalities in one row. Computed as a
+    * SINGLE pass: one scan bucketing each customer into (in 1994?,
+    * in 1995?) membership flags, then conditional counts — the
+    * full-outer-join formulation of union/intersect/except. The
+    * literal union/intersect/except chain would be three separate
+    * driver actions, i.e. three jobs re-scanning orders six times. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir)
-    def custsIn(y: Int) = orders
-      .where(year(col("o_orderdate")) === y)
-      .select("o_custkey").distinct()
-    val a = custsIn(1994)
-    val b = custsIn(1995)
-    val u = a.union(b).distinct().count()
-    val i = a.intersect(b).count()
-    val e = a.except(b).count()
-    import spark.implicits._
-    Seq((u, i, e)).toDF("union_count", "intersect_count", "except_count")
+    Tables.orders(spark, dir)
+      .where(year(col("o_orderdate")).isin(1994, 1995))
+      .groupBy("o_custkey")
+      .agg(max(when(year(col("o_orderdate")) === 1994, 1).otherwise(0)).as("in_a"),
+           max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("in_b"))
+      .agg(count(lit(1)).as("union_count"),
+           count(when(col("in_a") === 1 && col("in_b") === 1, 1)).as("intersect_count"),
+           count(when(col("in_a") === 1 && col("in_b") === 0, 1)).as("except_count"))
   }
 
   /** Cube over (returnflag, linestatus): all four grouping
@@ -85,7 +87,9 @@ object Analytic {
     * The sketches are non-deterministic across engines, so the gate
     * asserts a *tolerance contract* the oracle can check exactly:
     * the exact values plus booleans that must all be true (HLL within
-    * its configured 2% rsd ×2.5, percentile sketch within 5%). A
+    * its configured 2% rsd ×4 — wide enough that fixture
+    * regeneration can't flip it by chance, tight enough that a
+    * broken sketch still fails — percentile sketch within 5%). A
     * drifting sketch flips a boolean and fails the hash. */
   def qApproxSketch(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
@@ -97,8 +101,8 @@ object Analytic {
         expr("percentile_approx(value, 0.5, 10000)").as("p50_sketch"))
       .select(
         col("event_type"), col("n_users"),
-        (abs(col("hll_users") - col("n_users")) <= col("n_users") * lit(0.05))
-          .as("hll_within_5pct"),
+        (abs(col("hll_users") - col("n_users")) <= col("n_users") * lit(0.08))
+          .as("hll_within_8pct"),
         (abs(col("p50_sketch") - col("p50_exact")) <=
           greatest(abs(col("p50_exact")) * lit(0.05), lit(0.05)))
           .as("p50_within_5pct"))

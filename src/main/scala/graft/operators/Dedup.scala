@@ -217,8 +217,16 @@ object Dedup {
     * own label, its neighbors' labels, and its label's label (the
     * shortcut gives the O(log n) convergence of large-star/small-star
     * on chain-shaped components). Each round is two equi-joins + one
-    * aggregate; lineage is truncated per round with localCheckpoint
-    * so plans don't grow with the iteration count. */
+    * aggregate, and exactly ONE Spark job: the previous label rides
+    * through the aggregate (`min(label) where is_prev`), the round's
+    * localCheckpoint is LAZY, and the convergence count is the action
+    * that both materializes the checkpoint (truncating lineage so
+    * plans don't grow with the iteration count) and returns the
+    * changed-label count — no separate per-round driver round-trip
+    * (round 4 ran a second `limit(1).count()` join job per round,
+    * ~10 extra driver-synchronized jobs at depth-10 convergence).
+    * `label < prev` is exact, not a heuristic: min-label propagation
+    * only ever lowers a label. */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -237,15 +245,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "lid")
                     .withColumnRenamed("label", "label2"), "lid")
         .select(col("id"), col("label2").as("label"))
-      val next = labels.union(viaNeighbor).union(viaShortcut)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev"))
-        .limit(1).count()
+      val next = labels.withColumn("is_prev", lit(true))
+        .union(viaNeighbor.withColumn("is_prev", lit(false)))
+        .union(viaShortcut.withColumn("is_prev", lit(false)))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+             min(when(col("is_prev"), col("label"))).as("prev"))
+        .localCheckpoint(eager = false)
+      val changed = next.agg(
+        coalesce(sum(when(col("label") < col("prev"), 1L).otherwise(0L)),
+                 lit(0L)).as("changed")).head.getLong(0)
       converged = changed == 0L
-      labels = next
+      labels = next.select("id", "label")
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $MaxIter rounds")

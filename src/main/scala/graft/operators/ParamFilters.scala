@@ -41,23 +41,40 @@ object ParamFilters {
   /** Stratified proportional sampling of sessions per (date, hour)
     * stratum (reference random extract: 100 sessions/task allocated
     * time-proportionally, UserVisitSessionAnalyzeSpark.java:763-826).
-    * The reference uses an unseeded Random on the driver; we rank by
-    * an md5 of the session key — deterministic, distributed, and
-    * reproducible in the SQL oracle. */
+    * Quotas use LARGEST-REMAINDER allocation exactly like the
+    * reference: each stratum gets floor(100·share), and the leftover
+    * (100 − Σfloor) goes to the strata with the largest fractional
+    * remainders — so the sample totals exactly 100 (when ≥100
+    * sessions exist) instead of over-sampling tiny strata as a
+    * `greatest(1, floor)` would. The reference uses an unseeded
+    * Random on the driver; we rank by an md5 of the session key —
+    * deterministic, distributed, and reproducible in the SQL oracle.
+    * The quota table is per-stratum (bounded by hours in the time
+    * range), so its empty-partition windows and the broadcast join
+    * back to sessions are safe at any corpus size. */
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val SampleSize = 100
     val sessions = Sessions.qSessionize(spark, dir)
       .withColumn("date_hour",
         date_format(timestamp_seconds(col("start_sec")), "yyyy-MM-dd_HH"))
-    val total = sessions.agg(count(lit(1)).as("total"))
-    val wG = Window.partitionBy("date_hour")
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy().orderBy(desc("rem"), col("date_hour"))
+    val quotas = sessions.groupBy("date_hour").agg(count(lit(1)).as("g_cnt"))
+      .withColumn("total", sum("g_cnt").over(wAll))
+      .withColumn("base", floor(lit(SampleSize) * col("g_cnt") / col("total")))
+      .withColumn("rem",
+        lit(SampleSize) * col("g_cnt") / col("total") - col("base"))
+      .withColumn("leftover", lit(SampleSize) - sum("base").over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .withColumn("quota",
+        col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select("date_hour", "quota")
     val wRank = Window.partitionBy("date_hour")
       .orderBy(md5(concat_ws("_", col("user_id"), col("session_idx"))),
                col("user_id"), col("session_idx"))
-    sessions.crossJoin(total)
-      .withColumn("g_cnt", count(lit(1)).over(wG))
-      .withColumn("quota",
-        greatest(lit(1L), floor(lit(100) * col("g_cnt") / col("total"))))
+    sessions
       .withColumn("rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(quotas), "date_hour")
       .where(col("rn") <= col("quota"))
       .select("date_hour", "user_id", "session_idx")
       .orderBy("date_hour", "user_id", "session_idx")

@@ -77,8 +77,9 @@ object Similarity {
   private[operators] val AllPairsMaxVectors = 10000L
   private val NumProbes = 2
 
-  /** Exact all-pairs near-dup — the small-corpus oracle baseline. */
-  private def allPairsNearDup(emb: DataFrame): DataFrame = {
+  /** Exact all-pairs near-dup — the small-corpus oracle baseline
+    * (private[graft]: ScaleProbe uses it as recall ground truth). */
+  private[graft] def allPairsNearDup(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -95,8 +96,8 @@ object Similarity {
     * dial; measured in SCALING.md) — the all-pairs formulation is
     * the exact-recall alternative, legal only under
     * [[AllPairsMaxVectors]]. */
-  private[operators] def blockedNearDup(emb: DataFrame, numCentroids: Int,
-                                        nProbes: Int): DataFrame = {
+  private[graft] def blockedNearDup(emb: DataFrame, numCentroids: Int,
+                                    nProbes: Int): DataFrame = {
     val cent = emb.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
@@ -127,10 +128,14 @@ object Similarity {
     * results just because the input grew). */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
+    // size guard from parquet FOOTER metadata — no job, no data scan
+    // (round 4 paid a full count() scan per invocation here); early
+    // exit means an over-bound corpus reads O(1) footers
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet",
+      stopAfter = AllPairsMaxVectors)
     require(n <= AllPairsMaxVectors,
       s"dedup_embedding is the exact all-pairs operator (O(n²)); corpus has " +
-      s"$n > $AllPairsMaxVectors vectors. Use embeddingNearDupScaled / the " +
+      s"≥$n > $AllPairsMaxVectors vectors. Use embeddingNearDupScaled / the " +
       s"dedup_embedding_blocked gate for the IVF-blocked scale path.")
     allPairsNearDup(emb)
       .select(col("id_a"), col("id_b"),

@@ -142,12 +142,29 @@ object JdbcUpsertSink {
     }
   }
 
-  /** Dataset-level entry: upsert `df` into `table`. */
+  /** Dataset-level entry: upsert `df` into `table`.
+    *
+    * Concurrency contract: MySQL's `ON DUPLICATE KEY UPDATE` is
+    * atomic per statement, but ANSI `MERGE` is not — two partitions
+    * holding the same key would race (duplicate-key error on the
+    * concurrent insert, or a lost Additive increment), since each
+    * partition runs its own transaction. So the AnsiDialect path
+    * first hash-partitions the input on `keyCols`, which puts every
+    * occurrence of a key in exactly one partition/transaction (rows
+    * with equal keys then merge sequentially, which is well-defined).
+    * Typical callers pass aggregate outputs whose keys are already
+    * unique; the repartition makes the contract hold for any input. */
   def upsert(df: DataFrame, url: String, table: String,
              keyCols: Seq[String], valueCols: Seq[String], mode: Mode,
              dialect: Dialect = MySqlDialect, batchSize: Int = 500): Unit = {
     val stmt = statement(table, keyCols, valueCols, mode, dialect)
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    val data = dialect match {
+      case AnsiDialect =>
+        import org.apache.spark.sql.functions.col
+        df.repartition(keyCols.map(col): _*)
+      case MySqlDialect => df
+    }
+    data.foreachPartition { (rows: Iterator[Row]) =>
       writePartition(rows, stmt.sql, stmt.bindCols,
         () => DriverManager.getConnection(url), batchSize)
     }

@@ -121,18 +121,31 @@ object AdStream {
       .foreachBatch(upsertBatch)
       .start()
 
+  /** The Kafka source configuration, exposed as plain data: no
+    * broker or spark-sql-kafka connector jar ships in this offline
+    * container, so `.load()` can never execute here — publishing the
+    * format + options map lets KafkaSourceSpec pin exactly the lines
+    * that can't run (reference consumer params:
+    * AdClickRealTimeSpark.java:69-92). */
+  def kafkaSourceConfig(brokers: String, topic: String): (String, Map[String, String]) =
+    ("kafka", Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "latest"))
+
   /** Kafka source for production (topic of reference-format lines).
     * The broker itself can't run in this container (no Kafka
     * connector jar); the identical downstream plan — parse → the full
     * 4-query fan-out with checkpoint restart — runs end to end from a
     * replayable file source in StreamFanoutE2ESpec, so everything
-    * past `.load()` is execution-covered. */
-  def kafkaLines(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    * past `.load()` is execution-covered, and the format/options map
+    * fed into the reader is asserted by KafkaSourceSpec. */
+  def kafkaLines(spark: SparkSession, brokers: String, topic: String): DataFrame = {
+    val (fmt, opts) = kafkaSourceConfig(brokers, topic)
     spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .format(fmt)
+      .options(opts)
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
+  }
 }

@@ -50,11 +50,13 @@ object StatefulSessions {
       out += closed(user, state.get)
       state.remove()
     } else {
-      // Drop events at-or-behind the watermark before touching state,
-      // matching Spark's own late-data semantics for aggregations: a
-      // late straggler must not resurrect or re-arm a session whose
-      // timeout the watermark already passed. (Batch runs have no
-      // watermark; getCurrentWatermarkMs is unsupported there.)
+      // Drop events STRICTLY behind the watermark before touching
+      // state (boundary events exactly at the watermark are kept —
+      // the filter below is >=), matching Spark's own late-data
+      // semantics for aggregations: a late straggler must not
+      // resurrect or re-arm a session whose timeout the watermark
+      // already passed. (Batch runs have no watermark;
+      // getCurrentWatermarkMs is unsupported there.)
       val wmMs =
         try state.getCurrentWatermarkMs
         catch { case _: UnsupportedOperationException => Long.MinValue }

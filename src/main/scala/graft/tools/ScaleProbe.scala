@@ -68,7 +68,8 @@ object ScaleProbe {
       "dedup_ngram_jaccard", "dedup_clusters_dist",
       "dedup_embedding_blocked", "text_tfidf",
       "stream_running_totals", "stream_attribution",
-      "pipeline_training_data")
+      "pipeline_training_data",
+      "q_skew_join_salted", "q_approx_sketch", "q_csv_explode")
 
     def timeAll(dir: String): Map[String, Double] = probes.map { name =>
       val t0 = System.nanoTime()
@@ -84,6 +85,28 @@ object ScaleProbe {
     probes.foreach { q =>
       println(f"[scale] $q%-24s ${base(q)}%8.2f ${big(q)}%8.2f ${big(q) / base(q)}%7.1f")
     }
+
+    // recall-vs-nprobe dial for the IVF-blocked embedding near-dup,
+    // mirroring the simhash banding table: exact all-pairs is the
+    // ground truth (blocked output ⊆ exact by construction — the
+    // verify step scores true cosine — so recall = count ratio);
+    // centroid count grows √n exactly like embeddingNearDupScaled.
+    def recallTable(dir: String, label: String): Unit = {
+      val emb = Tables.embeddings(spark, dir).cache()
+      val n = emb.count()
+      val exact = graft.operators.Similarity.allPairsNearDup(emb).count()
+      val cents = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      Seq(1, 2, 4).foreach { np =>
+        val t0 = System.nanoTime()
+        val got = graft.operators.Similarity.blockedNearDup(emb, cents, np).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[recall] $label%-6s n=$n%-6d centroids=$cents%-4d nprobe=$np " +
+          f"pairs=$got%6d/$exact%-6d (${100.0 * got / math.max(exact, 1)}%5.1f%%) $sec%7.2f s")
+      }
+      emb.unpersist()
+    }
+    recallTable(src, "1x")
+    recallTable(dst, s"${factor}x")
     spark.stop()
   }
 }

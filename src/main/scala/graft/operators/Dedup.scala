@@ -168,22 +168,34 @@ object Dedup {
     * signature would otherwise pair every pair of short docs at
     * hamming 0, which is noise, and the oracle's unnest-based
     * formulation never emits them either. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(spark, dir)
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash candidate+verify core with the banding exposed as the
+    * recall/cost dial (measured in SCALING.md): `bandHexLen` hex
+    * chars per band (×4 bits), overlapping bands every `stride` hex
+    * chars across the 16-hex signature. 8-bit disjoint bands give
+    * 100% recall at hamming ≤ 7 but 256-value buckets whose candidate
+    * pairs grow quadratically with the corpus; the default 7
+    * overlapping 16-bit bands keep ~86–92% recall with ~200× fewer
+    * candidates. Candidates in a band bucket still grow ~n²/16^len by
+    * birthday collision, so band bits should grow with log₂(n) — at
+    * ≥10⁶ docs pass bandHexLen=6 (24-bit bands). Verification is
+    * exact bit-level hamming regardless of banding; the exact-recall
+    * alternative at the same threshold is dedup_ngram_jaccard. */
+  private[graft] def simhashPairs(docs: DataFrame, bandHexLen: Int = 4,
+                                  stride: Int = 2): DataFrame = {
+    val nBands = (16 - bandHexLen) / stride + 1
+    val sig = docs
       .select(col("doc_id"), Text.shingles3(col("text")).as("shs"))
       .where(size(col("shs")) > 0)
       .select(col("doc_id"), SimHash.simhash64(col("shs")).as("sh"))
       .cache()
-    // Banding is the recall/cost dial (measured in SCALING.md):
-    // 8 × 8-bit bands give 100% recall at hamming ≤ 7 but candidate
-    // pairs grow quadratically with corpus size (256-value buckets);
-    // 7 overlapping 16-bit bands (stride 2 hex chars) keep ~86-92%
-    // recall with ~200× fewer candidates and scale linearly — the
-    // default here. The exact-recall alternative for the same
-    // threshold is dedup_ngram_jaccard.
     val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 7).map(b =>
-        substring(col("sh"), 1 + 2 * b, 4)): _*)).as(Seq("band_id", "bucket")))
+      posexplode(array((0 until nBands).map(b =>
+        substring(col("sh"), 1 + stride * b, bandHexLen)): _*))
+        .as(Seq("band_id", "bucket")))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -201,7 +213,6 @@ object Dedup {
            0, (acc, x) -> acc + x)""").cast("long"))
       .where(col("hamming") <= SimhashMaxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** How many verified pairs the driver-side union-find is still

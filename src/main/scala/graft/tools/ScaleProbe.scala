@@ -55,35 +55,70 @@ object ScaleProbe {
     replicate("events", (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * KEY))
         .withColumn("user_id", col("user_id") + lit(i * KEY)))
+    // Documents: suffix every 4th token with a replica marker — a
+    // BIJECTION on tokens, so intra-replica shingle overlap (and thus
+    // the planted near-dup structure) is preserved exactly, while
+    // cross-replica 3-gram Jaccard drops to ~0.14 (only windows with
+    // no suffixed token survive), below every dedup threshold. The
+    // earlier append-one-marker scheme left cross-replica Jaccard at
+    // ~(w-2)/w ≈ 0.95: every replica pair was a true near-dup and the
+    // "10×" corpus was really a clique stress test, not 10× data.
     replicate("documents", (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * KEY))
-        // distinct replica marker token keeps near-dup pairs intra-replica
-        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else array_join(
+            transform(split(col("text"), " "),
+              (t, p) => when(pmod(p, lit(4)) === 0, concat(t, lit(s"_r$i")))
+                .otherwise(t)), " ")))
+    // Embeddings: circular-shift each replica's vectors by i — shifts
+    // preserve intra-replica cosines exactly (both sides rotate the
+    // same way) while decorrelating cross-replica pairs (a verbatim
+    // copy would give every vector 9 exact duplicates and inflate the
+    // true near-dup output ~700×).
     replicate("embeddings", (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * KEY)))
+      df.withColumn("vec_id", col("vec_id") + lit(i * KEY))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else concat(slice(col("embedding"), i + 1, 64 - i),
+                      slice(col("embedding"), 1, i))))
 
-    val probes = Seq("q1_agg", "q_join_shuffle", "q_sessionize",
-      "q_window_topn", "q_grouped_topk_custom", "q_scan_filter",
-      "q_funnel", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_ngram_jaccard", "dedup_clusters_dist",
-      "dedup_embedding_blocked", "text_tfidf",
-      "stream_running_totals", "stream_attribution",
-      "pipeline_training_data",
-      "q_skew_join_salted", "q_approx_sketch", "q_csv_explode")
+    // dedup_embedding_blocked is the oracle-PINNED fixed config
+    // (8 centroids at any n — candidate pairs ~n²/centroids by
+    // construction, so its ratio is expected super-linear); the scale
+    // path users actually run at big n is embeddingNearDupScaled
+    // (√n centroids, ~n^1.5 pairs), probed as dedup_embedding_scaled.
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq("q1_agg", "q_join_shuffle", "q_sessionize",
+        "q_window_topn", "q_grouped_topk_custom", "q_scan_filter",
+        "q_funnel", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_clusters_dist",
+        "dedup_embedding_blocked", "text_tfidf",
+        "stream_running_totals", "stream_attribution",
+        "pipeline_training_data",
+        "q_skew_join_salted", "q_approx_sketch", "q_csv_explode")
+        .map(n => n -> SparkEntry.queries(n)) :+
+      ("dedup_embedding_scaled" -> ((s: SparkSession, d: String) =>
+        graft.operators.Similarity.embeddingNearDupScaled(Tables.embeddings(s, d))))
 
-    def timeAll(dir: String): Map[String, Double] = probes.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+    def timeAll(dir: String): Map[String, (Double, Long)] = probes.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        spark.catalog.clearCache()
+        name -> (((System.nanoTime() - t0) / 1e9, rows))
     }.toMap
 
     timeAll(src) // warmup (JIT + codegen)
     val base = timeAll(src)
     val big = timeAll(dst)
-    println(f"[scale] ${"query"}%-24s ${"1x(s)"}%8s ${s"${factor}x(s)"}%8s ${"ratio"}%7s")
-    probes.foreach { q =>
-      println(f"[scale] $q%-24s ${base(q)}%8.2f ${big(q)}%8.2f ${big(q) / base(q)}%7.1f")
+    // rows at both scales contextualize the ratio: an operator whose
+    // TRUE output grows super-linearly (near-dup pairs in a dup-heavy
+    // corpus) can't have sub-linear wall time
+    println(f"[scale] ${"query"}%-24s ${"1x(s)"}%8s ${s"${factor}x(s)"}%8s ${"ratio"}%7s ${"1x rows"}%9s ${s"${factor}x rows"}%9s")
+    probes.foreach { case (q, _) =>
+      val (bs, br) = base(q); val (gs, gr) = big(q)
+      println(f"[scale] $q%-24s $bs%8.2f $gs%8.2f ${gs / bs}%7.1f $br%9d $gr%9d")
     }
 
     // recall-vs-nprobe dial for the IVF-blocked embedding near-dup,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Properties of the parameterized simhash banding dial that hold for
+  * ANY band width — guarding the band-arithmetic refactor (the
+  * default 7 × 16-bit configuration itself is hash-gated by the
+  * dedup_simhash oracle, so this spec only checks the widths the gate
+  * can't see). */
+class DedupBandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base),                                   // identical → hamming 0
+    (3L, base + " with one trailing change"),     // near-dup
+    (4L, "completely different text about spark catalyst optimizer internals and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("identical documents are found at every band width") {
+    // hamming(sig_a, sig_b) = 0 ⇒ every band matches under any
+    // (bandHexLen, stride) — wider bands may lose near-dups but can
+    // never lose exact signature matches
+    for ((len, stride) <- Seq((4, 2), (6, 2), (8, 4), (16, 1))) {
+      val pairs = Dedup.simhashPairs(docs, len, stride)
+        .where(col("doc_a") === 1L && col("doc_b") === 2L)
+        .collect()
+      assert(pairs.length == 1, s"bandHexLen=$len stride=$stride")
+      assert(pairs.head.getAs[Long]("hamming") == 0L)
+    }
+  }
+
+  test("wider bands only shrink the verified pair set") {
+    val narrow = Dedup.simhashPairs(docs, 4, 2)
+      .select("doc_a", "doc_b").collect().toSet
+    val wide = Dedup.simhashPairs(docs, 8, 4)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(wide.subsetOf(narrow),
+      "a pair surviving 32-bit bands must also collide on some 16-bit sub-band")
+    spark.catalog.clearCache()
+  }
+}

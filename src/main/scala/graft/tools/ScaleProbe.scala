@@ -97,9 +97,16 @@ object ScaleProbe {
         "stream_running_totals", "stream_attribution",
         "pipeline_training_data",
         "q_skew_join_salted", "q_approx_sketch", "q_csv_explode")
-        .map(n => n -> SparkEntry.queries(n)) :+
-      ("dedup_embedding_scaled" -> ((s: SparkSession, d: String) =>
-        graft.operators.Similarity.embeddingNearDupScaled(Tables.embeddings(s, d))))
+        .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      "dedup_embedding_scaled" -> ((s: SparkSession, d: String) =>
+        graft.operators.Similarity.embeddingNearDupScaled(Tables.embeddings(s, d))),
+      // the banding dial at the width SCALING.md prescribes for large
+      // corpora (24-bit bands): candidates shrink ~16^2× per band, so
+      // this is what the default simhash config's super-linear growth
+      // converts to once band bits grow with log₂(n)
+      "dedup_simhash_wide" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.simhashPairs(Tables.documents(s, d), 6, 2)
+          .orderBy("doc_a", "doc_b")))
 
     def timeAll(dir: String): Map[String, (Double, Long)] = probes.map {
       case (name, fn) =>

@@ -48,4 +48,32 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("set-ops counts are one pass: single scan, no join, two agg levels") {
+    val p = planOf("q_set_ops")
+    // the union/intersect/except cardinalities come from membership
+    // flags in one groupBy chain — a regression to the three-action
+    // formulation would reappear as joins/unions here
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Union"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("stratified sample broadcasts the per-stratum quota table") {
+    val p = planOf("q_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text-dedup candidate generation is always an equi-join, never a cross product") {
+    // the 100 TB contract: candidates come from bucket equi-joins
+    // (band / prefix shingle), so no plan may contain a cartesian or
+    // nested-loop join. (Embedding ops are excluded: their bounded
+    // ×centroids crossJoin-broadcast assignment is legitimate.)
+    for (q <- Seq("dedup_exact", "dedup_minhash_lsh",
+                  "dedup_ngram_jaccard", "dedup_simhash")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n$p")
+    }
+  }
 }

@@ -51,7 +51,18 @@ object ParamFilters {
     * deterministic, distributed, and reproducible in the SQL oracle.
     * The quota table is per-stratum (bounded by hours in the time
     * range), so its empty-partition windows and the broadcast join
-    * back to sessions are safe at any corpus size. */
+    * back to sessions are safe at any corpus size.
+    *
+    * Scale note: per-stratum quotas never exceed SampleSize, so each
+    * stratum is first pruned to its SampleSize first-ranked sessions
+    * with the bounded-heap [[graft.plans.GroupedTopK]] operator —
+    * O(n log k) and ≤k rows held per stratum — instead of
+    * row_number's full per-stratum sort, which at 100 TB would sort
+    * billions of rows per (date,hour) in single tasks. The window
+    * rank then runs over ≤SampleSize rows per stratum (and reuses
+    * the heap shuffle's clustering — no extra exchange); survivors'
+    * rn values equal their full-set ranks, so the result is
+    * unchanged. */
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val SampleSize = 100
     val sessions = Sessions.qSessionize(spark, dir)
@@ -69,10 +80,15 @@ object ParamFilters {
       .withColumn("quota",
         col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
       .select("date_hour", "quota")
+    val ranked = sessions.withColumn("rk",
+      md5(concat_ws("_", col("user_id"), col("session_idx"))))
+    val pruned = graft.plans.GroupedTopKApi.groupedTopKOrdered(ranked,
+      keys = Seq("date_hour"),
+      sort = Seq("rk" -> true, "user_id" -> true, "session_idx" -> true),
+      k = SampleSize)
     val wRank = Window.partitionBy("date_hour")
-      .orderBy(md5(concat_ws("_", col("user_id"), col("session_idx"))),
-               col("user_id"), col("session_idx"))
-    sessions
+      .orderBy(col("rk"), col("user_id"), col("session_idx"))
+    pruned
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .join(broadcast(quotas), "date_hour")
       .where(col("rn") <= col("quota"))

@@ -96,7 +96,11 @@ object ScaleProbe {
         "dedup_embedding_blocked", "text_tfidf",
         "stream_running_totals", "stream_attribution",
         "pipeline_training_data",
-        "q_skew_join_salted", "q_approx_sketch", "q_csv_explode")
+        "q_skew_join_salted", "q_approx_sketch", "q_csv_explode",
+        // strata counts are fixed while rows/stratum grow ×N — the
+        // worst case for the old full-sort rank, the best case for
+        // the round-5 GroupedTopK heap-prune (≤100 rows survive)
+        "q_stratified_sample")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       "dedup_embedding_scaled" -> ((s: SparkSession, d: String) =>
         graft.operators.Similarity.embeddingNearDupScaled(Tables.embeddings(s, d))),

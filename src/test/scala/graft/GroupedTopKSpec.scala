@@ -52,17 +52,39 @@ class GroupedTopKSpec extends SparkSpec {
     assert(custom == viaWindow)
   }
 
-  test("wrong-typed order/tie columns are rejected at plan time") {
-    val df = Seq(("a", 1, 2L)).toDF("k", "v_int", "id")
-    val e1 = intercept[IllegalArgumentException] {
-      GroupedTopKApi.groupedTopK(df, Seq("k"), "v_int", "id", 2)
+  test("unknown columns are rejected at plan time") {
+    val df = Seq(("a", 1.0, 2L)).toDF("k", "v", "id")
+    val e = intercept[IllegalArgumentException] {
+      GroupedTopKApi.groupedTopK(df, Seq("k"), "nope", "id", 2)
     }
-    assert(e1.getMessage.contains("must be DOUBLE"), e1.getMessage)
-    val df2 = Seq(("a", 1.0, "x")).toDF("k", "v", "id_str")
-    val e2 = intercept[IllegalArgumentException] {
-      GroupedTopKApi.groupedTopK(df2, Seq("k"), "v", "id_str", 2)
-    }
-    assert(e2.getMessage.contains("must be BIGINT"), e2.getMessage)
+    assert(e.getMessage.contains("column nope not in"), e.getMessage)
+  }
+
+  test("generalized ordering: int order / string tie match the window") {
+    val df = Seq(
+      ("a", 3, "x"), ("a", 3, "w"), ("a", 9, "z"), ("a", 1, "q"),
+      ("b", 5, "m"), ("b", 5, "n"), ("b", 4, "a")).toDF("k", "v", "id")
+    val custom = GroupedTopKApi.groupedTopK(df, Seq("k"), "v", "id", 2)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val w = Window.partitionBy("k").orderBy(desc("v"), col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).where($"rn" <= 2)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(custom == viaWindow)
+  }
+
+  test("groupedTopKOrdered: ascending string min-k (the stratified-sample shape)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("rk", md5(concat_ws("_", $"doc_id")))
+      .withColumn("bucket", pmod($"doc_id", lit(3)))
+    val custom = GroupedTopKApi.groupedTopKOrdered(docs,
+        keys = Seq("bucket"), sort = Seq("rk" -> true, "doc_id" -> true), k = 5)
+      .select("bucket", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("bucket").orderBy($"rk", $"doc_id")
+    val viaWindow = docs.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+      .select("bucket", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == viaWindow)
   }
 
   test("null order ranks last, null tie ranks first — like desc/asc windows") {

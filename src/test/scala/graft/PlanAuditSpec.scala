@@ -62,6 +62,9 @@ class PlanAuditSpec extends SparkSpec {
   test("stratified sample broadcasts the per-stratum quota table") {
     val p = planOf("q_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p)
+    // per-stratum selection is heap-pruned (partial+final GroupedTopK)
+    // before the window rank, so no stratum is ever fully sorted
+    assert("GroupedTopK \\[".r.findAllIn(p).size == 2, p)
   }
 
   test("text-dedup candidate generation is always an equi-join, never a cross product") {

@@ -103,6 +103,36 @@ class GroupedTopKSpec extends SparkSpec {
     assert(got1 == Set(-1L), got1)
   }
 
+  test("randomized parity with the window formulation (nulls, mixed directions)") {
+    // seeded randomized sweep over data shape, k, partitioning, and
+    // sort spec — the generalized ordering path must agree with
+    // row_number().over(orderBy(...)) everywhere. Rows are made
+    // unique by the trailing id column so ties resolve identically.
+    val rnd = new scala.util.Random(42)
+    for (case_ <- 1 to 8) {
+      val n = 20 + rnd.nextInt(180)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(4).toString,
+         if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12).toDouble),
+         if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toString),
+         i.toLong)
+      }
+      val df = rows.toDF("k", "v", "s", "id").repartition(1 + rnd.nextInt(6))
+      val k = 1 + rnd.nextInt(5)
+      val vAsc = rnd.nextBoolean(); val sAsc = rnd.nextBoolean()
+      val sort = Seq("v" -> vAsc, "s" -> sAsc, "id" -> true)
+      val custom = GroupedTopKApi.groupedTopKOrdered(df, Seq("k"), sort, k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      def c(name: String, asc: Boolean) = if (asc) col(name).asc else col(name).desc
+      val w = Window.partitionBy("k")
+        .orderBy(c("v", vAsc), c("s", sAsc), c("id", asc = true))
+      val viaWindow = df.withColumn("rn", row_number().over(w)).where($"rn" <= k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(custom == viaWindow,
+        s"case $case_: n=$n k=$k vAsc=$vAsc sAsc=$sAsc diff=${custom.diff(viaWindow)}/${viaWindow.diff(custom)}")
+    }
+  }
+
   test("k larger than group size returns whole groups; ties break by min tie") {
     val df = Seq(
       ("a", 10.0, 1L), ("a", 10.0, 2L), ("a", 5.0, 3L),

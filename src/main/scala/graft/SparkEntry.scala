@@ -42,6 +42,7 @@ object SparkEntry {
     "q_csv_explode"        -> (Scalars.qCsvExplode _),
     "dedup_exact"          -> (Dedup.qDedupExact _),
     "dedup_minhash_lsh"    -> (Dedup.qDedupMinhashLsh _),
+    "dedup_incremental"    -> (Dedup.qDedupIncremental _),
     "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
     "dedup_simhash"        -> (Dedup.qDedupSimhash _),
     "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
@@ -340,6 +341,37 @@ object SparkEntry {
            FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, floor((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard FROM j
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         mh AS (SELECT doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+           FROM bands b JOIN bands c
+           ON b.band_id = c.band_id AND b.bucket = c.bucket
+           AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+         j AS (SELECT b_id, c_id,
+           len(list_intersect(sb.shingles, sc.shingles)) /
+           (len(sb.shingles) + len(sc.shingles) - len(list_intersect(sb.shingles, sc.shingles))) AS jaccard
+           FROM cand JOIN s sb ON b_id = sb.doc_id JOIN s sc ON c_id = sc.doc_id)
+         SELECT b_id AS doc_id, min(c_id) AS dup_of, count(*) AS n_matches,
+                floor((max(jaccard)) * 1000000 + 0.5) / 1000000 AS best_jaccard
+         FROM j WHERE jaccard >= 0.5 GROUP BY 1 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3

@@ -106,6 +106,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL near-dup: flag each new-batch document that is a
+    * near-dup of the existing corpus, without ever pairing the corpus
+    * against itself — the production shape for continuous ingestion
+    * into a 100 TB corpus. The corpus side only contributes its
+    * signatures (in production these are computed once at ingest and
+    * stored; here they're derived on the fly from the corpus split),
+    * the batch is shingled fresh, and the band join is batch×corpus —
+    * so per-batch cost is O(batch + matched buckets), independent of
+    * re-pairing corpus×corpus. Verification is exact Jaccard on the
+    * candidate pairs only, same contract as [[lshVerifiedPairs]].
+    * Returns one row per batch doc with ≥1 verified corpus match:
+    * (doc_id, dup_of = min matching corpus id, n_matches,
+    * best_jaccard = max verified jaccard). */
+  private[operators] def incrementalNearDup(corpus: DataFrame,
+                                            batch: DataFrame): DataFrame = {
+    val cs = signaturesOf(corpus).cache()
+    val bs = signaturesOf(batch).cache()
+    def bandsOf(sigs: DataFrame, idAs: String) =
+      sigs.select(col("doc_id").as(idAs),
+        posexplode(col("bands")).as(Seq("band_id", "bucket")))
+    val cands = bandsOf(bs, "b_id")
+      .join(bandsOf(cs, "c_id"), Seq("band_id", "bucket"))
+      .select("b_id", "c_id").distinct()
+    val shB = bs.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+    val shC = cs.select(col("doc_id").as("c_id"), col("shingles").as("sh_c"))
+    cands.join(shB, "b_id").join(shC, "c_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))) /
+        (size(col("sh_b")) + size(col("sh_c")) -
+         size(array_intersect(col("sh_b"), col("sh_c")))))
+      .where(col("jaccard") >= JaccardThreshold)
+      .groupBy("b_id")
+      .agg(min("c_id").as("dup_of"),
+           count(lit(1)).as("n_matches"),
+           max("jaccard").as("best_jaccard"))
+  }
+
+  /** Gate query for [[incrementalNearDup]]: even doc_ids play the
+    * standing corpus, odd doc_ids the incoming batch. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalNearDup(
+      corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      batch = docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      .select(col("b_id").as("doc_id"), col("dup_of"), col("n_matches"),
+        Text.roundPortable(col("best_jaccard"), 6).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard near-dup via a PREFIX-FILTERED inverted
     * index — still exact (no LSH approximation), but candidate
     * generation only indexes each document's `|d| - ⌈t·|d|⌉ + 1`

@@ -73,7 +73,8 @@ class PlanAuditSpec extends SparkSpec {
     // nested-loop join. (Embedding ops are excluded: their bounded
     // ×centroids crossJoin-broadcast assignment is legitimate.)
     for (q <- Seq("dedup_exact", "dedup_minhash_lsh",
-                  "dedup_ngram_jaccard", "dedup_simhash")) {
+                  "dedup_ngram_jaccard", "dedup_simhash",
+                  "dedup_incremental")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoop"), s"$q:\n$p")

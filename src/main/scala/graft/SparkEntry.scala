@@ -28,6 +28,7 @@ object SparkEntry {
     "q_left_join_zerofill" -> (Relational.qLeftJoinZerofill _),
     "q_topk_multisort"   -> (Relational.qTopKMultiSort _),
     "q_sessionize"       -> (Sessions.qSessionize _),
+    "q_session_window"   -> (Sessions.qSessionWindow _),
     "q_session_stats"    -> (Sessions.qSessionStats _),
     "q_page_convert_rate" -> (Sessions.qPageConvertRate _),
     "q_area_top3"        -> (AreaTop3.qAreaTop3 _),
@@ -197,6 +198,19 @@ object SparkEntry {
                 count(*) AS step_length,
                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
          FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+         SELECT user_id, min(ts_sec) AS start_sec,
+                max(ts_sec) - min(ts_sec) AS visit_length,
+                count(*) AS step_length,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+         FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_sec""",
     "q_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, ts,
                     epoch_ns(ts)//1000000000 AS ts_sec FROM events),

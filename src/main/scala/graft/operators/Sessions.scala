@@ -53,6 +53,33 @@ object Sessions {
         count(when(col("event_type") === "purchase", 1)).as("purchases"))
       .orderBy("user_id", "session_idx")
 
+  /** Sessionization via Spark's NATIVE `session_window` merging
+    * aggregation — the same sessions as [[qSessionize]], computed by
+    * the built-in operator instead of lag + cumsum. Boundary
+    * semantics: session_window merges on half-open intervals (merge
+    * iff gap ≤ duration — measured here: 1801 s merged one more pair
+    * than the lag form, 1800 s matches it exactly), same as the lag
+    * formulation's `> 1800` starts-a-session rule on whole-second
+    * timestamps. No per-user ordinal exists here, so sessions key on
+    * their start time instead of session_idx. Why carry both forms:
+    * session_window is the expression that ALSO runs incrementally
+    * under Structured Streaming with a watermark (state = open
+    * sessions, merged on arrival), so batch and stream share one
+    * sessionization definition; the lag form exists for engines and
+    * oracles without merging windows. One shuffle on user_id, like
+    * qSessionize. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsNorm(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("ts_sec")), "1800 seconds"))
+      .agg(
+        min("ts_sec").as("start_sec"),
+        (max("ts_sec") - min("ts_sec")).as("visit_length"),
+        count(lit(1)).as("step_length"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .select("user_id", "start_sec", "visit_length", "step_length", "purchases")
+      .orderBy("user_id", "start_sec")
+
   /** Whole-population session stats: bucketed visit-length /
     * step-length ratios in ONE conditional-agg row — replaces the
     * reference's custom accumulator + driver-side ratio math

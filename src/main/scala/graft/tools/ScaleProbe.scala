@@ -100,7 +100,10 @@ object ScaleProbe {
         // strata counts are fixed while rows/stratum grow ×N — the
         // worst case for the old full-sort rank, the best case for
         // the round-5 GroupedTopK heap-prune (≤100 rows survive)
-        "q_stratified_sample")
+        "q_stratified_sample",
+        // batch×corpus band join: cost should track the batch side
+        // and matched buckets, never corpus self-pairing
+        "dedup_incremental")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       "dedup_embedding_scaled" -> ((s: SparkSession, d: String) =>
         graft.operators.Similarity.embeddingNearDupScaled(Tables.embeddings(s, d))),

@@ -51,7 +51,7 @@ object Dedup {
     * cluster query, and the curation pipeline (which feeds only its
     * quality/exact survivors — computing signatures over documents
     * that a cheaper upstream filter already dropped is pure waste). */
-  private[operators] def signaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(Text.shingles3(col("text"))).as("sh"))
     val minCols = (0 until MinhashSeeds).map(j =>
@@ -120,8 +120,19 @@ object Dedup {
     * (doc_id, dup_of = min matching corpus id, n_matches,
     * best_jaccard = max verified jaccard). */
   private[operators] def incrementalNearDup(corpus: DataFrame,
+                                            batch: DataFrame): DataFrame =
+    incrementalNearDupSigs(signaturesOf(corpus).cache(), batch)
+
+  /** The production entry: corpus SIGNATURES are computed once at
+    * ingest (and in a long-running curation service cached/stored
+    * across batches) — each incoming batch only shingles itself and
+    * band-joins against the standing signature table. Batch results
+    * compose: no batch-batch pairs are ever formed, so running
+    * batches b₁…bₙ separately yields exactly the rows of one run
+    * over b₁∪…∪bₙ (asserted by StreamingIncrementalDedupSpec, which
+    * drives this from foreachBatch over a doc stream). */
+  private[graft] def incrementalNearDupSigs(cs: DataFrame,
                                             batch: DataFrame): DataFrame = {
-    val cs = signaturesOf(corpus).cache()
     val bs = signaturesOf(batch).cache()
     def bandsOf(sigs: DataFrame, idAs: String) =
       sigs.select(col("doc_id").as(idAs),

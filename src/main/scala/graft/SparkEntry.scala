@@ -72,6 +72,7 @@ object SparkEntry {
     "q_cube"               -> (Analytic.qCube _),
     "q_percentiles"        -> (Analytic.qPercentiles _),
     "q_approx_sketch"      -> (Analytic.qApproxSketch _),
+    "q_cm_sketch"          -> (Analytic.qCmSketch _),
     "q_range_join"         -> (TemporalJoins.qRangeJoin _),
     "q_asof_join"          -> (TemporalJoins.qAsofJoin _),
     "q_param_filter"       -> (ParamFilters.qParamFilter _),
@@ -632,6 +633,28 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          true AS hll_within_8pct, true AS p50_within_5pct
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // Count-min is fully deterministic (fixed multiplicative hashes,
+    // counters sum) — the oracle rebuilds the whole sketch.
+    "q_cm_sketch" ->
+      """WITH k AS (SELECT user_id FROM events),
+         r AS (SELECT CAST(i AS BIGINT) AS row_id,
+                      CASE i WHEN 0 THEN 654435747 WHEN 1 THEN 246822505 ELSE 266489896 END AS a,
+                      CASE i WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END AS b
+               FROM range(0, 3) t(i)),
+         buck AS (SELECT user_id, row_id,
+                    ((user_id % 1000000007) * a + b) % 1000000007 % 64 AS bucket
+                  FROM k CROSS JOIN r),
+         counters AS (SELECT row_id, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+         watch AS (SELECT user_id, count(*) AS true_count FROM events
+                   WHERE user_id % 7 = 0 GROUP BY 1),
+         qb AS (SELECT user_id, true_count, row_id,
+                  ((user_id % 1000000007) * a + b) % 1000000007 % 64 AS bucket
+                FROM watch CROSS JOIN r),
+         est AS (SELECT user_id, min(true_count) AS true_count, min(c) AS est_count
+                 FROM qb JOIN counters USING (row_id, bucket) GROUP BY user_id)
+         SELECT user_id, true_count, est_count,
+                est_count >= true_count AS never_underestimates
+         FROM est ORDER BY user_id""",
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                     epoch_ns(ts)//1000000000 AS ts_sec FROM events),

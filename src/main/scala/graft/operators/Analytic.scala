@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -107,6 +107,52 @@ object Analytic {
           greatest(abs(col("p50_exact")) * lit(0.05), lit(0.05)))
           .as("p50_within_5pct"))
       .orderBy("event_type")
+  }
+
+  /** Count-min frequency sketch, built as plain aggregation — the
+    * frequency-estimation sibling of [[qApproxSketch]]'s cardinality
+    * sketch. d=3 hash rows × w=64 counters; each event increments one
+    * counter per row, an estimate is the MIN of a key's d counters
+    * (only collisions inflate, never deflate — so est ≥ true always,
+    * asserted per-row in the output). The counter build is one
+    * groupBy over (row, bucket): the partial/final HashAggregate IS
+    * the sketch merge (counters sum elementwise), which is what makes
+    * count-min the 100 TB idiom — a 3×64 table summarizes any number
+    * of partitions/days and two sketches union by addition. Hashes
+    * are fixed multiplicative congruences ((k%P)·a+b mod P mod w, all
+    * literals pre-reduced), so the whole sketch is deterministic and
+    * the DuckDB oracle reproduces it counter for counter. Queried
+    * keys (user_id ≡ 0 mod 7) stand in for a hot-key watchlist. */
+  def qCmSketch(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val P = 1000000007L
+    val A = Seq(654435747L, 246822505L, 266489896L)
+    val B = Seq(1L, 7L, 13L)
+    def bucketOf(key: Column, i: Int): Column =
+      pmod(pmod(key, lit(P)) * lit(A(i)) + lit(B(i)), lit(P)) % lit(W)
+    val e = Tables.eventsNorm(spark, dir).select("user_id")
+    val counters = e
+      .select(explode(array((0 until 3).map(i =>
+        struct(lit(i).as("row_id"), bucketOf(col("user_id"), i).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val watch = e.where(pmod(col("user_id"), lit(7)) === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("true_count"))
+    val est = watch
+      .select(col("user_id"), col("true_count"),
+        explode(array((0 until 3).map(i =>
+          struct(lit(i).as("row_id"), bucketOf(col("user_id"), i).as("bucket"))): _*))
+          .as("rb"))
+      .select(col("user_id"), col("true_count"),
+        col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .join(counters, Seq("row_id", "bucket"))
+      .groupBy("user_id")
+      .agg(first("true_count").as("true_count"), min("c").as("est_count"))
+    est
+      .select(col("user_id"), col("true_count"), col("est_count"),
+        (col("est_count") >= col("true_count")).as("never_underestimates"))
+      .orderBy("user_id")
   }
 
   /** Rollup over the region/nation hierarchy with grouping flags —

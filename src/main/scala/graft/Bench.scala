@@ -29,7 +29,11 @@ object Bench {
 
   private val BaseReps = 3
   private val HeavyReps = 7
-  private val HeavyThresholdSec = 2.0
+  // 0.3 s, not 2.0: round 6 proved the 0.3–2 s band is where a single
+  // noisy rep still owns a 3-rep median (q_sessionize 0.49→1.30 s with
+  // byte-identical code); below 0.3 s queries are too cheap for one
+  // stray rep to matter and too numerous to give 7 reps each
+  private val HeavyThresholdSec = 0.3
 
   private case class QueryResult(sec: Double, reps: Seq[Double],
                                  rows: Long, err: Option[String])

@@ -46,10 +46,12 @@ object SparkEntry {
     "dedup_incremental"    -> (Dedup.qDedupIncremental _),
     "dedup_ngram_jaccard"  -> (Dedup.qDedupNgramJaccard _),
     "dedup_simhash"        -> (Dedup.qDedupSimhash _),
+    "dedup_simhash_wide"   -> (Dedup.qDedupSimhashWide _),
     "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
     "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
+    "dedup_embedding_scaled"  -> (Similarity.qDedupEmbeddingScaled _),
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
@@ -64,6 +66,7 @@ object SparkEntry {
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
     "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
     "stream_attribution"   -> (StreamingAnalogs.qAttribution _),
+    "stream_sessions"      -> (graft.streaming.StatefulSessions.qStreamSessions _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "q_running_total"      -> (Analytic.qRunningTotal _),
@@ -430,6 +433,38 @@ object SparkEntry {
                             strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
             FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
+    // 24-bit-band config: identical signature pipeline, bands are 6 hex
+    // chars at stride 2 (6 bands) instead of 4 hex chars (7 bands)
+    "dedup_simhash_wide" ->
+      """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS toks FROM d0),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM t),
+         b AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(hx, p, 1)) - 1 AS v
+               FROM h CROSS JOIN range(1, 17) ps(p)),
+         votes AS (SELECT doc_id, p,
+            sum(CASE WHEN (v & 8) > 0 THEN 1 ELSE -1 END) AS s3,
+            sum(CASE WHEN (v & 4) > 0 THEN 1 ELSE -1 END) AS s2,
+            sum(CASE WHEN (v & 2) > 0 THEN 1 ELSE -1 END) AS s1,
+            sum(CASE WHEN (v & 1) > 0 THEN 1 ELSE -1 END) AS s0
+            FROM b GROUP BY doc_id, p),
+         digits AS (SELECT doc_id, p, substr('0123456789abcdef',
+            CAST(1 + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END + CASE WHEN s2 > 0 THEN 4 ELSE 0 END
+               + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS INT), 1) AS c
+            FROM votes),
+         sig AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS sh FROM digits GROUP BY doc_id),
+         bands AS (SELECT doc_id, bb AS band_id, substr(sh, CAST(1 + 2 * bb AS INT), 6) AS bucket
+            FROM sig CROSS JOIN range(0, 6) bs(bb)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         ham AS (SELECT doc_a, doc_b,
+            CAST(list_sum(list_transform(range(1, 17), p ->
+              bit_count(xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
+                            strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
     "dedup_clusters" -> DedupClustersOracleSql,
     "dedup_clusters_dist" -> DedupClustersOracleSql,
     "dedup_embedding" ->
@@ -440,6 +475,25 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "dedup_embedding_blocked" ->
       """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         asg AS (SELECT vec_id, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, c_id AS bucket FROM best WHERE rn <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         v AS (SELECT id_a, id_b,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS sim
+             FROM cand JOIN embeddings ea ON id_a = ea.vec_id JOIN embeddings eb ON id_b = eb.vec_id)
+         SELECT id_a, id_b, floor(sim * 10000 + 0.5) / 10000 AS sim FROM v
+         WHERE sim >= 0.45 ORDER BY id_a, id_b""",
+    // same blocked pipeline, but the centroid count is derived from the
+    // corpus as greatest(8, ceil(sqrt(n))) — the exact sizing rule of
+    // graft.operators.Similarity.embeddingNearDupScaled
+    "dedup_embedding_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                  WHERE vec_id < (SELECT c FROM nc)),
          asg AS (SELECT vec_id, c_id,
              list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
              FROM embeddings CROSS JOIN cent),
@@ -572,6 +626,22 @@ object SparkEntry {
            ON i.ad_id = k.ad_id AND i.user_id = k.user_id
           AND k.click_sec >= i.imp_sec AND k.click_sec <= i.imp_sec + 3600
          GROUP BY i.ad_id ORDER BY i.ad_id""",
+    // the STREAMING flatMapGroupsWithState sessionizer, replayed over
+    // the bounded events table — must close exactly the sessions the
+    // batch q_sessionize oracle computes (same SQL on purpose)
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+         SELECT user_id, session_idx, min(ts_sec) AS start_sec,
+                max(ts_sec) - min(ts_sec) AS visit_length,
+                count(*) AS step_length,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
     "mm_decode" ->
       """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents)
          SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,

@@ -220,16 +220,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus size above which the default simhash banding widens from
+    * 16-bit to 24-bit bands. SCALING.md's measurement locates the
+    * crossover: at ~10⁵+ docs the 16-bit buckets' birthday-collision
+    * candidates (~n²/16⁴ per band) overtake the recall benefit, while
+    * 24-bit bands shrink candidates ~256× per band for a few points
+    * of recall at the same hamming threshold. */
+  private[operators] val SimhashWideBandDocs = 100000L
+
+  /** The banding the default config uses for a corpus of n docs —
+    * pulled out so the choice is testable without 10⁵-doc fixtures. */
+  private[graft] def simhashBandHexLenFor(n: Long): Int =
+    if (n > SimhashWideBandDocs) 6 else 4
+
   /** SimHash near-dup: 64-bit signature over the distinct 3-gram
     * shingles via the custom [[graft.functions.SimHash64]] expression
-    * (one scalar pass per doc), banded by 4 hex chars for candidates,
-    * verified by exact bit-level hamming distance. Documents with no
-    * shingles (< 3 tokens) are dropped before banding — an all-zero
-    * signature would otherwise pair every pair of short docs at
-    * hamming 0, which is noise, and the oracle's unnest-based
-    * formulation never emits them either. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir))
+    * (one scalar pass per doc), banded for candidates, verified by
+    * exact bit-level hamming distance. Documents with no shingles
+    * (< 3 tokens) are dropped before banding — an all-zero signature
+    * would otherwise pair every pair of short docs at hamming 0,
+    * which is noise, and the oracle's unnest-based formulation never
+    * emits them either. Band width is derived from a parquet-footer
+    * doc-count bound (no job, no scan): 16-bit bands below
+    * [[SimhashWideBandDocs]] — the gate config the oracle pins — and
+    * 24-bit above, so a caller who never read the banding comment
+    * still doesn't go quadratic at 10⁶ docs. The wide config is
+    * itself hash-gated as dedup_simhash_wide. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet",
+      stopAfter = SimhashWideBandDocs)
+    simhashPairs(Tables.documents(spark, dir),
+      bandHexLen = simhashBandHexLenFor(n))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The 24-bit-band gate: the exact config the adaptive default
+    * switches to at scale, hash-checked against an oracle that bands
+    * identically — so the plan that runs at 10⁶ docs is itself a
+    * checked artifact, not an untested dial setting. 6 overlapping
+    * bands (stride 2) over the 16-hex signature. */
+  def qDedupSimhashWide(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir), bandHexLen = 6)
       .orderBy("doc_a", "doc_b")
 
   /** SimHash candidate+verify core with the banding exposed as the

@@ -143,17 +143,38 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Centroid count for the scale path: √n (floored at the fixed-gate
+    * count) keeps expected bucket size ~√n, so per-bucket pair
+    * generation totals ~n^1.5 instead of the pinned config's ~n²/8. */
+  private[graft] def scaledCentroids(n: Long): Int =
+    math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** The scale API for embedding near-dup: IVF blocking with the
     * centroid count grown as √n, so bucket size stays ~√n and
     * per-bucket pair generation stays ~n^1.5 total rather than n².
-    * Approximate (recall is the IVF/multi-probe trade, measured in
-    * SCALING.md); the fixed-config variant is hash-gated as
-    * dedup_embedding_blocked. */
-  def embeddingNearDupScaled(emb: DataFrame): DataFrame = {
-    val n = emb.count()
-    blockedNearDup(emb,
-      math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt), NumProbes)
+    * Corpus size comes from parquet FOOTER metadata — building this
+    * plan runs zero Spark jobs (the round-5 fix qDedupEmbedding got;
+    * an emb.count() here cost a full scan per invocation). `nProbes`
+    * is the recall/cost dial (each vector lands in its nProbes nearest
+    * buckets; recall-vs-nprobe measured in SCALING.md), mirroring the
+    * simhash banding dial. Approximate by construction; the
+    * fixed-config variant is hash-gated as dedup_embedding_blocked,
+    * this √n config as dedup_embedding_scaled. */
+  def embeddingNearDupScaled(spark: SparkSession, dir: String,
+                             nProbes: Int = NumProbes): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    blockedNearDup(Tables.embeddings(spark, dir), scaledCentroids(n), nProbes)
   }
+
+  /** The √n-centroid gate: same output shape as the blocked gate, but
+    * the centroid count is derived from the corpus the way the scale
+    * API actually does it — so the plan you'd run at 100× is the
+    * hash-checked one, not just the oracle-pinned toy config. */
+  def qDedupEmbeddingScaled(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupScaled(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
 
   /** The blocked-path gate: IVF blocking forced with the fixed
     * (numCentroids=8, nProbes=2) configuration the DuckDB oracle

@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import scala.collection.mutable.ListBuffer
 
@@ -102,5 +105,59 @@ object StatefulSessions {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stateFn(gapSeconds))
+  }
+
+  /** Oracle gate for the STREAMING sessionizer: replay the bounded
+    * events table through a real running query (MemoryStream source,
+    * real watermark, real event-time timeouts) and return the closed
+    * sessions in the q_sessionize oracle's shape. Three micro-batches:
+    * all real events, then two far-future sentinel events for a dummy
+    * user — the watermark trails a batch behind the data it saw, so
+    * the first sentinel flushes sessions whose timeout target sits at
+    * or before max(real ts) and the second flushes the stragglers
+    * whose target lands inside (max ts, max ts + gap]. The sentinel
+    * user's own still-open session is filtered out by id. session_idx
+    * is re-derived by start order per user (sessions of one user
+    * can't tie on start_sec — a tie would mean gap 0, one session).
+    *
+    * This is a correctness replay harness for a bounded fixture, not
+    * the production shape — there the same `sessionize` runs on a
+    * readStream source and the driver-side addData below doesn't
+    * exist. The collect is the harness feeding the source, not the
+    * operator. */
+  def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val ctx = spark.sqlContext
+    implicit val evEnc = Encoders.product[SessionEvent]
+    val evs = graft.Tables.eventsNorm(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_sec"),
+              col("event_type"))
+      .as[SessionEvent]
+      .collect()
+    val maxSec = evs.iterator.map(_.ts_sec).max
+    val input = MemoryStream[SessionEvent]
+    val withTime = input.toDS()
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .withWatermark("event_time", "0 seconds")
+      .as[SessionEvent]
+    val sink = "stream_sessions_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sessionize(withTime)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      input.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(SessionEvent(-1L, maxSec + 2 * DefaultGapSeconds, "view"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(-1L, maxSec + 4 * DefaultGapSeconds, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the memory sink's table outlives the stopped query; read it lazily
+    val w = Window.partitionBy("user_id").orderBy("start_sec")
+    spark.table(sink).where(col("user_id") >= 0)
+      .withColumn("session_idx", row_number().over(w).cast("long"))
+      .select("user_id", "session_idx", "start_sec", "visit_length",
+              "step_length", "purchases")
+      .orderBy("user_id", "session_idx")
   }
 }

@@ -105,15 +105,24 @@ object ScaleProbe {
         // and matched buckets, never corpus self-pairing
         "dedup_incremental")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
-      "dedup_embedding_scaled" -> ((s: SparkSession, d: String) =>
-        graft.operators.Similarity.embeddingNearDupScaled(Tables.embeddings(s, d))),
-      // the banding dial at the width SCALING.md prescribes for large
-      // corpora (24-bit bands): candidates shrink ~16^2× per band, so
-      // this is what the default simhash config's super-linear growth
-      // converts to once band bits grow with log₂(n)
-      "dedup_simhash_wide" -> ((s: SparkSession, d: String) =>
-        graft.operators.Dedup.simhashPairs(Tables.documents(s, d), 6, 2)
-          .orderBy("doc_a", "doc_b")))
+      // both scale configs are oracle-gated since round 7
+      // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)
+      "dedup_embedding_scaled" -> SparkEntry.queries("dedup_embedding_scaled"),
+      "dedup_simhash_wide" -> SparkEntry.queries("dedup_simhash_wide"),
+      // the same join/agg as q_skew_join_salted but UNSALTED, leaving
+      // skew to AQE's runtime split — benchmarked beside the manual
+      // salt so SCALING.md shows whether the ×8 dim replication still
+      // earns its complexity on Spark 4 AQE
+      "q_skew_join_plain_aqe" -> ((s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val pt = Tables.part(s, d)
+        li.join(pt, li("l_partkey") === pt("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+               graft.functions.Text.roundPortable(
+                 sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy("p_brand")
+      }))
 
     def timeAll(dir: String): Map[String, (Double, Long)] = probes.map {
       case (name, fn) =>

@@ -42,4 +42,25 @@ class DedupBandingSpec extends SparkSpec {
       "a pair surviving 32-bit bands must also collide on some 16-bit sub-band")
     spark.catalog.clearCache()
   }
+
+  test("default band width adapts to corpus size at the documented crossover") {
+    assert(Dedup.simhashBandHexLenFor(0L) == 4)
+    assert(Dedup.simhashBandHexLenFor(100000L) == 4)   // at the bound: gate config
+    assert(Dedup.simhashBandHexLenFor(100001L) == 6)   // above: 24-bit bands
+    assert(Dedup.simhashBandHexLenFor(1000000L) == 6)
+  }
+
+  test("wide-gate pairs are a subset of default-gate pairs on the fixture") {
+    // every 6-hex band start (1,3,…,11) is also a 4-hex band start, and
+    // agreement on 6 chars implies agreement on its 4-char prefix — so
+    // wide candidates ⊆ narrow candidates, and with the identical exact
+    // hamming verify, wide PAIRS ⊆ narrow pairs. The wide gate must
+    // never invent a pair the default config wouldn't emit.
+    val narrow = Dedup.qDedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").collect().toSet
+    val wide = Dedup.qDedupSimhashWide(spark, sf)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(wide.subsetOf(narrow), s"wide-only pairs: ${(wide diff narrow).take(3)}")
+    spark.catalog.clearCache()
+  }
 }

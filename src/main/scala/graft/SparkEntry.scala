@@ -61,6 +61,8 @@ object SparkEntry {
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
+    "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
+    "pack_sequences"       -> (Packing.qPackSequences _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
@@ -583,6 +585,31 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // eval slice = doc_id ≡ 0 (mod 20); n_shared = distinct word
+    // 4-grams a training doc shares with any eval doc
+    "text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+                 THEN list_transform(range(1, len(toks)-2), i -> array_to_string(toks[i:i+3], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         ev AS (SELECT DISTINCT unnest(shingles) AS sh FROM s WHERE doc_id % 20 = 0),
+         tr AS (SELECT doc_id, unnest(shingles) AS sh FROM s WHERE doc_id % 20 != 0)
+         SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (sh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // concat-and-chunk packing at 256 tokens/sequence in doc_id order;
+    // the oracle's single global cumsum is the semantic spec the
+    // engine's two-phase distributed prefix sum must reproduce
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_bpe_tokens,
+           CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_bpe_tokens AS BIGINT) AS start_offset FROM t)
+         SELECT doc_id, n_bpe_tokens, start_offset // 256 AS seq_id,
+                start_offset % 256 AS seq_offset
+         FROM c ORDER BY doc_id""",
     "stream_blacklist" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS date, user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id, count(*) AS n

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sequence packing — the concat-and-chunk step of an LLM training
+  * pipeline: documents are laid end-to-end in a canonical order and
+  * cut into fixed-token-budget training sequences, so each doc is
+  * assigned the sequence its first token lands in plus its offset
+  * there. The core is a corpus-wide running token offset, i.e. a
+  * distributed prefix sum.
+  *
+  * A naive `sum(n) over (order by doc_id)` is a single-partition
+  * window — the WindowExec "moving all data to a single partition"
+  * case, unusable beyond one task's memory. This is the standard
+  * two-phase prefix sum instead: docs are bucketed by id range into
+  * ~√n buckets, the heavy cumulative sum runs per-bucket (parallel,
+  * partitioned window), and only the ~√n bucket subtotals go through
+  * a global window before being broadcast back. Both levels are √n
+  * rows wide, so one task never holds more than ~√n rows of window
+  * state; at 10¹² docs that is 10⁶ — and the same trick recurses if
+  * even that is too wide.
+  */
+object Packing {
+
+  /** Tokens per training sequence. Real pipelines use the model's
+    * context length (2k–128k); 256 keeps sf-fixture sequences plural. */
+  private val SeqTokens = 256L
+
+  /** doc → (sequence id, offset) assignment under concat-and-chunk
+    * packing in doc_id order. Bucket width comes from the parquet
+    * footer row count (no job; ids sparser than dense only mean more,
+    * smaller buckets — ordering, and thus the packing, is unchanged). */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val bucketWidth = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        (col("doc_id") / bucketWidth).cast("long").as("bucket"))
+    // phase 1: per-bucket exclusive running sum — parallel across buckets
+    val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = toks.withColumn("intra_excl",
+      sum("n_bpe_tokens").over(wIntra) - col("n_bpe_tokens"))
+    // phase 2: exclusive prefix over the ~√n bucket subtotals (the only
+    // global window, √n rows), broadcast back onto the docs
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = toks.groupBy("bucket")
+      .agg(sum("n_bpe_tokens").as("btot"))
+      .withColumn("bucket_excl", sum("btot").over(wBucket) - col("btot"))
+      .select("bucket", "bucket_excl")
+    intra.join(broadcast(prefixes), "bucket")
+      .withColumn("start_offset", col("bucket_excl") + col("intra_excl"))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        // integer DIV, not `/`: double division loses exactness once
+        // corpus-wide token offsets pass 2^53
+        expr(s"start_offset DIV $SeqTokens").as("seq_id"),
+        pmod(col("start_offset"), lit(SeqTokens)).cast("long").as("seq_offset"))
+      .orderBy("doc_id")
+  }
+}

@@ -75,13 +75,47 @@ object TextAnalysis {
     * runs, each with optional leading space) — the unit a byte-pair
     * encoder would then merge. Whitespace token counts are in
     * [[qTextStats]]; this is the tokenizer-shaped count an LLM data
-    * pipeline budgets by. */
-  def qTextTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    * pipeline budgets by (and the unit [[Packing]] packs by). */
+  private[graft] def bpeTokenCount(text: Column): Column = {
     val pattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+  }
+
+  def qTextTokensBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
-          .cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Train/eval decontamination: flag training documents that share
+    * any word 4-gram with the held-out eval slice (here: doc_id ≡ 0
+    * mod 20 stands in for the benchmark set). The canonical LLM
+    * pre-training hygiene pass — n-gram overlap against benchmarks —
+    * expressed as an inverted-index join: eval shingles are DISTINCT
+    * and tiny relative to the corpus (benchmarks are fixed-size while
+    * training data grows), so they broadcast and the train side never
+    * shuffles until the per-doc count. n_shared is the number of
+    * distinct shared shingles; thresholding is caller policy (chance
+    * 4-gram collisions exist on a small vocabulary — the count, not a
+    * boolean, is the operator's output). */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    // tokens are materialized in their own projection BEFORE the
+    // higher-order shingle transform: HOFs don't codegen, and an
+    // inline tokens(text) inside the lambda re-runs the regex split
+    // once per sequence element (measured 2.9 s vs 0.9 s at sf0.1)
+    val t = col("toks")
+    val shingles = when(size(t) >= w,
+        array_distinct(transform(sequence(lit(0), size(t) - w),
+          i => array_join(slice(t, i + 1, lit(w)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles).as("sh"))
+    val ev = docs.where(col("doc_id") % 20 === 0).select("sh").distinct()
+    docs.where(col("doc_id") % 20 =!= 0)
+      .join(broadcast(ev), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
 

@@ -103,7 +103,11 @@ object ScaleProbe {
         "q_stratified_sample",
         // batch×corpus band join: cost should track the batch side
         // and matched buckets, never corpus self-pairing
-        "dedup_incremental")
+        "dedup_incremental",
+        // two-phase prefix sum: per-bucket windows + √n bucket prefix
+        "pack_sequences",
+        // broadcast inverted-index join against a fixed-size eval set
+        "text_decontaminate")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -63,6 +63,7 @@ object SparkEntry {
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "pack_sequences"       -> (Packing.qPackSequences _),
+    "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
@@ -610,6 +611,11 @@ object SparkEntry {
          SELECT doc_id, n_bpe_tokens, start_offset // 256 AS seq_id,
                 start_offset % 256 AS seq_offset
          FROM c ORDER BY doc_id""",
+    // deterministic training-order shuffle: rank on md5(doc_id)
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS position
+         FROM documents ORDER BY doc_id""",
     "stream_blacklist" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS date, user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id, count(*) AS n

@@ -62,4 +62,36 @@ object Packing {
         pmod(col("start_offset"), lit(SeqTokens)).cast("long").as("seq_offset"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic global shuffle — the training-order randomization
+    * that runs before packing: every doc gets a pseudorandom but
+    * reproducible position 0..n−1 by ranking on md5(doc_id). A global
+    * rank is the same single-partition-window trap as the prefix sum
+    * above, dodged the same way: docs are bucketed by the hash's
+    * first two hex chars (256 uniform buckets — the hash itself is
+    * the balancer, no skew possible), ranked per bucket in parallel,
+    * and only the 256 bucket counts go through a global window before
+    * broadcasting back as offsets. Bucket-prefix + intra-bucket rank
+    * equals the global rank because the bucket key is a PREFIX of the
+    * sort key: ordering by (bucket, rest-of-hash) is ordering by the
+    * hash. md5 is engine-portable (the DuckDB oracle replays it) and
+    * seeding a different epoch's order is just salting the hashed
+    * string. */
+  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("bucket", substring(col("rk"), 1, 2))
+    val wIntra = Window.partitionBy("bucket").orderBy("rk", "doc_id")
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", sum("bn").over(wBucket) - col("bn"))
+      .select("bucket", "offset")
+    ranked
+      .withColumn("intra_rank", row_number().over(wIntra).cast("long"))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"),
+        (col("offset") + col("intra_rank") - 1).as("position"))
+      .orderBy("doc_id")
+  }
 }

@@ -97,8 +97,15 @@ object TextAnalysis {
     * distinct shared shingles; thresholding is caller policy (chance
     * 4-gram collisions exist on a small vocabulary — the count, not a
     * boolean, is the operator's output). */
-  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val w = 4
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), col("doc_id") % 20 === 0, 4)
+
+  /** Core with the knobs exposed: `isEval` marks the held-out slice,
+    * `w` is the shingle width (4 here because the synthetic corpus is
+    * ~55 tokens/doc on a 40-word vocabulary; real decontamination
+    * uses 8–13-gram widths, where chance collisions vanish). */
+  private[graft] def decontaminate(documents: DataFrame, isEval: Column,
+                                   w: Int): DataFrame = {
     // tokens are materialized in their own projection BEFORE the
     // higher-order shingle transform: HOFs don't codegen, and an
     // inline tokens(text) inside the lambda re-runs the regex split
@@ -108,11 +115,11 @@ object TextAnalysis {
         array_distinct(transform(sequence(lit(0), size(t) - w),
           i => array_join(slice(t, i + 1, lit(w)), " "))))
       .otherwise(array().cast("array<string>"))
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingles).as("sh"))
-    val ev = docs.where(col("doc_id") % 20 === 0).select("sh").distinct()
-    docs.where(col("doc_id") % 20 =!= 0)
+    val ev = docs.where(isEval).select("sh").distinct()
+    docs.where(!isEval)
       .join(broadcast(ev), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -106,6 +106,8 @@ object ScaleProbe {
         "dedup_incremental",
         // two-phase prefix sum: per-bucket windows + √n bucket prefix
         "pack_sequences",
+        // hash-bucketed global rank: 256 parallel windows + offsets
+        "q_global_shuffle",
         // broadcast inverted-index join against a fixed-size eval set
         "text_decontaminate")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -40,6 +40,15 @@ class PackingSpec extends SparkSpec {
     assert(seqIds.zip(seqIds.tail).forall { case (a, b) => b >= a })
   }
 
+  test("global shuffle is a permutation of 0..n-1 that differs from id order") {
+    val pos = Packing.qGlobalShuffle(spark, sf)
+      .orderBy("doc_id").select("position").collect().map(_.getLong(0))
+    assert(pos.sorted.toSeq == (0L until pos.length).toSeq,
+      "positions must be exactly 0..n-1")
+    // astronomically unlikely for a hash order to equal id order
+    assert(pos.toSeq != (0L until pos.length).toSeq, "order was not shuffled")
+  }
+
   test("decontamination never flags the eval slice and counts are positive") {
     val out = TextAnalysis.qDecontaminate(spark, sf).collect()
     assert(out.nonEmpty, "fixture has planted near-dups of eval docs")

@@ -62,6 +62,9 @@ object SparkEntry {
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
+    "text_repetition"      -> (TextAnalysis.qTextRepetition _),
+    "emb_kmeans"           -> (Clustering.qEmbKmeans _),
+    "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
@@ -597,6 +600,68 @@ object SparkEntry {
          tr AS (SELECT doc_id, unnest(shingles) AS sh FROM s WHERE doc_id % 20 != 0)
          SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (sh)
          GROUP BY doc_id ORDER BY doc_id""",
+    // Gopher-style repetition signals; max_run via run-boundary gaps
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         g AS (SELECT doc_id, toks, len(toks) AS n,
+                CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS g2 FROM d),
+         r AS (SELECT doc_id, n, g2,
+                CASE WHEN n <= 1 THEN [0]
+                  ELSE ([0] || list_filter(range(1, n), i -> toks[i+1] != toks[i]) || [n]) END AS b
+               FROM g)
+         SELECT doc_id,
+           floor((CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END) * 10000 + 0.5) / 10000 AS dup_2gram_frac,
+           floor((CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END) * 10000 + 0.5) / 10000 AS top_2gram_frac,
+           CASE WHEN n <= 1 THEN CAST(n AS BIGINT)
+             ELSE CAST(list_max(list_transform(range(1, len(b)), i -> b[i+1] - b[i])) AS BIGINT) END AS max_run
+         FROM r ORDER BY doc_id""",
+    // Lloyd's k-means, k=8, 2 iterations, first-k init, centroids
+    // rounded to 4 decimals after each update (the cross-engine
+    // determinism contract), squared-Euclidean arg-min with ties to
+    // the lower cluster id — unrolled iteration for iteration
+    "emb_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS c_id, list_transform(v, x -> floor(x*10000+0.5)/10000) AS c FROM e WHERE vec_id < 8),
+         a0 AS (SELECT e.vec_id, e.v, c0.c_id,
+                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))) AS d
+                FROM e CROSS JOIN c0),
+         m0 AS (SELECT vec_id, v, c_id AS cluster FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM a0) WHERE rn = 1),
+         u1 AS (SELECT cluster, pos, avg(val) AS mv FROM
+                (SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM m0) GROUP BY 1, 2),
+         c1 AS (SELECT cluster AS c_id, list(floor(mv*10000+0.5)/10000 ORDER BY pos) AS c FROM u1 GROUP BY 1),
+         a1 AS (SELECT e.vec_id, e.v, c1.c_id,
+                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c1.c[i])*(e.v[i]-c1.c[i]))) AS d
+                FROM e CROSS JOIN c1),
+         m1 AS (SELECT vec_id, v, c_id AS cluster FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM a1) WHERE rn = 1),
+         u2 AS (SELECT cluster, pos, avg(val) AS mv FROM
+                (SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM m1) GROUP BY 1, 2),
+         c2 AS (SELECT cluster AS c_id, list(floor(mv*10000+0.5)/10000 ORDER BY pos) AS c FROM u2 GROUP BY 1),
+         af AS (SELECT e.vec_id, c2.c_id,
+                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))) AS d
+                FROM e CROSS JOIN c2),
+         rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM af)
+         SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+                floor(d * 10000 + 0.5) / 10000 AS dist
+         FROM rf WHERE rn = 1 ORDER BY vec_id""",
+    // temperature mixing: quota ∝ √count, largest-remainder rounding,
+    // deterministic md5-rank selection within each lang stratum
+    "q_temperature_mix" ->
+      """WITH st AS (SELECT lang, count(*) AS g_cnt FROM documents GROUP BY 1),
+         qt AS (SELECT lang, 200 * sqrt(CAST(g_cnt AS DOUBLE)) / sum(sqrt(CAST(g_cnt AS DOUBLE))) OVER () AS ideal FROM st),
+         qb AS (SELECT lang, CAST(floor(ideal) AS BIGINT) AS base, ideal - floor(ideal) AS rem FROM qt),
+         qf AS (SELECT *, 200 - sum(base) OVER () AS leftover,
+                row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM qb),
+         qq AS (SELECT lang, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota FROM qf),
+         r AS (SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn FROM documents)
+         SELECT lang, doc_id FROM r JOIN qq USING (lang) WHERE rn <= quota
+         ORDER BY lang, doc_id""",
     // concat-and-chunk packing at 256 tokens/sequence in doc_id order;
     // the oracle's single global cumsum is the semantic spec the
     // engine's two-phase distributed prefix sum must reproduce

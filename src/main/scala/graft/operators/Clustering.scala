@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Lloyd's k-means over the `embeddings` table — the semantic
+  * clustering step of a data-mixing / semantic-dedup pipeline
+  * (cluster the corpus, then rebalance or prune per cluster).
+  *
+  * The distributed shape is the textbook one and it is the reason
+  * k-means scales: the model (k×dim centroids) is tiny while the data
+  * is huge, so each iteration is
+  *   1. a MAP-ONLY assignment pass — centroids ride into the plan as
+  *      literal arrays, so no join, no shuffle of the corpus, and the
+  *      arg-min over k distances is one codegen'd projection;
+  *   2. a centroid update whose shuffle is k·dim rows PER PARTITION
+  *      (posexplode feeds a hash aggregate, so partial aggregation
+  *      runs map-side) — independent of corpus size.
+  * The driver holds only k×dim doubles between iterations (model
+  * state, not data — the one collect() an iterative fitter is allowed).
+  *
+  * Determinism contract (what lets a DuckDB oracle replay it): init
+  * centroids are the first k vectors; every centroid coordinate is
+  * rounded HALF-UP to 4 decimals after averaging, so the engines'
+  * different summation orders collapse to identical bits before the
+  * next assignment; distances are squared-Euclidean summed in array
+  * order; arg-min ties break on the lower cluster id.
+  */
+object Clustering {
+
+  private val K = 8
+  private val Iters = 2
+  private val Scale = 4 // centroid rounding, decimals
+
+  private def roundTo(x: Double): Double = {
+    val p = math.pow(10, Scale)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** Squared Euclidean distance between a float-array column and one
+    * literal centroid — zip, square, fold, all inside codegen'd
+    * builtins; float→double widening is exact so the fold matches the
+    * oracle's bit for bit. */
+  private def sqDist(v: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(v, typedlit(centroid), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Arg-min cluster for a vector given the current centroids: an
+    * array of (dist, c_id) structs reduced with array_min — struct
+    * ordering is lexicographic, so min dist wins and the lower c_id
+    * breaks exact ties. */
+  private def assign(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    array_min(array(cents.map { case (id, c) =>
+      struct(sqDist(v, c).as("d"), lit(id).as("c_id"))
+    }: _*))
+
+  /** One centroid update: members exploded to (cluster, pos, val),
+    * averaged per coordinate, reassembled driver-side. The collect is
+    * ≤ k·dim rows (512 here) regardless of corpus size. Clusters that
+    * lost every member simply drop out (both engines see the same
+    * member sets, so they drop identically). */
+  private def updateCentroids(assigned: DataFrame): Seq[(Int, Array[Double])] =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("cluster", "pos")
+      .agg(avg("val").as("mv"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq
+      .map { case (cid, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = roundTo(r.getDouble(2)))
+        cid -> arr
+      }
+      .sortBy(_._1)
+
+  /** vec_id → final cluster (+ rounded distance) after [[Iters]]
+    * Lloyd iterations from the deterministic first-k init. */
+  def qEmbKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeans(Tables.embeddings(spark, dir), K, Iters)
+
+  /** Core with k and the iteration count exposed (spec dial: more
+    * iterations must not increase within-cluster sum of squares). */
+  private[graft] def kmeans(embeddings: DataFrame, k: Int,
+                            iters: Int): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init: Seq[(Int, Array[Double])] = emb
+      .where(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).iterator.map(roundTo).toArray))
+      .sortBy(_._1)
+      .toSeq
+    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+      updateCentroids(
+        emb.withColumn("cluster", assign(col("v"), cents).getField("c_id")))
+    }
+    val best = assign(col("v"), finalCents)
+    emb.select(
+        col("vec_id"),
+        best.getField("c_id").cast("long").as("cluster"),
+        Text.roundPortable(best.getField("d"), Scale).as("dist"))
+      .orderBy("vec_id")
+  }
+}

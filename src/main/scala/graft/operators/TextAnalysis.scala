@@ -126,6 +126,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals (the Gopher/MassiveText filter
+    * family): per document,
+    *   - dup_2gram_frac — fraction of word-2-gram occurrences that
+    *     are repeats of an already-seen 2-gram,
+    *   - top_2gram_frac — share of 2-gram occurrences claimed by the
+    *     single most frequent 2-gram,
+    *   - max_run — longest run of the same token repeated
+    *     consecutively ("batch batch batch" → 3).
+    * All pure per-doc Column expressions — a scalar projection with
+    * no shuffle, like the other text scorers; per-doc cost is bounded
+    * by document length (the top-2-gram count is O(distinct·total)
+    * within one doc), independent of corpus size.
+    *
+    * max_run avoids a fold (no engine-portable typed accumulator):
+    * run boundaries are the positions where tokens(i) ≠ tokens(i+1),
+    * and the longest run is the widest gap between consecutive
+    * boundaries — two slices zipped with subtraction. */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir))
+
+  private[graft] def repetitionSignals(documents: DataFrame): DataFrame = {
+    val t = col("toks")
+    val n = size(t)
+    val g2 = when(n >= 2,
+        transform(sequence(lit(1), n - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val n2 = size(col("g2")).cast("double")
+    val dupFrac = when(size(col("g2")) === 0, lit(0.0))
+      .otherwise((n2 - size(array_distinct(col("g2")))) / n2)
+    val topCnt = array_max(transform(array_distinct(col("g2")),
+      d => size(filter(col("g2"), x => x === d))))
+    val topFrac = when(size(col("g2")) === 0, lit(0.0))
+      .otherwise(topCnt / n2)
+    // boundary positions: 0, every i (1-based) with t[i] ≠ t[i+1], n
+    val bounds = concat(
+      array(lit(0)),
+      filter(sequence(lit(1), n - 1),
+        i => element_at(t, i + 1) =!= element_at(t, i)),
+      array(n))
+    // n ≤ 1 short-circuits BEFORE bounds is evaluated: sequence(1, 0)
+    // would descend, and element_at past the array end is an ANSI error
+    val maxRun = when(n <= 1, n.cast("long")).otherwise(
+      array_max(zip_with(
+        slice(bounds, lit(2), size(bounds) - 1),
+        slice(bounds, lit(1), size(bounds) - 1),
+        (hi, lo) => hi - lo)).cast("long"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("g2", g2)
+      .select(col("doc_id"),
+        Text.roundPortable(dupFrac, 4).as("dup_2gram_frac"),
+        Text.roundPortable(topFrac, 4).as("top_2gram_frac"),
+        maxRun.as("max_run"))
+      .orderBy("doc_id")
+  }
+
   /** Normalized content fingerprint (whitespace-collapsed md5) —
     * the formatting-insensitive doc identity used upstream of exact
     * dedup. */

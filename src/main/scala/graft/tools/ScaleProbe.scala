@@ -109,7 +109,14 @@ object ScaleProbe {
         // hash-bucketed global rank: 256 parallel windows + offsets
         "q_global_shuffle",
         // broadcast inverted-index join against a fixed-size eval set
-        "text_decontaminate")
+        "text_decontaminate",
+        // per-doc scalar projection — should be pure row-linear
+        "text_repetition",
+        // map-only assignment passes + k·dim-per-partition updates;
+        // the model (k×64 doubles) is scale-invariant
+        "emb_kmeans",
+        // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
+        "q_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Mixing, TextAnalysis}
+
+/** Properties of the round-7 mixing / clustering / repetition
+  * operators that the hash oracle can't express: Lloyd iterations
+  * must not worsen the objective, temperature mixing must actually
+  * flatten the stratum distribution, and the repetition signals must
+  * equal hand-computed values on crafted documents. */
+class MixingClusteringSpec extends SparkSpec {
+
+  test("kmeans partitions the corpus; more Lloyd iterations never worsen WCSS") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    def wcss(iters: Int): (Long, Double) = {
+      val out = Clustering.kmeans(emb, 8, iters).collect()
+      assert(out.map(_.getLong(0)).distinct.length == n,
+        "every vector appears exactly once")
+      assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+      assert(out.forall(_.getDouble(2) >= 0.0))
+      (out.length.toLong, out.map(_.getDouble(2)).sum)
+    }
+    val (n0, w0) = wcss(0)
+    val (n2, w2) = wcss(2)
+    assert(n0 == n && n2 == n)
+    // Lloyd monotonicity (centroid 4dp-rounding can only wiggle the
+    // objective at the last decimal, far below the init→2-iter drop)
+    assert(w2 <= w0, s"2-iteration WCSS $w2 should not exceed init WCSS $w0")
+  }
+
+  test("kmeans is deterministic across runs") {
+    val a = Clustering.kmeans(Tables.embeddings(spark, sf), 8, 2)
+      .collect().map(_.toSeq).toSeq
+    val b = Clustering.kmeans(Tables.embeddings(spark, sf), 8, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("temperature mix hits the target size and flattens the lang distribution") {
+    val docs = Tables.documents(spark, sf)
+    val raw = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Mixing.qTemperatureMix(spark, sf).collect()
+    assert(mixed.length == 200, s"largest-remainder quotas must total 200, got ${mixed.length}")
+    val mixCnt = mixed.groupBy(_.getString(0)).map { case (l, rs) => l -> rs.length }
+    // α = 0.5 upweights rare strata: every below-average lang must get
+    // MORE than its proportional share, the top lang less
+    val total = raw.values.sum.toDouble
+    val propOf = (l: String) => 200.0 * raw(l) / total
+    val maxLang = raw.maxBy(_._2)._1
+    assert(mixCnt(maxLang) < propOf(maxLang),
+      s"dominant $maxLang: mixed ${mixCnt(maxLang)} vs proportional ${propOf(maxLang)}")
+    raw.filter(_._2.toDouble < total / raw.size).keys.foreach { l =>
+      assert(mixCnt(l) > propOf(l),
+        s"rare $l: mixed ${mixCnt(l)} vs proportional ${propOf(l)}")
+    }
+    // selection never exceeds availability
+    mixCnt.foreach { case (l, c) => assert(c <= raw(l)) }
+  }
+
+  test("repetition signals match hand-computed values on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),        // g2 = [a a, a a, a b]; runs: aaa, b
+      (2L, "x y x y"),        // g2 = [x y, y x, x y]; all runs 1
+      (3L, "solo"),           // 1 token: no 2-grams, run 1
+      (4L, "c c c c"))        // g2 = [c c, c c, c c]; run 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0.3333, 0.6667, 3L)))
+    assert(out(2L) == ((0.3333, 0.6667, 1L)))
+    assert(out(3L) == ((0.0, 0.0, 1L)))
+    assert(out(4L) == ((0.6667, 1.0, 4L)))
+  }
+
+  test("repetition fractions stay in [0,1] and max_run ≥ 1 on the fixture") {
+    val out = TextAnalysis.qTextRepetition(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val d = r.getDouble(1); val t = r.getDouble(2)
+      d >= 0.0 && d <= 1.0 && t >= 0.0 && t <= 1.0 && r.getLong(3) >= 1
+    })
+    // the synthetic corpus visibly repeats tokens; at least one doc
+    // must show a run longer than 1
+    assert(out.exists(_.getLong(3) > 1))
+  }
+}

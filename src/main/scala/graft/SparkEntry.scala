@@ -64,6 +64,7 @@ object SparkEntry {
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
+    "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
@@ -73,6 +74,8 @@ object SparkEntry {
     "stream_sliding_window" -> (StreamingAnalogs.qStreamSlidingWindow _),
     "stream_attribution"   -> (StreamingAnalogs.qAttribution _),
     "stream_sessions"      -> (graft.streaming.StatefulSessions.qStreamSessions _),
+    "stream_decontaminate" -> (graft.streaming.StreamReplays.qStreamDecontaminate _),
+    "stream_dedup_incremental" -> (graft.streaming.StreamReplays.qStreamIncrementalDedup _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "q_running_total"      -> (Analytic.qRunningTotal _),
@@ -93,6 +96,40 @@ object SparkEntry {
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "q_value_histogram"    -> (Vectors.qValueHistogram _),
   )
+
+  /** One oracle for both k-means gates (emb_kmeans's literal-centroid
+    * assignment and emb_kmeans_joined's broadcast-join assignment —
+    * two plans, one semantics): Lloyd's k=8, 2 iterations, first-k
+    * init, centroids rounded to 4 decimals after each update (the
+    * cross-engine determinism contract), squared-Euclidean arg-min
+    * with ties to the lower cluster id, unrolled iteration by
+    * iteration. */
+  private val KmeansOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS c_id, list_transform(v, x -> floor(x*10000+0.5)/10000) AS c FROM e WHERE vec_id < 8),
+         a0 AS (SELECT e.vec_id, e.v, c0.c_id,
+                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))) AS d
+                FROM e CROSS JOIN c0),
+         m0 AS (SELECT vec_id, v, c_id AS cluster FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM a0) WHERE rn = 1),
+         u1 AS (SELECT cluster, pos, avg(val) AS mv FROM
+                (SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM m0) GROUP BY 1, 2),
+         c1 AS (SELECT cluster AS c_id, list(floor(mv*10000+0.5)/10000 ORDER BY pos) AS c FROM u1 GROUP BY 1),
+         a1 AS (SELECT e.vec_id, e.v, c1.c_id,
+                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c1.c[i])*(e.v[i]-c1.c[i]))) AS d
+                FROM e CROSS JOIN c1),
+         m1 AS (SELECT vec_id, v, c_id AS cluster FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM a1) WHERE rn = 1),
+         u2 AS (SELECT cluster, pos, avg(val) AS mv FROM
+                (SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM m1) GROUP BY 1, 2),
+         c2 AS (SELECT cluster AS c_id, list(floor(mv*10000+0.5)/10000 ORDER BY pos) AS c FROM u2 GROUP BY 1),
+         af AS (SELECT e.vec_id, c2.c_id,
+                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))) AS d
+                FROM e CROSS JOIN c2),
+         rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM af)
+         SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+                floor(d * 10000 + 0.5) / 10000 AS dist
+         FROM rf WHERE rn = 1 ORDER BY vec_id"""
 
   /** One oracle for both cluster gates: dedup_clusters (guarded
     * driver/distributed dispatch) and dedup_clusters_dist (distributed
@@ -139,7 +176,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = OracleSqlBase ++ Map(
+    // the streaming replays must land on exactly the rows of their
+    // batch twins — one oracle each, two execution shapes
+    "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
+    "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"))
+
+  private lazy val OracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
@@ -619,36 +662,12 @@ object SparkEntry {
            CASE WHEN n <= 1 THEN CAST(n AS BIGINT)
              ELSE CAST(list_max(list_transform(range(1, len(b)), i -> b[i+1] - b[i])) AS BIGINT) END AS max_run
          FROM r ORDER BY doc_id""",
-    // Lloyd's k-means, k=8, 2 iterations, first-k init, centroids
-    // rounded to 4 decimals after each update (the cross-engine
-    // determinism contract), squared-Euclidean arg-min with ties to
-    // the lower cluster id — unrolled iteration for iteration
-    "emb_kmeans" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS c_id, list_transform(v, x -> floor(x*10000+0.5)/10000) AS c FROM e WHERE vec_id < 8),
-         a0 AS (SELECT e.vec_id, e.v, c0.c_id,
-                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))) AS d
-                FROM e CROSS JOIN c0),
-         m0 AS (SELECT vec_id, v, c_id AS cluster FROM
-                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM a0) WHERE rn = 1),
-         u1 AS (SELECT cluster, pos, avg(val) AS mv FROM
-                (SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM m0) GROUP BY 1, 2),
-         c1 AS (SELECT cluster AS c_id, list(floor(mv*10000+0.5)/10000 ORDER BY pos) AS c FROM u1 GROUP BY 1),
-         a1 AS (SELECT e.vec_id, e.v, c1.c_id,
-                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c1.c[i])*(e.v[i]-c1.c[i]))) AS d
-                FROM e CROSS JOIN c1),
-         m1 AS (SELECT vec_id, v, c_id AS cluster FROM
-                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM a1) WHERE rn = 1),
-         u2 AS (SELECT cluster, pos, avg(val) AS mv FROM
-                (SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM m1) GROUP BY 1, 2),
-         c2 AS (SELECT cluster AS c_id, list(floor(mv*10000+0.5)/10000 ORDER BY pos) AS c FROM u2 GROUP BY 1),
-         af AS (SELECT e.vec_id, c2.c_id,
-                list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))) AS d
-                FROM e CROSS JOIN c2),
-         rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM af)
-         SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
-                floor(d * 10000 + 0.5) / 10000 AS dist
-         FROM rf WHERE rn = 1 ORDER BY vec_id""",
+    // Lloyd's k-means: one oracle pins BOTH assignment shapes
+    // (literal-projection emb_kmeans and broadcast-join
+    // emb_kmeans_joined), the dedup_clusters / dedup_clusters_dist
+    // precedent — two plans, one semantics
+    "emb_kmeans" -> KmeansOracleSql,
+    "emb_kmeans_joined" -> KmeansOracleSql,
     // temperature mixing: quota ∝ √count, largest-remainder rounding,
     // deterministic md5-rank selection within each lang stratum
     "q_temperature_mix" ->

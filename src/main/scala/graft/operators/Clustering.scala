@@ -21,6 +21,14 @@ import graft.functions.Text
   * The driver holds only k×dim doubles between iterations (model
   * state, not data — the one collect() an iterative fitter is allowed).
   *
+  * The literal-centroid arg-min is the right shape up to k in the
+  * hundreds (the projection holds k copies of the distance fold; the
+  * plan grows with k). Beyond that — k ~ 10⁴+ partitioned semantic
+  * clustering — the assignment becomes a broadcast join against a
+  * centroid table + `min_by` aggregation: one extra shuffle of
+  * (vec_id, best) pairs, same update pass. The k=8 gate pins the
+  * map-only shape; the crossover is a documented dial, not a cliff.
+  *
   * Determinism contract (what lets a DuckDB oracle replay it): init
   * centroids are the first k vectors; every centroid coordinate is
   * rounded HALF-UP to 4 decimals after averaging, so the engines'
@@ -39,14 +47,17 @@ object Clustering {
     math.floor(x * p + 0.5) / p
   }
 
-  /** Squared Euclidean distance between a float-array column and one
-    * literal centroid — zip, square, fold, all inside codegen'd
-    * builtins; float→double widening is exact so the fold matches the
-    * oracle's bit for bit. */
-  private def sqDist(v: Column, centroid: Array[Double]): Column =
+  /** Squared Euclidean distance between two double-array columns —
+    * zip, square, fold, all inside codegen'd builtins; the fold order
+    * is the array order, so both k-means shapes (and the oracle)
+    * compute the same bits. */
+  private def sqDistCols(v: Column, c: Column): Column =
     aggregate(
-      zip_with(v, typedlit(centroid), (x, y) => (x - y) * (x - y)),
+      zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
+
+  private def sqDist(v: Column, centroid: Array[Double]): Column =
+    sqDistCols(v, typedlit(centroid))
 
   /** Arg-min cluster for a vector given the current centroids: an
     * array of (dist, c_id) structs reduced with array_min — struct
@@ -82,6 +93,17 @@ object Clustering {
   def qEmbKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeans(Tables.embeddings(spark, dir), K, Iters)
 
+  /** The large-k assignment shape, pinned by the SAME oracle as
+    * [[qEmbKmeans]] (two plans, one semantics — the dedup_clusters /
+    * dedup_clusters_dist precedent): centroids live in a broadcast
+    * table instead of projection literals, and the arg-min is
+    * `min_by` over the ×k candidate rows. The projection no longer
+    * grows with k (the limit of the literal shape), at the cost of a
+    * vec_id-hash shuffle of n·k slim rows. Use when k is beyond the
+    * literal crossover (~hundreds); the k=8 gate proves equivalence. */
+  def qEmbKmeansJoined(spark: SparkSession, dir: String): DataFrame =
+    kmeansJoined(Tables.embeddings(spark, dir), K, Iters)
+
   /** Core with k and the iteration count exposed (spec dial: more
     * iterations must not increase within-cluster sum of squares). */
   private[graft] def kmeans(embeddings: DataFrame, k: Int,
@@ -104,6 +126,47 @@ object Clustering {
         col("vec_id"),
         best.getField("c_id").cast("long").as("cluster"),
         Text.roundPortable(best.getField("d"), Scale).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** The broadcast-join assignment shape (see [[qEmbKmeansJoined]]):
+    * identical init, updates, and arithmetic — only the arg-min moves
+    * from projection literals to `min(struct(d, c_id))` over the ×k
+    * candidate rows of a crossJoin against the broadcast centroid
+    * table. Distances use the same array-order fold, so assignments
+    * (and therefore every centroid) are bit-identical to [[kmeans]]. */
+  private[graft] def kmeansJoined(embeddings: DataFrame, k: Int,
+                                  iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init: Seq[(Int, Array[Double])] = emb
+      .where(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).iterator.map(roundTo).toArray))
+      .sortBy(_._1)
+      .toSeq
+    def assigned(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val centTable = cents.map { case (id, a) => (id, a.toSeq) }
+        .toDF("c_id", "c_vec")
+      emb.crossJoin(broadcast(centTable))
+        .withColumn("d", sqDistCols(col("v"), col("c_vec")))
+        .groupBy("vec_id")
+        // min over structs is lexicographic: min distance first, ties
+        // to the lower c_id — the same contract as the literal shape
+        .agg(min(struct(col("d"), col("c_id"))).as("best"),
+             first("v").as("v"))
+    }
+    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+      updateCentroids(
+        assigned(cents).select(col("best.c_id").as("cluster"), col("v")))
+    }
+    assigned(finalCents).select(
+        col("vec_id"),
+        col("best.c_id").cast("long").as("cluster"),
+        Text.roundPortable(col("best.d"), Scale).as("dist"))
       .orderBy("vec_id")
   }
 }

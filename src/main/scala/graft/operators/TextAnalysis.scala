@@ -106,25 +106,42 @@ object TextAnalysis {
     * uses 8–13-gram widths, where chance collisions vanish). */
   private[graft] def decontaminate(documents: DataFrame, isEval: Column,
                                    w: Int): DataFrame = {
-    // tokens are materialized in their own projection BEFORE the
-    // higher-order shingle transform: HOFs don't codegen, and an
-    // inline tokens(text) inside the lambda re-runs the regex split
-    // once per sequence element (measured 2.9 s vs 0.9 s at sf0.1)
+    val docs = shingleSet(documents, w)
+    decontaminateAgainst(
+      docs.where(isEval).select("sh").distinct(),
+      docs.where(!isEval))
+  }
+
+  /** (doc_id, sh) — each doc exploded to its distinct word w-grams.
+    * Tokens are materialized in their own projection BEFORE the
+    * higher-order shingle transform: HOFs don't codegen, and an
+    * inline tokens(text) inside the lambda re-runs the regex split
+    * once per sequence element (measured 2.9 s vs 0.9 s at sf0.1). */
+  private[graft] def shingleSet(documents: DataFrame, w: Int): DataFrame = {
     val t = col("toks")
     val shingles = when(size(t) >= w,
         array_distinct(transform(sequence(lit(0), size(t) - w),
           i => array_join(slice(t, i + 1, lit(w)), " "))))
       .otherwise(array().cast("array<string>"))
-    val docs = documents
+    documents
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingles).as("sh"))
-    val ev = docs.where(isEval).select("sh").distinct()
-    docs.where(!isEval)
-      .join(broadcast(ev), "sh")
+  }
+
+  /** The production ingestion shape: flag incoming (already
+    * shingled) training docs against a STANDING eval-shingle store —
+    * computed once, cached, reused by every batch or micro-batch
+    * (the decontamination twin of `Dedup.incrementalNearDupSigs`).
+    * Per-doc counts are independent across batches, so micro-batch
+    * results union to exactly the one-shot run
+    * (StreamingDecontaminationSpec asserts it). */
+  private[graft] def decontaminateAgainst(evalShingles: DataFrame,
+                                          trainShingled: DataFrame): DataFrame =
+    trainShingled
+      .join(broadcast(evalShingles), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
-  }
 
   /** Repetition quality signals (the Gopher/MassiveText filter
     * family): per document,

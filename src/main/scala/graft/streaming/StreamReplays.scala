@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming-replay CORRECTNESS gates for the continuous-ingestion
+  * operators: each runs the PRODUCTION streaming shape — a real
+  * `foreachBatch` query fed by MemoryStream, with the standing store
+  * (eval shingles / corpus signatures) computed once and reused by
+  * every micro-batch — over the bounded fixture, and must hash-match
+  * the same DuckDB oracle as its batch twin. The specs
+  * (StreamingDecontaminationSpec, StreamingIncrementalDedupSpec)
+  * assert compositionality for arbitrary splits; these gates pin the
+  * actual rows. Replay harness caveat as stream_sessions: the collect
+  * is the harness feeding/draining the stream, not the operator —
+  * production writes each batch's output to a sink instead.
+  */
+object StreamReplays {
+
+  /** Drive `docs` through foreachBatch in `nChunks` micro-batches,
+    * collecting `perBatch`'s output rows. */
+  private def replay[T](spark: SparkSession, docs: Seq[(Long, String)],
+                        nChunks: Int)(
+      perBatch: DataFrame => Seq[T]): Seq[T] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = ArrayBuffer[T]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out.synchronized { out ++= perBatch(batch) }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(math.max(1, (docs.size + nChunks - 1) / nChunks))
+        .foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    out.toSeq
+  }
+
+  /** Streaming twin of the text_decontaminate gate (same oracle):
+    * training docs stream in three micro-batches against the standing
+    * eval-shingle store. */
+  def qStreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 4
+    val docs = graft.Tables.documents(spark, dir)
+    val evalSh = graft.operators.TextAnalysis.shingleSet(
+        docs.where(col("doc_id") % 20 === 0), w)
+      .select("sh").distinct().cache()
+    evalSh.count()
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    val rows = replay(spark, train, nChunks = 3) { batch =>
+      graft.operators.TextAnalysis.decontaminateAgainst(
+          evalSh, graft.operators.TextAnalysis.shingleSet(batch, w))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    evalSh.unpersist()
+    rows.toDF("doc_id", "n_shared").orderBy("doc_id")
+  }
+
+  /** Streaming twin of the dedup_incremental gate (same oracle): odd
+    * doc_ids stream against the standing even-id corpus signatures. */
+  def qStreamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val corpusSigs = graft.operators.Dedup.signaturesOf(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)).cache()
+    corpusSigs.count()
+    val stream = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    val rows = replay(spark, stream, nChunks = 3) { batch =>
+      graft.operators.Dedup.incrementalNearDupSigs(corpusSigs, batch)
+        .select(col("b_id"), col("dup_of"), col("n_matches"),
+          graft.functions.Text.roundPortable(col("best_jaccard"), 6)
+            .as("best_jaccard"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    }
+    corpusSigs.unpersist()
+    rows.toDF("doc_id", "dup_of", "n_matches", "best_jaccard")
+      .orderBy("doc_id")
+  }
+}

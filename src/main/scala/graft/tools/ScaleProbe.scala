@@ -137,12 +137,30 @@ object ScaleProbe {
           .orderBy("p_brand")
       }))
 
+    // median of 3 reps per query per scale — the bench learned this
+    // lesson twice (rounds 4 and 6): a single-pass time lets one
+    // GC/page-cache outlier masquerade as a scaling verdict (a round-7
+    // single-pass run printed dedup_minhash_lsh 28.8 s at 1× vs 3.5 s
+    // at 10×, i.e. "sub-linear" by an order of magnitude, on
+    // byte-identical code). Queries whose first rep exceeds 20 s keep
+    // that single rep: at that magnitude the verdict is unambiguous
+    // and two more reps of a deliberately-kept quadratic config
+    // (dedup_embedding_blocked) would double the probe's runtime.
     def timeAll(dir: String): Map[String, (Double, Long)] = probes.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
-        spark.catalog.clearCache()
-        name -> (((System.nanoTime() - t0) / 1e9, rows))
+        var rows = 0L
+        def oneRep(): Double = {
+          val t0 = System.nanoTime()
+          rows = fn(spark, dir).count()
+          spark.catalog.clearCache()
+          System.gc()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val first = oneRep()
+        val times =
+          if (first > 20.0) Seq(first)
+          else (first +: Seq.fill(2)(oneRep())).sorted
+        name -> ((times(times.size / 2), rows))
     }.toMap
 
     timeAll(src) // warmup (JIT + codegen)

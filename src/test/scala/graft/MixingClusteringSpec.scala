@@ -29,6 +29,13 @@ class MixingClusteringSpec extends SparkSpec {
     assert(w2 <= w0, s"2-iteration WCSS $w2 should not exceed init WCSS $w0")
   }
 
+  test("joined-assignment kmeans is bit-identical to the literal shape") {
+    val emb = Tables.embeddings(spark, sf)
+    val lit = Clustering.kmeans(emb, 8, 2).collect().map(_.toSeq).toSeq
+    val joined = Clustering.kmeansJoined(emb, 8, 2).collect().map(_.toSeq).toSeq
+    assert(lit == joined)
+  }
+
   test("kmeans is deterministic across runs") {
     val a = Clustering.kmeans(Tables.embeddings(spark, sf), 8, 2)
       .collect().map(_.toSeq).toSeq

@@ -67,6 +67,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("GroupedTopK \\[".r.findAllIn(p).size == 2, p)
   }
 
+  test("kmeans final assignment is map-only: no join, no corpus shuffle") {
+    // centroids ride into the projection as literals, so the only
+    // exchange in the finished query is the output orderBy's range
+    // partitioning — an assignment regression to a join/aggregate
+    // formulation would appear as a Join or hash exchange here
+    val p = planOf("emb_kmeans")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("joined kmeans broadcasts centroids; arg-min is one vec_id aggregation") {
+    // the large-k shape: candidates come from a broadcast nested-loop
+    // against the tiny centroid table (the same legitimate bounded
+    // crossJoin as IVF assignment); the only corpus shuffle is the
+    // arg-min aggregation's vec_id exchange
+    val p = planOf("emb_kmeans_joined")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("temperature mix broadcasts quotas and heap-prunes strata like the stratified sampler") {
+    val p = planOf("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("GroupedTopK \\[".r.findAllIn(p).size == 2, p)
+  }
+
+  test("repetition signals are one scan with no exchange except the output sort") {
+    val p = planOf("text_repetition")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("text-dedup candidate generation is always an equi-join, never a cross product") {
     // the 100 TB contract: candidates come from bucket equi-joins
     // (band / prefix shingle), so no plan may contain a cartesian or

@@ -130,10 +130,36 @@ object Dedup {
     * compose: no batch-batch pairs are ever formed, so running
     * batches b₁…bₙ separately yields exactly the rows of one run
     * over b₁∪…∪bₙ (asserted by StreamingIncrementalDedupSpec, which
-    * drives this from foreachBatch over a doc stream). */
+    * drives this from foreachBatch over a doc stream).
+    *
+    * Cache lifetime: the batch-signature cache is inside the returned
+    * lazy plan, so the CALLER owns it after the terminal action. The
+    * one-shot gates run under a harness that clears all caches per
+    * query; a LONG-RUNNING foreachBatch driver must instead release
+    * each batch's cache after consuming the result or the per-batch
+    * frames accumulate in executor storage forever — that is what
+    * [[incrementalNearDupBatch]] packages. */
   private[graft] def incrementalNearDupSigs(cs: DataFrame,
-                                            batch: DataFrame): DataFrame = {
+                                            batch: DataFrame): DataFrame =
+    incrementalNearDupPrepared(cs, signaturesOf(batch).cache())
+
+  /** [[incrementalNearDupSigs]] with the batch-cache lifecycle closed
+    * over: computes the batch's signatures, caches them for the two
+    * reads inside the plan (band join + verify), runs the terminal
+    * collect, and unpersists ONLY the batch cache — the standing
+    * corpus signatures stay resident for the next micro-batch. This
+    * is the per-batch body a production foreachBatch service runs
+    * (StreamReplays drives it for the stream_dedup_incremental gate). */
+  private[graft] def incrementalNearDupBatch(
+      cs: DataFrame, batch: DataFrame)(
+      finish: DataFrame => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
     val bs = signaturesOf(batch).cache()
+    try finish(incrementalNearDupPrepared(cs, bs))
+    finally bs.unpersist()
+  }
+
+  private def incrementalNearDupPrepared(cs: DataFrame,
+                                         bs: DataFrame): DataFrame = {
     def bandsOf(sigs: DataFrame, idAs: String) =
       sigs.select(col("doc_id").as(idAs),
         posexplode(col("bands")).as(Seq("band_id", "bucket")))

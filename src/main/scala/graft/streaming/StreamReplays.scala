@@ -77,12 +77,15 @@ object StreamReplays {
       .select("doc_id", "text").orderBy("doc_id")
       .as[(Long, String)].collect().toSeq
     val rows = replay(spark, stream, nChunks = 3) { batch =>
-      graft.operators.Dedup.incrementalNearDupSigs(corpusSigs, batch)
-        .select(col("b_id"), col("dup_of"), col("n_matches"),
-          graft.functions.Text.roundPortable(col("best_jaccard"), 6)
-            .as("best_jaccard"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // lifecycle-safe per-batch body: batch signatures cached for the
+      // band join + verify, unpersisted after the collect; the
+      // standing corpus cache is untouched across micro-batches
+      graft.operators.Dedup.incrementalNearDupBatch(corpusSigs, batch) { df =>
+        df.select(col("b_id"), col("dup_of"), col("n_matches"),
+            graft.functions.Text.roundPortable(col("best_jaccard"), 6)
+              .as("best_jaccard"))
+          .collect()
+      }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSeq
     }
     corpusSigs.unpersist()

@@ -56,4 +56,22 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture contains no cross-parity near-dups")
     corpusSigs.unpersist()
   }
+
+  test("per-batch signature caches are released; the corpus cache survives") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1).limit(50)
+    spark.catalog.clearCache()
+    val corpusSigs = Dedup.signaturesOf(corpus).cache()
+    corpusSigs.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.incrementalNearDupBatch(corpusSigs, batch)(_.collect())
+    assert(out != null)
+    // a long-running foreachBatch service must not accumulate one
+    // cached signature frame per micro-batch — only the standing
+    // corpus cache may remain resident
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      s"leaked batch cache: ${spark.sparkContext.getPersistentRDDs.size} != $before")
+    corpusSigs.unpersist()
+  }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash_wide"   -> (Dedup.qDedupSimhashWide _),
     "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
     "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
+    "dedup_verbatim"       -> (Dedup.qVerbatimCoverage _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
     "dedup_embedding_scaled"  -> (Similarity.qDedupEmbeddingScaled _),
@@ -516,6 +517,24 @@ object SparkEntry {
          SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
     "dedup_clusters" -> DedupClustersOracleSql,
     "dedup_clusters_dist" -> DedupClustersOracleSql,
+    // ExactSubstr-style span coverage: 8-token windows shared verbatim
+    // across >= 2 distinct docs; per-doc interval merge (island scan)
+    "dedup_verbatim" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 8),
+         wins AS (SELECT doc_id, n, p, md5(array_to_string(toks[p:p+7], ' ')) AS h
+                  FROM (SELECT doc_id, toks, n, CAST(unnest(range(1, n - 6)) AS BIGINT) AS p FROM t)),
+         shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT doc_id, n, p FROM wins JOIN shared USING (h)),
+         c1 AS (SELECT doc_id, n, p, max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM cov),
+         c2 AS (SELECT *, CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END AS is_new FROM c1),
+         c3 AS (SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS UNBOUNDED PRECEDING) AS island FROM c2),
+         c4 AS (SELECT doc_id, n, island, max(p + 7) - min(p) + 1 AS len FROM c3 GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens,
+                floor((CAST(sum(len) AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS dup_frac
+         FROM c4 GROUP BY doc_id, n ORDER BY doc_id""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS sim

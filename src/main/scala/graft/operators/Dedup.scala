@@ -458,4 +458,61 @@ object Dedup {
     * propagation forced so the scale path itself is oracle-checked. */
   def qDedupClustersDist(spark: SparkSession, dir: String): DataFrame =
     qDedupClusters(spark, dir, forceDistributed = true)
+
+  /** Window width (tokens) for [[qVerbatimCoverage]]. Real ExactSubstr
+    * pipelines use ~50-token windows; 8 fits the 10–99-token fixture
+    * docs while keeping chance collisions negligible (40⁸ keyspace). */
+  private val VerbatimWindow = 8
+
+  /** Verbatim-overlap coverage — the span-level view of duplication
+    * (the ExactSubstr idea: don't just pair near-dup documents,
+    * measure which TEXT is duplicated): for every document, the
+    * fraction of its tokens lying inside some [[VerbatimWindow]]-token
+    * window that appears verbatim in at least one OTHER document.
+    *
+    * Pipeline: slide a w-token window over each doc (one explode —
+    * ~n rows per n-token doc), key windows by md5 of their text,
+    * keep keys held by ≥2 distinct docs (the inverted window index —
+    * one hash-shuffle; the same candidate-generation posture as every
+    * other dedup here: an equi-join on a hash, never doc×doc), then
+    * merge each doc's covered intervals [p, p+w−1] with the classic
+    * running-max island scan (one doc_id-partitioned window) and sum
+    * island lengths. Same-doc repeats don't count — duplication means
+    * shared with ANOTHER document. Docs shorter than w, or with no
+    * shared window, produce no row. */
+  def qVerbatimCoverage(spark: SparkSession, dir: String): DataFrame =
+    verbatimCoverage(Tables.documents(spark, dir))
+
+  private[graft] def verbatimCoverage(documents: DataFrame): DataFrame = {
+    val w = VerbatimWindow
+    val toksDf = documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") >= w)
+    val wins = toksDf.select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(1), col("n") - (w - 1))).as("p"))
+      .select(col("doc_id"), col("n"), col("p"),
+        md5(concat_ws(" ", slice(col("toks"), col("p"), lit(w)))).as("h"))
+    val shared = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    val cov = wins.join(shared, "h").select("doc_id", "n", "p")
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + (w - 1))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = cov
+      .withColumn("is_new",
+        when(prevEnd.isNull || col("p") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum("is_new").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n", "island")
+      .agg((max(col("p") + (w - 1)) - min(col("p")) + 1).as("len"))
+    islands.groupBy("doc_id", "n")
+      .agg(sum("len").cast("long").as("dup_tokens"))
+      .select(col("doc_id"), col("dup_tokens"),
+        Text.roundPortable(col("dup_tokens") / col("n").cast("double"), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

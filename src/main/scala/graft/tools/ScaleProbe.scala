@@ -112,6 +112,10 @@ object ScaleProbe {
         "text_decontaminate",
         // per-doc scalar projection — should be pure row-linear
         "text_repetition",
+        // inverted window-hash index + per-doc island merge; the ×10
+        // corpus decorrelates cross-replica windows, so shared-window
+        // volume grows ~linearly with the replicated near-dup pairs
+        "dedup_verbatim",
         // map-only assignment passes + k·dim-per-partition updates;
         // the model (k×64 doubles) is scale-invariant
         "emb_kmeans",

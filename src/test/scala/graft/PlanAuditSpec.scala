@@ -107,7 +107,7 @@ class PlanAuditSpec extends SparkSpec {
     // ×centroids crossJoin-broadcast assignment is legitimate.)
     for (q <- Seq("dedup_exact", "dedup_minhash_lsh",
                   "dedup_ngram_jaccard", "dedup_simhash",
-                  "dedup_incremental")) {
+                  "dedup_incremental", "dedup_verbatim")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoop"), s"$q:\n$p")

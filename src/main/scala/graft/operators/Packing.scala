@@ -35,32 +35,47 @@ object Packing {
     * smaller buckets — ordering, and thus the packing, is unchanged). */
   def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
-    val bucketWidth = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        (col("doc_id") / bucketWidth).cast("long").as("bucket"))
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    packTokens(toks, bucketWidthFor(n))
+      .select("doc_id", "n_bpe_tokens", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+  }
+
+  private[graft] def bucketWidthFor(n: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** The two-phase prefix-sum pack over any (doc_id, n_bpe_tokens)
+    * frame (extra columns ride along): per-bucket exclusive running
+    * sums in parallel, a global window over only the ~√n bucket
+    * subtotals, broadcast back. Sparse/filtered doc_ids just mean
+    * emptier buckets — ordering, and thus the packing, is unchanged. */
+  private[graft] def packTokens(toks: DataFrame,
+                                bucketWidth: Long): DataFrame = {
+    val bucketed = toks.withColumn("bucket",
+      (col("doc_id") / bucketWidth).cast("long"))
     // phase 1: per-bucket exclusive running sum — parallel across buckets
     val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val intra = toks.withColumn("intra_excl",
+    val intra = bucketed.withColumn("intra_excl",
       sum("n_bpe_tokens").over(wIntra) - col("n_bpe_tokens"))
     // phase 2: exclusive prefix over the ~√n bucket subtotals (the only
     // global window, √n rows), broadcast back onto the docs
     val wBucket = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prefixes = toks.groupBy("bucket")
+    val prefixes = bucketed.groupBy("bucket")
       .agg(sum("n_bpe_tokens").as("btot"))
       .withColumn("bucket_excl", sum("btot").over(wBucket) - col("btot"))
       .select("bucket", "bucket_excl")
     intra.join(broadcast(prefixes), "bucket")
       .withColumn("start_offset", col("bucket_excl") + col("intra_excl"))
-      .select(col("doc_id"), col("n_bpe_tokens"),
-        // integer DIV, not `/`: double division loses exactness once
-        // corpus-wide token offsets pass 2^53
-        expr(s"start_offset DIV $SeqTokens").as("seq_id"),
-        pmod(col("start_offset"), lit(SeqTokens)).cast("long").as("seq_offset"))
-      .orderBy("doc_id")
+      // integer DIV, not `/`: double division loses exactness once
+      // corpus-wide token offsets pass 2^53
+      .withColumn("seq_id", expr(s"start_offset DIV $SeqTokens"))
+      .withColumn("seq_offset",
+        pmod(col("start_offset"), lit(SeqTokens)).cast("long"))
+      .drop("bucket", "intra_excl", "bucket_excl", "start_offset")
   }
 
   /** Deterministic global shuffle — the training-order randomization

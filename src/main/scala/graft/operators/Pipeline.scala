@@ -33,8 +33,10 @@ object Pipeline {
 
   private val QualityThreshold = 0.35
 
-  def qTrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Stages 1–3 over an arbitrary document pool: quality gate →
+    * exact dedup → LSH near-dup removal. Returns the surviving docs
+    * with text retained (downstream stages may shingle them again). */
+  private def curatedSurvivors(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val nTok = size(toks)
     val quality =
@@ -61,7 +63,60 @@ object Pipeline {
       .select(col("doc_b").as("doc_id")).distinct()
 
     exact.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  def qTrainingPipeline(spark: SparkSession, dir: String): DataFrame =
+    curatedSurvivors(Tables.documents(spark, dir))
       .select("doc_id", "lang", "n_tokens", "quality")
+      .orderBy("doc_id")
+
+  /** A survivor may share this many distinct eval 4-grams before it
+    * is dropped as contaminated (chance collisions are common on the
+    * fixture's 40-word vocabulary; real pipelines with 8–13-gram
+    * widths set this to 1). */
+  private val ContaminationMax = 2
+
+  /** The FULL pre-training corpus build — every round-7 operator
+    * family composed end to end, and the composition oracle-checked:
+    *
+    *   eval holdout → quality gate → exact dedup → LSH near-dup
+    *   removal → benchmark decontamination → sequence packing.
+    *
+    * The eval slice (doc_id ≡ 0 mod 20) never enters the pool; the
+    * survivors of stages 1–3 are then checked for 4-gram overlap
+    * against the RAW eval slice (decontamination must see the
+    * benchmark as-is, not its curated subset) and dropped when they
+    * share more than [[ContaminationMax]] distinct shingles; what
+    * remains is packed concat-and-chunk into 256-token training
+    * sequences in doc_id order via the two-phase distributed prefix
+    * sum. Stage order is still the optimization: projections and
+    * one-hash-shuffle dedups run before the signature/band joins, and
+    * decontamination — a broadcast join against a fixed-size eval
+    * store — runs only over LSH survivors. The pack's bucket width
+    * derives from the parquet footer row count of the FULL table
+    * (sparser surviving ids just mean emptier buckets). */
+  def qPretrainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 20 === 0
+    val survivors = curatedSurvivors(docs.where(!isEval)).cache()
+
+    // stage 4: decontamination against the raw eval slice
+    val evalSh = TextAnalysis.shingleSet(docs.where(isEval), 4)
+      .select("sh").distinct()
+    val contaminated = TextAnalysis.decontaminateAgainst(
+        evalSh, TextAnalysis.shingleSet(survivors, 4))
+      .where(col("n_shared") > ContaminationMax)
+      .select("doc_id")
+    val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 5: concat-and-chunk packing of the curated corpus
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    Packing.packTokens(
+        clean.withColumn("n_bpe_tokens",
+          TextAnalysis.bpeTokenCount(col("text"))),
+        Packing.bucketWidthFor(n))
+      .select("doc_id", "lang", "quality", "n_bpe_tokens",
+              "seq_id", "seq_offset")
       .orderBy("doc_id")
   }
 }

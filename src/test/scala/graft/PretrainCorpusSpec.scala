@@ -1,0 +1,27 @@
+package graft
+
+import graft.operators.Pipeline
+
+/** Invariants of the end-to-end pre-training corpus build that the
+  * row-hash oracle implies but doesn't state: the eval holdout can
+  * never leak into the packed corpus, and packing is a valid
+  * concat-and-chunk assignment over the survivors. */
+class PretrainCorpusSpec extends SparkSpec {
+
+  test("eval docs never reach the packed corpus; packing is valid") {
+    val rows = Pipeline.qPretrainCorpus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 20 != 0), "eval doc leaked into corpus")
+    val seqIds = rows.map(_.getAs[Long]("seq_id"))
+    val offs = rows.map(_.getAs[Long]("seq_offset"))
+    assert(offs.forall(o => o >= 0 && o < 256))
+    assert(seqIds.head == 0L, "packing must start at sequence 0")
+    assert(seqIds.zip(seqIds.tail).forall { case (a, b) => b >= a },
+      "doc_id-ordered packing can never go backwards")
+    // curation must have dropped something relative to the raw pool
+    // (the fixture plants dups and contaminated docs)
+    val pool = Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.expr("doc_id % 20 != 0")).count()
+    assert(rows.length < pool, s"nothing was curated: ${rows.length} of $pool")
+  }
+}

@@ -96,6 +96,10 @@ object ScaleProbe {
         "dedup_embedding_blocked", "text_tfidf",
         "stream_running_totals", "stream_attribution",
         "pipeline_training_data",
+        // the full composed corpus build (quality -> dedups ->
+        // decontamination -> packing) — stage costs are each probed
+        // individually above; this row shows composition overhead
+        "pipeline_pretrain_corpus",
         "q_skew_join_salted", "q_approx_sketch", "q_csv_explode",
         // strata counts are fixed while rows/stratum grow ×N — the
         // worst case for the old full-sort rank, the best case for

@@ -123,6 +123,9 @@ object ScaleProbe {
         // map-only assignment passes + k·dim-per-partition updates;
         // the model (k×64 doubles) is scale-invariant
         "emb_kmeans",
+        // the broadcast-join assignment twin: adds an n·k-row arg-min
+        // shuffle per pass — the price of k beyond the literal shape
+        "emb_kmeans_joined",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
         "q_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(

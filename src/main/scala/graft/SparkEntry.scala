@@ -66,6 +66,8 @@ object SparkEntry {
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
+    "dedup_semantic"       -> (Clustering.qSemanticDedup _),
+    "dedup_semantic_scaled" -> (Clustering.qSemanticDedupScaled _),
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
@@ -106,9 +108,19 @@ object SparkEntry {
     * cross-engine determinism contract), squared-Euclidean arg-min
     * with ties to the lower cluster id, unrolled iteration by
     * iteration. */
-  private val KmeansOracleSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS c_id, list_transform(v, x -> floor(x*10000+0.5)/10000) AS c FROM e WHERE vec_id < 8),
+  private val KmeansOracleSql: String = kmeansCtes("8") +
+    """
+         SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+                floor(d * 10000 + 0.5) / 10000 AS dist
+         FROM rf WHERE rn = 1 ORDER BY vec_id"""
+
+  /** The unrolled Lloyd CTE chain, parameterized on the centroid-count
+    * expression so the fixed-k kmeans/semantic gates and the √n-k
+    * scaled gate share one recipe (`rf` = final assignment rows with
+    * squared distance `d` and `rn = 1` marking the arg-min). */
+  private def kmeansCtes(kExpr: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS c_id, list_transform(v, x -> floor(x*10000+0.5)/10000) AS c FROM e WHERE vec_id < ($kExpr)),
          a0 AS (SELECT e.vec_id, e.v, c0.c_id,
                 list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))) AS d
                 FROM e CROSS JOIN c0),
@@ -128,10 +140,29 @@ object SparkEntry {
          af AS (SELECT e.vec_id, c2.c_id,
                 list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))) AS d
                 FROM e CROSS JOIN c2),
-         rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM af)
-         SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
-                floor(d * 10000 + 0.5) / 10000 AS dist
-         FROM rf WHERE rn = 1 ORDER BY vec_id"""
+         rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM af)"""
+
+  /** SemDeDup tail over the kmeans CTEs: within-cluster pairs above
+    * the cosine cut (same 0.45 the embedding near-dup gates pin),
+    * pruned when a farther-from-centroid clustermate (rounded-dist
+    * rank, exact ties to the lower vec_id) is that similar. */
+  private def semanticDedupOracleSql(kExpr: String): String =
+    kmeansCtes(kExpr) +
+    """,
+         asg AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+                        floor(d * 10000 + 0.5) / 10000 AS dist
+                 FROM rf WHERE rn = 1),
+         av AS (SELECT asg.vec_id, asg.cluster, asg.dist, e.v
+                FROM asg JOIN e USING (vec_id)),
+         pruned AS (SELECT DISTINCT b.vec_id
+                    FROM av a JOIN av b
+                    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+                    AND (a.dist > b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id))
+                    WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
+         SELECT av.vec_id, av.cluster, av.dist,
+                (pruned.vec_id IS NULL) AS kept
+         FROM av LEFT JOIN pruned ON av.vec_id = pruned.vec_id
+         ORDER BY av.vec_id"""
 
   /** One oracle for both cluster gates: dedup_clusters (guarded
     * driver/distributed dispatch) and dedup_clusters_dist (distributed
@@ -688,6 +719,12 @@ object SparkEntry {
     // precedent — two plans, one semantics
     "emb_kmeans" -> KmeansOracleSql,
     "emb_kmeans_joined" -> KmeansOracleSql,
+    // SemDeDup: fixed-k gate shares the kmeans config above; the
+    // scaled gate derives k = max(8, ⌈√n⌉) from the same corpus in
+    // SQL, so the √n plan is the hash-checked one
+    "dedup_semantic" -> semanticDedupOracleSql("8"),
+    "dedup_semantic_scaled" -> semanticDedupOracleSql(
+      "SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e"),
     // temperature mixing: quota ∝ √count, largest-remainder rounding,
     // deterministic md5-rank selection within each lang stratum
     "q_temperature_mix" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
+import graft.functions.VectorFunctions.cosine
 
 /** Lloyd's k-means over the `embeddings` table — the semantic
   * clustering step of a data-mixing / semantic-dedup pipeline
@@ -126,6 +127,70 @@ object Clustering {
         col("vec_id"),
         best.getField("c_id").cast("long").as("cluster"),
         Text.roundPortable(best.getField("d"), Scale).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
+    * corpus with k-means, then prune within each cluster — a vector is
+    * pruned when some OTHER member of its cluster is cosine-similar
+    * above the threshold and outranks it (farther from the centroid;
+    * exact dist ties break to the lower vec_id). The survivor of each
+    * similar group is the member farthest from the centroid — the
+    * paper's keep-rule, chosen there because centroid-distant examples
+    * carry more signal.
+    *
+    * Scale shape: clustering is the whole point — the pairwise cosine
+    * join keys on `cluster`, so candidate pairs are Σ|cluster|², not
+    * n². The gate pins k=8 (the same config the kmeans oracle
+    * unrolls); [[qSemanticDedupScaled]] gates the √n-k / joined-
+    * assignment config where per-cluster size stays ~√n and total
+    * pair work ~n^1.5 — the same growth contract as
+    * [[Similarity.qDedupEmbeddingScaled]]'s IVF blocking, but with
+    * learned (Lloyd) cells and a per-cluster keep-rule rather than
+    * emitted pairs. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir), K, Iters, joined = false)
+
+  /** The scale config of [[qSemanticDedup]]: k grows as √n (floored
+    * at the fixed-gate k) so expected cluster size stays ~√n, and the
+    * assignment uses the broadcast-join shape (the literal projection
+    * would hold √n distance folds). Corpus size comes from parquet
+    * footer metadata — planning runs zero jobs. Same oracle recipe,
+    * k derived in SQL from the same corpus. */
+  def qSemanticDedupScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val k = math.max(K, math.ceil(math.sqrt(n.toDouble)).toInt)
+    semanticDedup(Tables.embeddings(spark, dir), k, Iters, joined = true)
+  }
+
+  private val SemDedupThreshold = 0.45 // same cut the embedding near-dup gates pin
+
+  /** Core: kmeans assignment (either shape) + within-cluster prune.
+    * Output is every vector with its cluster, rounded centroid
+    * distance, and a `kept` verdict — the downstream corpus filter is
+    * `WHERE kept`. The prune join carries the raw float embedding for
+    * the codegen'd cosine and compares on the ROUNDED dist (both
+    * engines round HALF-UP to 4 decimals first, so the rank order is
+    * cross-engine deterministic). */
+  private[graft] def semanticDedup(embeddings: DataFrame, k: Int,
+                                   iters: Int, joined: Boolean): DataFrame = {
+    val assigned = if (joined) kmeansJoined(embeddings, k, iters)
+                   else kmeans(embeddings, k, iters)
+    val av = assigned.join(
+      embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = av.select(col("cluster"), col("vec_id").as("id_a"),
+                      col("dist").as("dist_a"), col("embedding").as("v_a"))
+    val b = av.select(col("cluster"), col("vec_id").as("id_b"),
+                      col("dist").as("dist_b"), col("embedding").as("v_b"))
+    val pruned = a.join(b, Seq("cluster"))
+      .where(col("id_a") =!= col("id_b") &&
+             (col("dist_a") > col("dist_b") ||
+              (col("dist_a") === col("dist_b") && col("id_a") < col("id_b"))))
+      .where(cosine(col("v_a"), col("v_b")) >= SemDedupThreshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    av.join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+              col("p").isNull.as("kept"))
       .orderBy("vec_id")
   }
 

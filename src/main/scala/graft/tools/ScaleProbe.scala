@@ -126,6 +126,9 @@ object ScaleProbe {
         // the broadcast-join assignment twin: adds an n·k-row arg-min
         // shuffle per pass — the price of k beyond the literal shape
         "emb_kmeans_joined",
+        // SemDeDup scale config: k=⌈√n⌉ keeps within-cell pair work
+        // ~n^1.5; the fixed-k=8 gate config would go n²/8
+        "dedup_semantic_scaled",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
         "q_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -66,6 +66,52 @@ class MixingClusteringSpec extends SparkSpec {
     mixCnt.foreach { case (l, c) => assert(c <= raw(l)) }
   }
 
+  test("semantic dedup: output partitions the corpus and every cluster keeps its farthest member") {
+    val n = Tables.embeddings(spark, sf).count()
+    for (out <- Seq(Clustering.qSemanticDedup(spark, sf).collect(),
+                    Clustering.qSemanticDedupScaled(spark, sf).collect())) {
+      assert(out.map(_.getLong(0)).distinct.length == n,
+        "every vector verdict appears exactly once")
+      out.groupBy(_.getLong(1)).values.foreach { rows =>
+        // the keep-rule winner — max (dist, -vec_id) — can't be outranked
+        val top = rows.maxBy(r => (r.getDouble(2), -r.getLong(0)))
+        assert(top.getBoolean(3),
+          s"farthest member ${top.getLong(0)} of cluster ${top.getLong(1)} must be kept")
+      }
+    }
+  }
+
+  test("semantic dedup: every pruned vector has an outranking similar clustermate") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = Clustering.qSemanticDedup(spark, sf).collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    val prunedRows = out.filter(!_.getBoolean(3))
+    assert(prunedRows.nonEmpty, "fixture must exercise the prune branch")
+    prunedRows.foreach { p =>
+      val mates = byCluster(p.getLong(1)).filter(_.getLong(0) != p.getLong(0))
+      assert(mates.exists { m =>
+        val outranks = m.getDouble(2) > p.getDouble(2) ||
+          (m.getDouble(2) == p.getDouble(2) && m.getLong(0) < p.getLong(0))
+        outranks && cos(vecs(m.getLong(0)), vecs(p.getLong(0))) >= 0.45
+      }, s"vec ${p.getLong(0)} pruned without an outranking similar clustermate")
+    }
+    // and kept vectors have NO outranking similar clustermate
+    out.filter(_.getBoolean(3)).foreach { k =>
+      val mates = byCluster(k.getLong(1)).filter(_.getLong(0) != k.getLong(0))
+      assert(!mates.exists { m =>
+        val outranks = m.getDouble(2) > k.getDouble(2) ||
+          (m.getDouble(2) == k.getDouble(2) && m.getLong(0) < k.getLong(0))
+        outranks && cos(vecs(m.getLong(0)), vecs(k.getLong(0))) >= 0.45
+      }, s"vec ${k.getLong(0)} kept despite an outranking similar clustermate")
+    }
+  }
+
   test("repetition signals match hand-computed values on crafted docs") {
     import spark.implicits._
     val docs = Seq(

@@ -63,6 +63,7 @@ object SparkEntry {
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
+    "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
@@ -213,7 +214,10 @@ object SparkEntry {
     // the streaming replays must land on exactly the rows of their
     // batch twins — one oracle each, two execution shapes
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
-    "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"))
+    "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
+    // Bloom prefilter is one-sided and exact-verified, so its output
+    // must be EXACTLY the unfiltered operator's rows
+    "text_decontaminate_bloom" -> OracleSqlBase("text_decontaminate"))
 
   private lazy val OracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

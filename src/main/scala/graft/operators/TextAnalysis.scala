@@ -112,6 +112,43 @@ object TextAnalysis {
       docs.where(!isEval))
   }
 
+  /** Bloom-prefiltered decontamination — same rows as
+    * [[qDecontaminate]] (one oracle, two plans: the
+    * dedup_clusters_dist / emb_kmeans_joined precedent), built for
+    * the regime where the eval-shingle index outgrows a broadcast
+    * hash relation. A benchmark suite's 13-grams can run to billions
+    * of entries; a Bloom filter at 1 % fpp holds them in ~1.2 GB
+    * regardless of shingle LENGTH, and the train side probes it
+    * map-side, so the only shingles that reach the exact join (and
+    * its shuffle) are true hits plus the fpp sliver. The filter is
+    * one-sided — `false` is definite — so the exact verify join over
+    * the survivors makes the OUTPUT identical to the unfiltered
+    * operator: false positives cost work, never correctness (the
+    * same candidates-then-verify contract every dedup here follows).
+    *
+    * Building the filter is one aggregation job over the EVAL side
+    * only (eval is the small, fixed-size relation by contract — the
+    * corpus side is never counted or collected). */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloom(Tables.documents(spark, dir), col("doc_id") % 20 === 0, 4)
+
+  private[graft] def decontaminateBloom(documents: DataFrame, isEval: Column,
+                                        w: Int, fpp: Double = 0.01): DataFrame = {
+    val docs = shingleSet(documents, w)
+    val eval = docs.where(isEval).select("sh").distinct()
+    // sizing count + filter build both scan only the eval slice
+    val bloom = eval.stat.bloomFilter("sh", math.max(eval.count(), 1L), fpp)
+    docs.where(!isEval)
+      .where(graft.functions.Bloom.mightContain(bloom, col("sh")))
+      // no broadcast hint, unlike decontaminateAgainst: this variant
+      // exists precisely for eval sets near/over the broadcast limit,
+      // so AQE picks the verify-join strategy from the real sizes
+      .join(eval, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, sh) — each doc exploded to its distinct word w-grams.
     * Tokens are materialized in their own projection BEFORE the
     * higher-order shingle transform: HOFs don't codegen, and an

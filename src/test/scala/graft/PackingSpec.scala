@@ -55,4 +55,28 @@ class PackingSpec extends SparkSpec {
     assert(out.forall(_.getLong(0) % 20 != 0), "eval docs must not self-flag")
     assert(out.forall(_.getLong(1) >= 1))
   }
+
+  test("bloom-prefiltered decontamination returns exactly the exact operator's rows") {
+    val exact = TextAnalysis.qDecontaminate(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = TextAnalysis.qDecontaminateBloom(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && bloomed == exact,
+      "one-sided prefilter + exact verify must not change the output")
+  }
+
+  test("bloom prefilter passes every true hit and prunes disjoint shingles") {
+    import spark.implicits._
+    // eval vocabulary is disjoint from most train docs: only doc 100
+    // (a verbatim copy) shares any 4-gram; docs 101+ must be pruned
+    // by the filter, not just by the verify join
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    val docs = (Seq((0L, evalText), (100L, evalText)) ++
+      (101L to 160L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateBloom(docs, col("doc_id") === 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(100L -> 3L),
+      s"only the verbatim copy shares 4-grams (3 of them), got ${out.toSeq}")
+  }
 }

@@ -11,11 +11,14 @@ import graft.{SparkEntry, Tables}
   * in rows rather than quadratically — the local stand-in for the
   * 100 TB question. Results → SCALING.md.
   *
-  *   sbt "runMain graft.tools.ScaleProbe [N]"
+  *   sbt "runMain graft.tools.ScaleProbe [N] [name,name,...]"
+  * (the optional second arg restricts the probe to the named queries —
+  * re-probing one operator shouldn't cost the full sweep)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] = args.lift(1).map(_.split(',').toSet)
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_sfbig_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -88,7 +91,7 @@ object ScaleProbe {
     // construction, so its ratio is expected super-linear); the scale
     // path users actually run at big n is embeddingNearDupScaled
     // (√n centroids, ~n^1.5 pairs), probed as dedup_embedding_scaled.
-    val probes: Seq[(String, (SparkSession, String) => DataFrame)] =
+    val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("q1_agg", "q_join_shuffle", "q_sessionize",
         "q_window_topn", "q_grouped_topk_custom", "q_scan_filter",
         "q_funnel", "dedup_minhash_lsh", "dedup_simhash",
@@ -129,6 +132,9 @@ object ScaleProbe {
         // SemDeDup scale config: k=⌈√n⌉ keeps within-cell pair work
         // ~n^1.5; the fixed-k=8 gate config would go n²/8
         "dedup_semantic_scaled",
+        // Bloom prefilter: map-side probe + verify join over true
+        // hits only — the train side's shuffle is output-bounded
+        "text_decontaminate_bloom",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
         "q_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -150,6 +156,14 @@ object ScaleProbe {
                  sum("l_extendedprice"), 2).as("revenue"))
           .orderBy("p_brand")
       }))
+
+    val probes = only match {
+      case Some(names) =>
+        val unknown = names -- allProbes.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown probe names: $unknown")
+        allProbes.filter { case (n, _) => names(n) }
+      case None => allProbes
+    }
 
     // median of 3 reps per query per scale — the bench learned this
     // lesson twice (rounds 4 and 6): a single-pass time lets one

@@ -65,6 +65,7 @@ object SparkEntry {
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
+    "text_source_overlap"  -> (TextAnalysis.qSourceOverlap _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "pipeline_pretrain_corpus" -> (Pipeline.qPretrainCorpus _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
+    "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
     "q_value_histogram"    -> (Vectors.qValueHistogram _),
   )
 
@@ -698,6 +700,22 @@ object SparkEntry {
          tr AS (SELECT doc_id, unnest(shingles) AS sh FROM s WHERE doc_id % 20 != 0)
          SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (sh)
          GROUP BY doc_id ORDER BY doc_id""",
+    // cross-source vocabulary overlap: distinct (source, 4-gram)
+    // pairs self-joined on the shingle, sized per source for Jaccard
+    "text_source_overlap" ->
+      """WITH d AS (SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 4
+                 THEN list_transform(range(1, len(toks)-2), i -> array_to_string(toks[i:i+3], ' '))
+                 ELSE [] END) AS sh FROM d),
+         sz AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+         ov AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+                FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT source_a, source_b, n_shared,
+                floor((CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared)) * 10000 + 0.5) / 10000 AS jaccard
+         FROM ov JOIN sz za ON za.source = ov.source_a
+                 JOIN sz zb ON zb.source = ov.source_b
+         ORDER BY source_a, source_b""",
     // Gopher-style repetition signals; max_run via run-boundary gaps
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
@@ -1115,6 +1133,25 @@ object SparkEntry {
                 floor(max(norm) * 10000 + 0.5) / 10000 AS max_norm,
                 floor(max(unit_err) * 10000 + 0.5) / 10000 AS max_unit_err
          FROM u GROUP BY 1 ORDER BY label""",
+    // SQ8 scalar quantization: code sum is an exact integer checksum
+    // of all 64 codes; MSE fold runs in array order in both engines
+    "emb_quantize_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+                      (list_max(v) - list_min(v)) / 255.0 AS scl FROM e),
+         c AS (SELECT vec_id, v, vmin, vmax, scl,
+                 CASE WHEN vmax > vmin
+                   THEN list_transform(v, x -> CAST(least(255.0, greatest(0.0, floor((x - vmin) / scl + 0.5))) AS BIGINT))
+                   ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+               FROM m)
+         SELECT vec_id,
+                floor(vmin * 10000 + 0.5) / 10000 AS qmin,
+                floor(vmax * 10000 + 0.5) / 10000 AS qmax,
+                CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                floor((list_sum(list_transform(range(1, len(v) + 1),
+                        i -> (v[i] - (vmin + codes[i] * scl)) * (v[i] - (vmin + codes[i] * scl))))
+                       / len(v)) * 100000000 + 0.5) / 100000000 AS recon_mse
+         FROM c ORDER BY vec_id""",
     "q_value_histogram" ->
       """SELECT CAST(floor(value / 20.0) * 20 AS BIGINT) AS bucket_low, count(*) AS n,
          floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value

@@ -154,15 +154,51 @@ object TextAnalysis {
     * higher-order shingle transform: HOFs don't codegen, and an
     * inline tokens(text) inside the lambda re-runs the regex split
     * once per sequence element (measured 2.9 s vs 0.9 s at sf0.1). */
-  private[graft] def shingleSet(documents: DataFrame, w: Int): DataFrame = {
-    val t = col("toks")
-    val shingles = when(size(t) >= w,
+  private[graft] def shingleSet(documents: DataFrame, w: Int): DataFrame =
+    documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingleArray(col("toks"), w)).as("sh"))
+
+  /** Distinct word w-grams of a token array (empty below w tokens). */
+  private def shingleArray(t: Column, w: Int): Column =
+    when(size(t) >= w,
         array_distinct(transform(sequence(lit(0), size(t) - w),
           i => array_join(slice(t, i + 1, lit(w)), " "))))
       .otherwise(array().cast("array<string>"))
-    documents
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles).as("sh"))
+
+  /** Cross-source overlap audit: for every pair of corpus sources,
+    * how many DISTINCT word 4-grams they share, and the Jaccard of
+    * their shingle vocabularies. The standard question before mixing
+    * crawl snapshots / dumps into one training corpus — "how much of
+    * source B is already in source A" — answered at the vocabulary
+    * level (doc-level duplication across sources is [[graft.operators.Dedup]]'s job).
+    *
+    * Scale shape: the per-source vocabulary is DISTINCT before the
+    * self-join, so each shingle contributes at most C(sources, 2)
+    * pair rows — fan-out is bounded by the (small, fixed) source
+    * count, never by document count; the one corpus-wide shuffle is
+    * the distinct on (source, shingle). Output is a matrix over
+    * sources — tiny at any corpus size. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir), 4)
+
+  private[graft] def sourceOverlap(documents: DataFrame, w: Int): DataFrame = {
+    val vocab = documents
+      .select(col("source"), Text.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(shingleArray(col("toks"), w)).as("sh"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        Text.roundPortable(
+          col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")), 4).as("jaccard"))
+      .orderBy("source_a", "source_b")
   }
 
   /** The production ingestion shape: flag incoming (already

@@ -44,6 +44,49 @@ object Vectors {
       .orderBy("label")
   }
 
+  /** Per-vector int8 scalar quantization (the SQ8 of the standard
+    * IVF+SQ8 ANN recipe): codes_i = round((x_i − min)/scale) with
+    * scale = (max − min)/255, clamped to [0, 255]. At 100 TB this is
+    * the memory story for the similarity operators — a 64-dim float
+    * vector (256 B) becomes 64 byte-codes + two doubles (~4×
+    * smaller), which is the difference between an embedding index
+    * that fits executor memory and one that doesn't. Map-only scalar
+    * projection, no shuffle, fused into the scan.
+    *
+    * The gate pins vec_id, the (rounded) quantization range, the
+    * integer code SUM (an exact checksum of all 64 codes — any
+    * engine disagreement on any code breaks it), and the
+    * reconstruction MSE. Constant vectors (max = min) quantize to
+    * all-zero codes with zero error by the CASE guard. */
+  def qEmbQuantizeSq8(spark: SparkSession, dir: String): DataFrame =
+    quantizeSq8(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** Core over a prepared (vec_id, v: array<double>) frame. */
+  private[graft] def quantizeSq8(emb: DataFrame): DataFrame = {
+    val vmin = array_min(col("v"))
+    val vmax = array_max(col("v"))
+    val scl = (vmax - vmin) / lit(255.0)
+    val codeOf = (x: Column) =>
+      least(lit(255.0), greatest(lit(0.0), floor((x - vmin) / scl + lit(0.5))))
+    val codes = when(vmax > vmin,
+        transform(col("v"), x => codeOf(x).cast("long")))
+      .otherwise(transform(col("v"), _ => lit(0L)))
+    emb.withColumn("codes", codes)
+      .select(
+        col("vec_id"),
+        Text.roundPortable(vmin, 4).as("qmin"),
+        Text.roundPortable(vmax, 4).as("qmax"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        Text.roundPortable(
+          aggregate(zip_with(col("v"), col("codes"), (x, c) => {
+              val err = x - (vmin + c * scl)
+              err * err
+            }), lit(0.0), (a, d) => a + d) / size(col("v")),
+          8).as("recon_mse"))
+      .orderBy("vec_id")
+  }
+
   /** Fixed-width histogram of the events value column (binning
     * surface; floor-division bucketing is exact in both engines). */
   def qValueHistogram(spark: SparkSession, dir: String): DataFrame = {

@@ -135,6 +135,11 @@ object ScaleProbe {
         // Bloom prefilter: map-side probe + verify join over true
         // hits only — the train side's shuffle is output-bounded
         "text_decontaminate_bloom",
+        // per-source DISTINCT vocab then self-join: fan-out bounded
+        // by the fixed source count; one shuffle on (source, shingle)
+        "text_source_overlap",
+        // map-only scalar projection — should be pure row-linear
+        "emb_quantize_sq8",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
         "q_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(

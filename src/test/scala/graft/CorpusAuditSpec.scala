@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, Vectors}
+
+/** Properties of the corpus-audit operators (cross-source overlap,
+  * SQ8 quantization) that the hash oracle can't express: overlap
+  * counts on crafted corpora, and the quantizer's error bound —
+  * every coordinate must reconstruct within half a quantization
+  * step, which the MSE alone doesn't pin. */
+class CorpusAuditSpec extends SparkSpec {
+
+  test("source overlap counts exactly the shared 4-gram vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA and srcB share exactly one 4-gram ("p q r s"); srcC is
+      // disjoint from both, so it must produce NO pair rows at all
+      (1L, "p q r s t", "srcA"),
+      (2L, "z1 p q r s", "srcB"),
+      (3L, "m n o m n o m", "srcC"),
+      // a second srcA doc repeating the shared 4-gram must not
+      // double-count it (vocabularies are sets)
+      (4L, "p q r s", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(docs, 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L)),
+      s"only srcA∩srcB share a 4-gram, got ${out.toSeq}")
+    // jaccard = shared / (|A| + |B| − shared): A has {pqrs, qrst},
+    // B has {z1pqr, pqrs}, shared 1 → 1/3
+    val j = TextAnalysis.sourceOverlap(docs, 4).collect()(0).getDouble(3)
+    assert(math.abs(j - 0.3333) < 1e-9, s"jaccard $j != 1/3 rounded")
+  }
+
+  test("SQ8 codes reconstruct every coordinate within half a step") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val out = Vectors.qEmbQuantizeSq8(spark, sf).collect()
+    assert(out.length == emb.size)
+    out.foreach { r =>
+      val v = emb(r.getLong(0))
+      val scl = (v.max - v.min) / 255.0
+      // MSE can't beat per-coordinate max error (scl/2)²; rounded
+      // bounds get a rounding-step slack
+      assert(r.getDouble(4) <= scl * scl / 4.0 + 1e-8,
+        s"vec ${r.getLong(0)}: mse ${r.getDouble(4)} exceeds (step/2)²")
+      // code_sum within the representable envelope
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 255L * v.length)
+    }
+  }
+
+  test("SQ8 quantizes a constant vector to zero codes and zero error") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(7L, Seq.fill(8)(1.25f)),
+        org.apache.spark.sql.Row(8L, Seq(0.0f, 2.55f, 1.0f, 0.5f))),
+      schema)
+    // route through a temp table the operator can read? No — exercise
+    // the same expressions via a direct select on the crafted frame
+    val emb = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = graft.operators.Vectors.quantizeSq8(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getLong(3) == 0L, "constant vector → all-zero codes")
+    assert(out(7L).getDouble(4) == 0.0, "constant vector → zero error")
+    // max coordinate must code to exactly 255 → code_sum ≥ 255
+    assert(out(8L).getLong(3) >= 255L)
+  }
+}

@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_embedding_scaled"  -> (Similarity.qDedupEmbeddingScaled _),
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
+    "sim_ivf_sq8"          -> (Similarity.qSimIvfSq8 _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
     "text_langid"          -> (TextAnalysis.qTextLangid _),
@@ -631,6 +632,30 @@ object SparkEntry {
          scored AS (SELECT q_id, a.vec_id AS neighbor_id,
              list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
              FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // IVF+SQ8: identical bucketing to sim_ivf; the corpus side is
+    // scored on its min + code·step reconstruction (the memory
+    // contract of a compressed index), queries stay full-precision
+    "sim_ivf_sq8" ->
+      """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM best WHERE rn = 1),
+         rec AS (SELECT vec_id, bucket,
+             CASE WHEN list_max(v) > list_min(v)
+               THEN list_transform(v, x -> list_min(v) +
+                 CAST(least(255.0, greatest(0.0, floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5))) AS BIGINT)
+                   * ((list_max(v) - list_min(v)) / 255.0))
+               ELSE list_transform(v, x -> list_min(v)) END AS recon
+             FROM (SELECT vec_id, bucket, CAST(embedding AS DOUBLE[]) AS v FROM assigned)),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM assigned WHERE vec_id < 10),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
+             FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,

@@ -6,16 +6,20 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{aggregate, lit, sqrt, zip_with}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native cosine similarity over two float-array columns.
+/** Native cosine similarity over two numeric-array columns (float or
+  * double elements, independently per side — the SQ8 path scores a
+  * double-array reconstruction against a float-array query).
   *
   * A Scala UDF would deserialize each array to a Scala Seq per row;
   * the higher-order-function composition (see [[cosineViaHof]]) is
   * interpreted per element. This expression runs one tight primitive
   * loop over the unsafe array data and participates in whole-stage
   * codegen, which is what you want when scoring billions of pairs.
-  * Accumulation is in double regardless of input float width.
+  * Accumulation is in double regardless of input float width; the
+  * element accessor is resolved per side from the child's type at
+  * plan time, so the generated loop stays branch-free.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -23,14 +27,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"cosine_similarity expects array<float|double>, got $t")
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (da, db) = (isDouble(left), isDouble(right))
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (da) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (db) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
@@ -43,12 +55,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      def get(arr: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${get(a, isDouble(left))};
+         |  double $y = ${get(b, isDouble(right))};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

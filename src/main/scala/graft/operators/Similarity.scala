@@ -70,6 +70,45 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF + SQ8: the standard compressed-index ANN recipe. Bucketing
+    * is identical to [[qSimIvf]] (coarse assignment happens on the
+    * raw vector at index-build time), but search scores the corpus
+    * side on its SQ8 RECONSTRUCTION (min + code·step per coordinate,
+    * [[Vectors.sq8Recon]]) while queries stay full-precision — the
+    * memory contract of a real SQ8 index, where only codes + two
+    * scalars per vector are resident. Reconstruction is a pure
+    * per-row projection fused into the bucket scan (no join against
+    * a codes table), and the mixed float×double scoring runs in the
+    * same codegen'd [[graft.functions.CosineSimilarity]] loop.
+    * Ranking shifts only where quantization error crosses a
+    * neighbor gap — the recall cost of the 4× memory cut; the gate
+    * hash-checks the full quantize→reconstruct→score→rank path. */
+  def qSimIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+    val corpus = assigned.withColumn("recon",
+      Vectors.sq8Recon(col("embedding").cast("array<double>")))
+    val q = assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("bucket").as("q_bucket"))
+    val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    corpus.join(q, col("bucket") === col("q_bucket") &&
+                   col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("recon")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Corpora up to this size may use the exact all-pairs self-join;
     * beyond it the blocked path always runs (all-pairs is O(n²) in
     * the corpus — the one thing embedding dedup must never be at

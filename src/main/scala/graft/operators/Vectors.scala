@@ -62,17 +62,32 @@ object Vectors {
     quantizeSq8(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
+  /** SQ8 code array of a double-array column: round((x − min)/step)
+    * clamped to [0, 255], all-zero for constant vectors. */
+  private[graft] def sq8Codes(v: Column): Column = {
+    val vmin = array_min(v)
+    val vmax = array_max(v)
+    val scl = (vmax - vmin) / lit(255.0)
+    when(vmax > vmin,
+        transform(v, x => least(lit(255.0),
+          greatest(lit(0.0), floor((x - vmin) / scl + lit(0.5)))).cast("long")))
+      .otherwise(transform(v, _ => lit(0L)))
+  }
+
+  /** Dequantized copy: min + code·step — what an SQ8 index actually
+    * scores against at search time. */
+  private[graft] def sq8Recon(v: Column): Column = {
+    val vmin = array_min(v)
+    val scl = (array_max(v) - vmin) / lit(255.0)
+    transform(sq8Codes(v), c => vmin + c.cast("double") * scl)
+  }
+
   /** Core over a prepared (vec_id, v: array<double>) frame. */
   private[graft] def quantizeSq8(emb: DataFrame): DataFrame = {
     val vmin = array_min(col("v"))
     val vmax = array_max(col("v"))
     val scl = (vmax - vmin) / lit(255.0)
-    val codeOf = (x: Column) =>
-      least(lit(255.0), greatest(lit(0.0), floor((x - vmin) / scl + lit(0.5))))
-    val codes = when(vmax > vmin,
-        transform(col("v"), x => codeOf(x).cast("long")))
-      .otherwise(transform(col("v"), _ => lit(0L)))
-    emb.withColumn("codes", codes)
+    emb.withColumn("codes", sq8Codes(col("v")))
       .select(
         col("vec_id"),
         Text.roundPortable(vmin, 4).as("qmin"),

@@ -50,6 +50,25 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ8 search stays within quantization error of full-precision IVF") {
+    val full = operators.Similarity.qSimIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sq8 = operators.Similarity.qSimIvfSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(sq8.size == full.size)
+    // same buckets, same candidates — rank shifts only where the
+    // quantization error crosses a neighbor gap. On the fixture the
+    // gaps are wide: demand ≥90% neighbor recall and a tight sim
+    // perturbation bound on the shared pairs (measured max 0.0017)
+    val shared = full.keySet intersect sq8.keySet
+    assert(shared.size >= (full.size * 9) / 10,
+      s"recall ${shared.size}/${full.size} below 90%")
+    shared.foreach { k =>
+      assert(math.abs(full(k) - sq8(k)) <= 0.01,
+        s"pair $k: sq8 sim ${sq8(k)} vs full ${full(k)} — beyond quantization error")
+    }
+  }
+
   test("SQ8 quantizes a constant vector to zero codes and zero error") {
     import spark.implicits._
     import org.apache.spark.sql.types._

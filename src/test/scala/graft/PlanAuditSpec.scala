@@ -113,4 +113,57 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoop"), s"$q:\n$p")
     }
   }
+
+  test("semantic dedup pairs by cluster equi-join; source overlap by shingle equi-join") {
+    // same 100 TB contract as the text dedups: the corpus-wide pair
+    // generation is an equi-join on the blocking key (the k-means
+    // cell / the shingle) — never an all-pairs product. The bounded
+    // ×k crossJoin-broadcast of the joined kmeans ASSIGNMENT is
+    // legitimate (k rows on the build side), so the ban is on
+    // CartesianProduct plus any nested-loop join in the plans that
+    // don't embed that assignment.
+    for (q <- Seq("dedup_semantic", "dedup_semantic_scaled",
+                  "text_source_overlap")) {
+      assert(!planOf(q).contains("CartesianProduct"), s"$q")
+    }
+    // literal-kmeans semantic dedup has no crossJoin anywhere
+    assert(!planOf("dedup_semantic").contains("BroadcastNestedLoop"),
+      planOf("dedup_semantic"))
+    assert(!planOf("text_source_overlap").contains("BroadcastNestedLoop"),
+      planOf("text_source_overlap"))
+    // both semantic plans generate pairs via a cluster-keyed join
+    for (q <- Seq("dedup_semantic", "dedup_semantic_scaled")) {
+      assert("Join \\[cluster#".r.findFirstIn(planOf(q)).isDefined,
+        s"$q prune join must key on cluster:\n${planOf(q)}")
+    }
+    assert("Join \\[sh#".r.findFirstIn(planOf("text_source_overlap")).isDefined,
+      "overlap join must key on the shingle")
+    // the scaled plan's only nested-loop joins are the ×k centroid
+    // assignments (one per Lloyd pass + final assignment)
+    val bnlj = "BroadcastNestedLoopJoin".r
+      .findAllIn(planOf("dedup_semantic_scaled")).size
+    assert(bnlj <= 3, s"unexpected nested-loop joins beyond the kmeans assignment: $bnlj")
+  }
+
+  test("bloom decontamination probes map-side, before the verify join") {
+    val p = planOf("text_decontaminate_bloom")
+    // the probe must appear as a Filter predicate (map-side, fused
+    // with the shingle explode), not as a join condition — that's
+    // what bounds the verify join's shuffle to candidates
+    assert(p.contains("bloom_might_contain"), p)
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && joinAt < probeAt,
+      "probe should sit below the join in the plan tree (executes first)")
+  }
+
+  test("SQ8 search fuses reconstruction into the bucket scan — no codes-table join") {
+    val p = planOf("sim_ivf_sq8")
+    // one join only (candidates × queries); reconstruction is a
+    // projection, so no second join materializes codes
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).size <= "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(planOf("sim_ivf")).size, p)
+    assert(p.contains("cosine_similarity"), p)
+  }
 }

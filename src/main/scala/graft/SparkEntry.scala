@@ -58,6 +58,7 @@ object SparkEntry {
     "sim_ivf_sq8"          -> (Similarity.qSimIvfSq8 _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
+    "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
     "text_langid"          -> (TextAnalysis.qTextLangid _),
     "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
@@ -672,6 +673,19 @@ object SparkEntry {
            + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality_score
          FROM d ORDER BY doc_id""",
+    // hashing-trick classifier: six md5 hex digits → integer weight,
+    // mean token weight through a logistic link — digit-for-digit
+    "text_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id,
+                 list_sum(list_transform(toks, t ->
+                   CAST(CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0))
+                 / len(toks) AS mw
+               FROM d WHERE len(toks) > 0)
+         SELECT doc_id,
+                floor((1.0 / (1.0 + exp(-4.0 * mw))) * 10000 + 0.5) / 10000 AS quality_prob,
+                (1.0 / (1.0 + exp(-4.0 * mw))) >= 0.5 AS keep
+         FROM s ORDER BY doc_id""",
     "text_langid" ->
       """WITH d AS (SELECT lang, text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          v AS (SELECT lang,

@@ -112,6 +112,45 @@ object TextAnalysis {
       docs.where(!isEval))
   }
 
+  /** Model-based quality filtering, fastText-classifier-shaped: each
+    * token contributes a weight looked up by the HASHING TRICK (a
+    * pure function of the token — no vocabulary table to join or
+    * broadcast), the document score is the mean token weight pushed
+    * through a logistic link, and the filter verdict is score ≥ 0.5.
+    * This is the classifier stage every production corpus pipeline
+    * runs between the cheap heuristics ([[qTextQuality]]) and dedup —
+    * at 100 TB it must be exactly this shape: a shuffle-free per-doc
+    * projection whose model state is O(1) per executor.
+    *
+    * The weight function here — six md5 hex digits → integer →
+    * centered unit interval — is a deterministic STAND-IN for trained
+    * projection weights (no trained model ships in this container),
+    * the same policy as [[Multimodal]]'s stub decode kernel: the
+    * plumbing (hashing trick, per-token lookup, columnar fold,
+    * logistic link) is the artifact, and the oracle hash-checks all
+    * of it digit for digit. Swapping in real weights = replacing
+    * `tokenWeight` with a lookup into a broadcast float array indexed
+    * by the same hash. */
+  def qTextQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifier(Tables.documents(spark, dir))
+
+  private[graft] def qualityClassifier(documents: DataFrame): DataFrame = {
+    // md5 hex → BIGINT via conv(,16,10); DuckDB: CAST('0x'||hex AS BIGINT)
+    val tokenWeight = (t: Column) =>
+      (conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 2001L - 1000L)
+        .cast("double") / 1000.0
+    val n = size(toks)
+    val meanW = aggregate(transform(toks, tokenWeight), lit(0.0),
+      (acc, w) => acc + w) / n
+    val prob = lit(1.0) / (lit(1.0) + exp(lit(-4.0) * meanW))
+    documents
+      .where(n > 0)
+      .select(col("doc_id"),
+        Text.roundPortable(prob, 4).as("quality_prob"),
+        (prob >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same rows as
     * [[qDecontaminate]] (one oracle, two plans: the
     * dedup_clusters_dist / emb_kmeans_joined precedent), built for

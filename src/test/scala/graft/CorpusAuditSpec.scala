@@ -69,6 +69,35 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier matches the hand-computed hash weight on a one-token doc") {
+    val out = operators.TextAnalysis.qTextQualityClassifier(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val p = r.getDouble(1)
+      assert(p > 0.0 && p < 1.0, s"prob $p out of (0,1)")
+      // the keep verdict is computed on the unrounded prob; at 4dp
+      // rounding the two can only disagree within half a step of 0.5
+      if (p > 0.5001) assert(r.getBoolean(2))
+      if (p < 0.4999) assert(!r.getBoolean(2))
+    }
+    // hand-compute for crafted one-token docs: a one-token doc's mean
+    // weight IS the token weight = (first 6 md5 hex digits % 2001 −
+    // 1000)/1000, prob = σ(4·w)
+    import spark.implicits._
+    val crafted = Seq((0L, "alpha"), (1L, "spark"), (2L, "graft"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.qualityClassifier(crafted)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(0L -> "alpha", 1L -> "spark", 2L -> "graft").foreach { case (id, tok) =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val w = (java.lang.Long.parseLong(md5hex.take(6), 16) % 2001L - 1000L) / 1000.0
+      val expected = math.floor((1.0 / (1.0 + math.exp(-4.0 * w))) * 10000 + 0.5) / 10000
+      assert(got(id) == expected, s"'$tok': got ${got(id)}, hand-computed $expected")
+    }
+  }
+
   test("SQ8 quantizes a constant vector to zero codes and zero error") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_skew_join_salted"   -> (ParamFilters.qSkewJoinSalted _),
     "pipeline_training_data" -> (Pipeline.qTrainingPipeline _),
     "pipeline_pretrain_corpus" -> (Pipeline.qPretrainCorpus _),
+    "pipeline_pretrain_model"  -> (Pipeline.qPretrainCorpusModel _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
@@ -1109,6 +1110,75 @@ object SparkEntry {
                + 0.3 * (CAST(len(list_filter(t.toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t.toks))) * 10000 + 0.5) / 10000 AS quality
            FROM documents d JOIN d0 t ON d.doc_id = t.doc_id),
          passed AS (SELECT * FROM gated WHERE quality >= 0.35),
+         exact AS (SELECT * FROM (SELECT *, row_number() OVER
+             (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM passed) WHERE rn = 1),
+         drops AS (SELECT DISTINCT p.doc_b AS doc_id FROM lsh_pairs p
+           WHERE p.doc_a IN (SELECT doc_id FROM exact)
+             AND p.doc_b IN (SELECT doc_id FROM exact)),
+         surv AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         ev AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 4
+                 THEN list_transform(range(1, len(toks)-2), i -> array_to_string(toks[i:i+3], ' '))
+                 ELSE [] END)) AS sh
+               FROM (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+                     FROM documents WHERE doc_id % 20 = 0)),
+         tr4 AS (SELECT v.doc_id, unnest(list_distinct(CASE WHEN len(t.toks) >= 4
+                 THEN list_transform(range(1, len(t.toks)-2), i -> array_to_string(t.toks[i:i+3], ' '))
+                 ELSE [] END)) AS sh
+               FROM surv v JOIN d0 t ON v.doc_id = t.doc_id),
+         contaminated AS (SELECT doc_id FROM
+             (SELECT doc_id, count(*) AS n_shared FROM tr4 JOIN ev USING (sh) GROUP BY 1)
+           WHERE n_shared > 2),
+         clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         bpe AS (SELECT doc_id, lang, quality,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+           FROM clean),
+         packed AS (SELECT *, CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_bpe_tokens AS BIGINT) AS start_offset FROM bpe)
+         SELECT doc_id, lang, quality, n_bpe_tokens,
+                start_offset // 256 AS seq_id, start_offset % 256 AS seq_offset
+         FROM packed ORDER BY doc_id""",
+    // the model-shaped corpus build: classifier gate (unrounded prob
+    // ≥ 0.5) instead of the heuristic; the Bloom decontamination
+    // stage shares the plain decontamination SQL (identical output
+    // by the one-sided-filter argument); everything else as above
+    "pipeline_pretrain_model" ->
+      """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents WHERE doc_id % 20 != 0),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d0),
+         mh AS (SELECT doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         lsh_pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         gated AS (SELECT d.doc_id, d.lang, d.text,
+             1.0 / (1.0 + exp(-4.0 * (list_sum(list_transform(t.toks, tok ->
+               CAST(CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0))
+               / len(t.toks)))) AS prob
+           FROM documents d JOIN d0 t ON d.doc_id = t.doc_id WHERE len(t.toks) > 0),
+         passed AS (SELECT doc_id, lang, text,
+             floor(prob * 10000 + 0.5) / 10000 AS quality
+           FROM gated WHERE prob >= 0.5),
          exact AS (SELECT * FROM (SELECT *, row_number() OVER
              (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM passed) WHERE rn = 1),
          drops AS (SELECT DISTINCT p.doc_b AS doc_id FROM lsh_pairs p

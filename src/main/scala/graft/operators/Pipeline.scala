@@ -51,13 +51,18 @@ object Pipeline {
       .withColumn("n_tokens", nTok.cast("long"))
       .where(col("quality") >= QualityThreshold)
 
-    // stage 2: exact dedup (canonical = min doc_id per content hash)
+    dedupStages(gated)
+  }
+
+  /** Stages 2–3, shared by both corpus builds: exact dedup (canonical
+    * = min doc_id per content hash) then LSH near-dup removal over
+    * the exact survivors only. */
+  private def dedupStages(gated: DataFrame): DataFrame = {
     val wExact = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     val exact = gated.withColumn("rn", row_number().over(wExact))
       .where(col("rn") === 1).drop("rn")
       .cache()
 
-    // stage 3: near-dup removal — signatures + LSH over survivors only
     val sigs = Dedup.signaturesOf(exact.select("doc_id", "text")).cache()
     val drops = Dedup.lshVerifiedPairs(sigs)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -110,6 +115,57 @@ object Pipeline {
     val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
 
     // stage 5: concat-and-chunk packing of the curated corpus
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    Packing.packTokens(
+        clean.withColumn("n_bpe_tokens",
+          TextAnalysis.bpeTokenCount(col("text"))),
+        Packing.bucketWidthFor(n))
+      .select("doc_id", "lang", "quality", "n_bpe_tokens",
+              "seq_id", "seq_offset")
+      .orderBy("doc_id")
+  }
+
+  /** The corpus build with the MODEL-SHAPED stages swapped in — what
+    * the 100 TB run actually looks like once a trained filter and a
+    * benchmark index exist:
+    *
+    *   eval holdout → CLASSIFIER gate ([[TextAnalysis.classifierProb]],
+    *   hashed inference as a projection) → exact dedup → LSH removal
+    *   → BLOOM-prefiltered decontamination (the index-scale form) →
+    *   sequence packing.
+    *
+    * Stages 2–3 and 5 are byte-identical to [[qPretrainCorpus]]
+    * ([[dedupStages]] / [[Packing.packTokens]]); what changes is the
+    * gate (model score instead of heuristics — filtering happens on
+    * the unrounded probability, exactly like the standalone
+    * text_quality_classifier gate) and the decontamination plan shape
+    * (map-side Bloom probe + exact verify — same rows by the
+    * one-sided-filter argument, cheaper shuffle). One oracle checks
+    * the whole composition; the Bloom stage shares the plain
+    * decontamination SQL because its output is provably identical. */
+  def qPretrainCorpusModel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 20 === 0
+
+    // stage 1: classifier gate — score inline, keep prob ≥ 0.5
+    val prob = TextAnalysis.classifierProb
+    val gated = docs.where(!isEval)
+      .where(size(Text.tokens(col("text"))) > 0 && prob >= 0.5)
+      .withColumn("quality", Text.roundPortable(prob, 4))
+
+    // stages 2–3: shared dedup
+    val survivors = dedupStages(gated).cache()
+
+    // stage 4: Bloom-prefiltered decontamination vs the RAW eval slice
+    val evalSh = TextAnalysis.shingleSet(docs.where(isEval), 4)
+      .select("sh").distinct()
+    val contaminated = TextAnalysis.decontaminateBloomAgainst(
+        evalSh, TextAnalysis.shingleSet(survivors, 4))
+      .where(col("n_shared") > ContaminationMax)
+      .select("doc_id")
+    val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 5: packing, bucket width from the full-table footer count
     val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
     Packing.packTokens(
         clean.withColumn("n_bpe_tokens",

@@ -134,17 +134,23 @@ object TextAnalysis {
   def qTextQualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifier(Tables.documents(spark, dir))
 
-  private[graft] def qualityClassifier(documents: DataFrame): DataFrame = {
+  /** Unrounded classifier probability over `col("text")` — exposed so
+    * [[Pipeline]] gates on it inline instead of joining back to a
+    * scored table (at scale the score is a projection, never a join). */
+  private[graft] def classifierProb: Column = {
     // md5 hex → BIGINT via conv(,16,10); DuckDB: CAST('0x'||hex AS BIGINT)
     val tokenWeight = (t: Column) =>
       (conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 2001L - 1000L)
         .cast("double") / 1000.0
-    val n = size(toks)
     val meanW = aggregate(transform(toks, tokenWeight), lit(0.0),
-      (acc, w) => acc + w) / n
-    val prob = lit(1.0) / (lit(1.0) + exp(lit(-4.0) * meanW))
+      (acc, w) => acc + w) / size(toks)
+    lit(1.0) / (lit(1.0) + exp(lit(-4.0) * meanW))
+  }
+
+  private[graft] def qualityClassifier(documents: DataFrame): DataFrame = {
+    val prob = classifierProb
     documents
-      .where(n > 0)
+      .where(size(toks) > 0)
       .select(col("doc_id"),
         Text.roundPortable(prob, 4).as("quality_prob"),
         (prob >= 0.5).as("keep"))
@@ -174,15 +180,25 @@ object TextAnalysis {
   private[graft] def decontaminateBloom(documents: DataFrame, isEval: Column,
                                         w: Int, fpp: Double = 0.01): DataFrame = {
     val docs = shingleSet(documents, w)
-    val eval = docs.where(isEval).select("sh").distinct()
+    decontaminateBloomAgainst(
+      docs.where(isEval).select("sh").distinct(), docs.where(!isEval), fpp)
+  }
+
+  /** The eval-store form (the [[decontaminateAgainst]] twin), so
+    * [[Pipeline]] can point the Bloom at a raw-eval shingle store
+    * while the train side is its curated survivors. */
+  private[graft] def decontaminateBloomAgainst(evalShingles: DataFrame,
+                                               trainShingled: DataFrame,
+                                               fpp: Double = 0.01): DataFrame = {
     // sizing count + filter build both scan only the eval slice
-    val bloom = eval.stat.bloomFilter("sh", math.max(eval.count(), 1L), fpp)
-    docs.where(!isEval)
+    val bloom = evalShingles.stat.bloomFilter(
+      "sh", math.max(evalShingles.count(), 1L), fpp)
+    trainShingled
       .where(graft.functions.Bloom.mightContain(bloom, col("sh")))
       // no broadcast hint, unlike decontaminateAgainst: this variant
       // exists precisely for eval sets near/over the broadcast limit,
       // so AQE picks the verify-join strategy from the real sizes
-      .join(eval, "sh")
+      .join(evalShingles, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")

@@ -24,4 +24,27 @@ class PretrainCorpusSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.expr("doc_id % 20 != 0")).count()
     assert(rows.length < pool, s"nothing was curated: ${rows.length} of $pool")
   }
+
+  test("model-gated corpus: same packing invariants, classifier-consistent survivors") {
+    val rows = Pipeline.qPretrainCorpusModel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 20 != 0), "eval doc leaked into corpus")
+    val offs = rows.map(_.getAs[Long]("seq_offset"))
+    assert(offs.forall(o => o >= 0 && o < 256))
+    val seqIds = rows.map(_.getAs[Long]("seq_id"))
+    assert(seqIds.head == 0L && seqIds.zip(seqIds.tail).forall { case (a, b) => b >= a })
+    // every survivor passed the classifier: its rounded prob ≥ 0.5 −
+    // half a rounding step (the gate is on the unrounded value)
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.4999))
+    // the standalone classifier gate agrees doc for doc on the keeps
+    val kept = operators.TextAnalysis.qTextQualityClassifier(spark, sf)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(rows.forall(r => kept(r.getLong(0))),
+      "a packed doc was not a classifier keep")
+    // and the model gate differs from the heuristic gate (the two
+    // builds must not be accidentally identical)
+    val v1 = Pipeline.qPretrainCorpus(spark, sf).collect().map(_.getLong(0)).toSet
+    val v2 = rows.map(_.getLong(0)).toSet
+    assert(v1 != v2, "model gate should select a different corpus than the heuristic")
+  }
 }

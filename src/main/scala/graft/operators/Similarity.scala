@@ -93,8 +93,16 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-    val corpus = assigned.withColumn("recon",
-      Vectors.sq8Recon(col("embedding").cast("array<double>")))
+    val corpus = assigned
+      .withColumn("vd", col("embedding").cast("array<double>"))
+      // range/step projected once per row — the sq8ReconWith contract
+      // (an inline array_min inside the lambda is O(d²) per row)
+      .withColumn("vmin", array_min(col("vd")))
+      .withColumn("vmax", array_max(col("vd")))
+      .withColumn("scl", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("recon", Vectors.sq8ReconWith(
+        col("vd"), col("vmin"), col("vmax"), col("scl")))
+      .drop("vd", "vmin", "vmax", "scl")
     val q = assigned.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
               col("bucket").as("q_bucket"))

@@ -62,45 +62,51 @@ object Vectors {
     quantizeSq8(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
-  /** SQ8 code array of a double-array column: round((x − min)/step)
-    * clamped to [0, 255], all-zero for constant vectors. */
-  private[graft] def sq8Codes(v: Column): Column = {
-    val vmin = array_min(v)
-    val vmax = array_max(v)
-    val scl = (vmax - vmin) / lit(255.0)
+  /** SQ8 code array: round((x − min)/step) clamped to [0, 255],
+    * all-zero for constant vectors. Takes PRE-BOUND min/max/step
+    * columns: an expression captured inside a `transform` lambda is
+    * re-evaluated per ELEMENT, so an inline `array_min(v)` would make
+    * each row O(d²) interpreted work (measured: the first sim_ivf_sq8
+    * cut ran 2.2 s vs sim_ivf's 0.3 s at sf0.1 from exactly this —
+    * ~16k element-ops per 64-dim row). Callers project min/max/step
+    * once per row and the lambdas read O(1) references. */
+  private[graft] def sq8CodesWith(v: Column, vmin: Column, vmax: Column,
+                                  scl: Column): Column =
     when(vmax > vmin,
         transform(v, x => least(lit(255.0),
           greatest(lit(0.0), floor((x - vmin) / scl + lit(0.5)))).cast("long")))
       .otherwise(transform(v, _ => lit(0L)))
-  }
 
   /** Dequantized copy: min + code·step — what an SQ8 index actually
-    * scores against at search time. */
-  private[graft] def sq8Recon(v: Column): Column = {
-    val vmin = array_min(v)
-    val scl = (array_max(v) - vmin) / lit(255.0)
-    transform(sq8Codes(v), c => vmin + c.cast("double") * scl)
-  }
+    * scores against at search time. Same pre-bound-column contract as
+    * [[sq8CodesWith]]. */
+  private[graft] def sq8ReconWith(v: Column, vmin: Column, vmax: Column,
+                                  scl: Column): Column =
+    transform(sq8CodesWith(v, vmin, vmax, scl),
+      c => vmin + c.cast("double") * scl)
 
-  /** Core over a prepared (vec_id, v: array<double>) frame. */
-  private[graft] def quantizeSq8(emb: DataFrame): DataFrame = {
-    val vmin = array_min(col("v"))
-    val vmax = array_max(col("v"))
-    val scl = (vmax - vmin) / lit(255.0)
-    emb.withColumn("codes", sq8Codes(col("v")))
+  /** Core over a prepared (vec_id, v: array<double>) frame. The
+    * range/step are projected ONCE per row before the lambdas use
+    * them (the [[sq8CodesWith]] contract). */
+  private[graft] def quantizeSq8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scl", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("codes",
+        sq8CodesWith(col("v"), col("vmin"), col("vmax"), col("scl")))
       .select(
         col("vec_id"),
-        Text.roundPortable(vmin, 4).as("qmin"),
-        Text.roundPortable(vmax, 4).as("qmax"),
+        Text.roundPortable(col("vmin"), 4).as("qmin"),
+        Text.roundPortable(col("vmax"), 4).as("qmax"),
         aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
         Text.roundPortable(
           aggregate(zip_with(col("v"), col("codes"), (x, c) => {
-              val err = x - (vmin + c * scl)
+              val err = x - (col("vmin") + c * col("scl"))
               err * err
             }), lit(0.0), (a, d) => a + d) / size(col("v")),
           8).as("recon_mse"))
       .orderBy("vec_id")
-  }
 
   /** Fixed-width histogram of the events value column (binning
     * surface; floor-division bucketing is exact in both engines). */

@@ -138,6 +138,11 @@ object ScaleProbe {
         // per-source DISTINCT vocab then self-join: fan-out bounded
         // by the fixed source count; one shuffle on (source, shingle)
         "text_source_overlap",
+        // hashed classifier inference: shuffle-free per-doc projection
+        "text_quality_classifier",
+        // the model-shaped corpus build (classifier gate + bloom
+        // decontamination + shared dedup/packing stages)
+        "pipeline_pretrain_model",
         // map-only scalar projection — should be pure row-linear
         "emb_quantize_sq8",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200

@@ -145,6 +145,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 3, s"unexpected nested-loop joins beyond the kmeans assignment: $bnlj")
   }
 
+  test("classifier inference is one scan with no join and no hash exchange") {
+    // the model-filter contract at 100 TB: scoring is a projection
+    // (hashed weights, no vocabulary table), so the plan may not
+    // contain a join or a hash shuffle — only the output sort
+    val p = planOf("text_quality_classifier")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("bloom decontamination probes map-side, before the verify join") {
     val p = planOf("text_decontaminate_bloom")
     // the probe must appear as a Filter predicate (map-side, fused

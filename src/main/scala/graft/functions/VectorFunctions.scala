@@ -75,6 +75,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared Euclidean distance — the k-means assignment kernel.
+  * Same motivation and contract as [[CosineSimilarity]]: the HOF form
+  * (`aggregate(zip_with(v, c, (x,y) => (x-y)²), 0.0, +)`) is
+  * interpreted per element, and the joined k-means assignment
+  * evaluates the distance on n·k candidate rows. Accumulation is a
+  * left-to-right double fold in array order — bit-identical to the
+  * HOF twin and to the oracle's `list_sum(list_transform(...))`, so
+  * swapping the kernel cannot move a single assignment. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_distance"
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"squared_distance expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (da, db) = (isDouble(left), isDouble(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val x = if (da) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (db) b.getDouble(i) else b.getFloat(i).toDouble
+      val d = x - y
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      def get(arr: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${get(a, isDouble(left))} - ${get(b, isDouble(right))};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -82,6 +140,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column form of the native squared-distance kernel. */
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Built-in-composition twin of [[sqDist]] — the no-custom-code
+    * fallback and the cross-check in tests. */
+  def sqDistViaHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
 
   /** Built-in-composition equivalent (zip_with + aggregate) — kept as
     * the no-custom-code fallback and as a cross-check in tests. */

@@ -49,13 +49,14 @@ object Clustering {
   }
 
   /** Squared Euclidean distance between two double-array columns —
-    * zip, square, fold, all inside codegen'd builtins; the fold order
-    * is the array order, so both k-means shapes (and the oracle)
-    * compute the same bits. */
+    * the native [[graft.functions.SquaredDistance]] kernel (one tight
+    * codegen'd loop; the HOF composition it replaced is interpreted
+    * per element, which the joined assignment pays on n·k candidate
+    * rows). The fold order is the array order, so both k-means shapes
+    * (and the oracle) compute the same bits — ExpressionSpec pins the
+    * kernel to its HOF twin. */
   private def sqDistCols(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VectorFunctions.sqDist(v, c)
 
   private def sqDist(v: Column, centroid: Array[Double]): Column =
     sqDistCols(v, typedlit(centroid))

@@ -17,11 +17,12 @@ object Vectors {
   def l2Norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
-  /** L2-normalized copy of the vector. */
-  def l2Normalize(v: Column): Column = {
-    val n = l2Norm(v)
+  /** L2-normalized copy given a PRE-BOUND norm column — the lambda
+    * reads an O(1) reference. An inline `l2Norm(v)` captured in the
+    * lambda would be re-evaluated per ELEMENT (O(d²) per row; the
+    * SQ8 recon paid 4.8× for the same mistake — SCALING.md). */
+  def l2Normalize(v: Column, n: Column): Column =
     transform(v, x => when(n === 0.0, 0.0).otherwise(x / n))
-  }
 
   /** Norm statistics + verification that normalization yields unit
     * vectors: per label, count, mean raw norm, max |1 - ||norm(v)|| |
@@ -35,7 +36,7 @@ object Vectors {
     emb
       .withColumn("norm", l2Norm(col("e")))
       .withColumn("unit_err",
-        abs(lit(1.0) - l2Norm(l2Normalize(col("e")))))
+        abs(lit(1.0) - l2Norm(l2Normalize(col("e"), col("norm")))))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
            Text.roundPortable(avg("norm"), 4).as("avg_norm"),

@@ -62,6 +62,22 @@ class ExpressionSpec extends SparkSpec {
     assert(diffs.forall(_ < 1e-12))
   }
 
+  test("native squared distance is BIT-identical to its HOF twin") {
+    // stronger than the cosine tolerance check: the kmeans oracles
+    // depend on the kernel swap not moving a single assignment, so
+    // the fold must produce the same bits, not just close ones
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextDouble() - 0.5),
+      Array.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val pairs = df.select(
+      VectorFunctions.sqDist($"a", $"b").as("native"),
+      VectorFunctions.sqDistViaHof($"a", $"b").as("hof"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (n, h) => assert(n == h, s"$n != $h") }
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_funnel"             -> (Sessions.qFunnel _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
+    "emb_project_rp"       -> (Vectors.qEmbProjectRp _),
     "q_value_histogram"    -> (Vectors.qValueHistogram _),
   )
 
@@ -1242,6 +1243,17 @@ object SparkEntry {
                 floor(max(norm) * 10000 + 0.5) / 10000 AS max_norm,
                 floor(max(unit_err) * 10000 + 0.5) / 10000 AS max_unit_err
          FROM u GROUP BY 1 ORDER BY label""",
+    // sparse random projection: the ±1 sign matrix is replayed from
+    // md5("rp|j|i") per cell (the engine precomputes it driver-side;
+    // the oracle derives it inline — same bits either way)
+    "emb_project_rp" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         j AS (SELECT unnest(range(16)) AS dim)
+         SELECT vec_id, dim,
+           floor((list_sum(list_transform(range(1, 65), i ->
+             v[i] * (CASE WHEN substr(md5('rp|' || dim || '|' || (i - 1)), 1, 1) < '8'
+                          THEN 1.0 ELSE -1.0 END))) / 4.0) * 10000 + 0.5) / 10000 AS val
+         FROM e CROSS JOIN j ORDER BY vec_id, dim""",
     // SQ8 scalar quantization: code sum is an exact integer checksum
     // of all 64 codes; MSE fold runs in array order in both engines
     "emb_quantize_sq8" ->

@@ -109,6 +109,44 @@ object Vectors {
           8).as("recon_mse"))
       .orderBy("vec_id")
 
+  private val RpDims = 16
+
+  /** Sparse random projection (Achlioptas-style ±1 signs), 64 → 16
+    * dims: y_j = Σ_i v_i·s_ji / √16 with s_ji = ±1 drawn from
+    * md5("rp|j|i") — deterministic, so the DuckDB oracle replays the
+    * identical matrix. The Johnson–Lindenstrauss preprocessing step a
+    * 100 TB vector pipeline runs before IVF/clustering when the raw
+    * dimension is the cost driver: distances are preserved within
+    * (1±ε) while index memory and every downstream kernel shrink 4×.
+    *
+    * The sign matrix is built DRIVER-side (16×64 ints — model state,
+    * like the k-means centroids) and rides into the projection as
+    * literals; the corpus-side cost is a pure per-row fold, no md5
+    * per element, no shuffle (the oracle pays the per-element md5
+    * instead — correctness contract, not the production plan).
+    * Output is long-format (vec_id, dim, val) so the gate hashes
+    * scalars, not float-array renderings. */
+  def qEmbProjectRp(spark: SparkSession, dir: String): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val hex = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = (0 until RpDims).map { j =>
+      val signs = Array.tabulate(64)(i => sign(j, i))
+      aggregate(zip_with(col("v"), typedlit(signs), (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t) / math.sqrt(RpDims)
+    }
+    emb.select(col("vec_id"),
+        posexplode(array(dims: _*)).as(Seq("dim", "val")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        Text.roundPortable(col("val"), 4).as("val"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Fixed-width histogram of the events value column (binning
     * surface; floor-division bucketing is exact in both engines). */
   def qValueHistogram(spark: SparkSession, dir: String): DataFrame = {

@@ -98,6 +98,23 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("random projection preserves norms on average (the JL contract)") {
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => x * x).sum).toMap
+    val proj = operators.Vectors.qEmbProjectRp(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => {
+        val y = r.getDouble(2); y * y }).sum }
+    assert(proj.size == orig.size)
+    // E[‖y‖²] = ‖v‖² for ±1/√d signs; with 500 vectors the mean ratio
+    // concentrates tightly even though any single vector can deviate
+    val ratios = proj.map { case (id, p) => p / orig(id) }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean strays from 1")
+  }
+
   test("SQ8 quantizes a constant vector to zero codes and zero error") {
     import spark.implicits._
     import org.apache.spark.sql.types._

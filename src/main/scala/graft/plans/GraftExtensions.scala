@@ -7,21 +7,28 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
-import graft.functions.{CosineSimilarity, SimHash64}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import graft.functions.{CosineSimilarity, SimHash64, SquaredDistance}
 
 /** Cosine of a vector with itself: 1.0 unless the vector is all-zero
   * (then 0.0, matching [[CosineSimilarity]]'s zero-denominator
-  * convention). One early-exit pass, no multiplies. */
+  * convention). One early-exit pass, no multiplies. Reads the element
+  * type from the child (CosineSimilarity accepts float or double
+  * arrays, so the rewrite must too — a getFloat on a double array
+  * would scan the wrong bytes). */
 case class SelfCosine(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "self_cosine"
+  private lazy val isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     var i = 0
     while (i < a.numElements()) {
-      if (a.getFloat(i) != 0.0f) return 1.0
+      val nonZero =
+        if (isDouble) a.getDouble(i) != 0.0 else a.getFloat(i) != 0.0f
+      if (nonZero) return 1.0
       i += 1
     }
     0.0
@@ -59,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
+      (args: Seq[Expression]) => SquaredDistance(args(0), args(1))))
   }
 }
 
@@ -74,5 +85,7 @@ object GraftExtensions {
       "cosine_similarity", args => CosineSimilarity(args(0), args(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", args => SimHash64(args.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_distance", args => SquaredDistance(args(0), args(1)), "scala_udf")
   }
 }

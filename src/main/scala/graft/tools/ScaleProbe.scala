@@ -145,6 +145,8 @@ object ScaleProbe {
         "pipeline_pretrain_model",
         // map-only scalar projection — should be pure row-linear
         "emb_quantize_sq8",
+        // 16 literal-sign folds per row, no shuffle — row-linear
+        "emb_project_rp",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
         "q_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -19,9 +19,32 @@ class ExtensionsSpec extends SparkSpec {
   test("SQL-registered custom functions are callable") {
     val row = extSpark.sql(
       """SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
-                simhash64(array('a', 'b')) AS sh""").collect().head
+                simhash64(array('a', 'b')) AS sh,
+                squared_distance(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d""")
+      .collect().head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(row.getString(1).length == 16)
+    assert(row.getDouble(2) == 25.0)
+  }
+
+  test("self-cosine rewrite is element-type-aware (double arrays too)") {
+    import extSpark.implicits._
+    // parquet round-trip: a literal Seq is folded into a LocalRelation
+    // before user rules run, so the rewrite wouldn't fire (and the
+    // raw FP cosine of (v,v) is 0.99999…, not exactly 1). The vector
+    // (0.0, 1.0) is the regression case: a getFloat scan over the
+    // double-backed array reads the zero words first and would return
+    // 0.0 for a NONZERO vector.
+    val dir = java.nio.file.Files.createTempDirectory("selfcos").toString
+    Seq((1L, Array(0.0, 1.0)), (2L, Array(0.0, 0.0)))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val df = extSpark.read.parquet(dir)
+      .selectExpr("id", "cosine_similarity(v, v) AS c")
+    val fired = df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[SelfCosine]))
+    assert(fired, "rewrite did not fire on the double-array column")
+    val got = df.orderBy("id").select("c").as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0), s"double-array self-cosine broke: $got")
   }
 
   test("self-cosine rewrite fires and preserves semantics") {

@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
     "dedup_semantic_scaled" -> (Clustering.qSemanticDedupScaled _),
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
+    "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
@@ -801,6 +802,25 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn FROM documents)
          SELECT lang, doc_id FROM r JOIN qq USING (lang) WHERE rn <= quota
          ORDER BY lang, doc_id""",
+    // token-budget mixing: 20k-token budget split across sources
+    // ∝ √(token mass), largest-remainder in whole tokens, quotas
+    // filled greedily in md5 order (running sum must fit the quota)
+    "q_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_tok
+           FROM documents),
+         g AS (SELECT source, sum(n_tok) AS g_tok FROM d GROUP BY 1),
+         qt AS (SELECT source, 20000 * sqrt(CAST(g_tok AS DOUBLE)) / sum(sqrt(CAST(g_tok AS DOUBLE))) OVER () AS ideal FROM g),
+         qb AS (SELECT source, floor(ideal) AS base, ideal - floor(ideal) AS rem FROM qt),
+         qf AS (SELECT *, 20000 - sum(base) OVER () AS leftover,
+                row_number() OVER (ORDER BY rem DESC, source) AS rr FROM qb),
+         qq AS (SELECT source, CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota FROM qf),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         SELECT source, doc_id, n_tok AS n_bpe_tokens
+         FROM c JOIN qq USING (source) WHERE cum <= quota
+         ORDER BY source, doc_id""",
     // concat-and-chunk packing at 256 tokens/sequence in doc_id order;
     // the oracle's single global cumsum is the semantic spec the
     // engine's two-phase distributed prefix sum must reproduce

@@ -64,4 +64,53 @@ object Mixing {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
   }
+
+  private val TokenBudget = 20000L
+
+  /** Token-budget mixing — [[qTemperatureMix]]'s sibling that budgets
+    * what training actually consumes: allocate a global TOKEN budget
+    * across sources ∝ √(source token mass) (largest-remainder in
+    * whole tokens: each floor loses under one token, so the leftover
+    * is below the source count and the +1 redistribution applies
+    * unchanged), then fill each source's quota greedily in the same
+    * deterministic md5 order — a document is selected iff the running
+    * token sum through it still fits the quota, so Σ selected tokens
+    * ≤ quota per source and ≤ budget overall, exactly.
+    *
+    * Scale posture mirrors the other quota samplers: the quota table
+    * is one row per source (broadcast back), and the per-source
+    * prefix scan is bounded BEFORE the window by a [[graft.plans.GroupedTopK]]
+    * prune to budget-many docs (a quota of B tokens can consume at
+    * most B one-token docs) — no source is ever fully sorted. */
+  def qTokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy().orderBy(desc("rem"), col("source"))
+    val quotas = docs.groupBy("source").agg(sum("n_tok").as("g_tok"))
+      .withColumn("w", sqrt(col("g_tok").cast("double")))
+      .withColumn("ideal", lit(TokenBudget) * col("w") / sum("w").over(wAll))
+      .withColumn("base", floor(col("ideal")))
+      .withColumn("rem", col("ideal") - col("base"))
+      .withColumn("leftover", lit(TokenBudget) - sum("base").over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .withColumn("quota",
+        (col("base") + when(col("rr") <= col("leftover"), 1.0).otherwise(0.0))
+          .cast("long"))
+      .select("source", "quota")
+    val ranked = docs.withColumn("rk", md5(col("doc_id").cast("string")))
+    val pruned = graft.plans.GroupedTopKApi.groupedTopKOrdered(ranked,
+      keys = Seq("source"),
+      sort = Seq("rk" -> true, "doc_id" -> true),
+      k = TokenBudget.toInt)
+    val wCum = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pruned
+      .withColumn("cum", sum("n_tok").over(wCum))
+      .join(broadcast(quotas), "source")
+      .where(col("cum") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("n_tok").as("n_bpe_tokens"))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -66,6 +66,41 @@ class MixingClusteringSpec extends SparkSpec {
     mixCnt.foreach { case (l, c) => assert(c <= raw(l)) }
   }
 
+  test("token-budget mix fills every source quota maximally and never overspends") {
+    val out = Mixing.qTokenBudgetMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val perSource = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val totalSel = perSource.values.sum
+    assert(totalSel <= 20000L, s"budget overspent: $totalSel")
+    // greedy maximality: re-derive each source's md5 order and check
+    // the first UNSELECTED doc would overflow the spent+its-size sum
+    // against what the quota must at least be (the selected total)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        operators.TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val selected = out.map(t => (t._1, t._2)).toSet
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val inOrder = rows.sortBy(r => (md5hex(r._1.toString), r._1))
+      var cum = 0L
+      var stopped = false
+      inOrder.foreach { case (id, _, n) =>
+        if (!stopped && selected((src, id))) cum += n
+        else if (!stopped) {
+          // first unselected doc: selection must be a PREFIX (nothing
+          // after it is selected) — the greedy fill property
+          stopped = true
+          assert(cum == perSource.getOrElse(src, 0L),
+            s"$src: selection is not the md5-order prefix")
+        } else assert(!selected((src, id)),
+          s"$src: doc $id selected after the prefix ended")
+      }
+    }
+  }
+
   test("semantic dedup: output partitions the corpus and every cluster keeps its farthest member") {
     val n = Tables.embeddings(spark, sf).count()
     for (out <- Seq(Clustering.qSemanticDedup(spark, sf).collect(),

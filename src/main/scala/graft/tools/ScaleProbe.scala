@@ -148,7 +148,10 @@ object ScaleProbe {
         // 16 literal-sign folds per row, no shuffle — row-linear
         "emb_project_rp",
         // 5 fixed strata, √count quotas, GroupedTopK prune to ≤200
-        "q_temperature_mix")
+        "q_temperature_mix",
+        // token-mass quotas + greedy per-source prefix fill; the
+        // prefix scan is GroupedTopK-bounded at budget-many docs
+        "q_token_budget_mix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -239,6 +239,57 @@ object ScaleProbe {
     }
     recallTable(src, "1x")
     recallTable(dst, s"${factor}x")
+
+    // Tight-pair recall: the synthetic corpus has almost no tight
+    // duplicate structure (nearly all true pairs sit at 0.45–0.6,
+    // the borderline regime a coarse quantizer must miss), so the
+    // background recall table above can't show the regime real dedup
+    // corpora live in — copies/re-encodes at cosine ≥0.9 over a
+    // separated background. Plant that regime: every 50th vector
+    // gains a deterministic near-copy (v + 0.2·shift₁(v), cosine
+    // ≈0.95–0.99 to its source), and recall is measured on the
+    // planted pairs alone. Expectation under the IVF contract: a
+    // tight copy lands in (or next to) its source's cell, so planted
+    // recall should sit far above the background rows above.
+    def plantedRecall(dir: String, label: String): Unit = {
+      import graft.functions.VectorFunctions.cosine
+      // beyond the replica key space (replica ids reach ~9.0003e8)
+      val PlantOffset = 10000000000L
+      val every = 50
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val planted = emb.where(pmod(col("vec_id"), lit(every)) === 0)
+        .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+          zip_with(col("embedding"),
+            concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)),
+            (a, b) => a + lit(0.2f) * b).cast("array<float>").as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      val n = corpus.count()
+      // measured tightness of the plant (construction predicts
+      // ~0.95+; report rather than assert)
+      val truth = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        .join(planted.select((col("vec_id") - lit(PlantOffset)).as("id_a"),
+                             col("embedding").as("v_b")), "id_a")
+        .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      val Array(nPlanted, minSim, medSim) = truth
+        .agg(count(lit(1)).cast("double"), min("sim"),
+             expr("percentile(sim, 0.5)")).head.toSeq.toArray
+        .map(_.toString.toDouble)
+      val cents = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      Seq(1, 2, 4).foreach { np =>
+        val t0 = System.nanoTime()
+        val found = graft.operators.Similarity.blockedNearDup(corpus, cents, np)
+          .where(col("id_b") - col("id_a") === PlantOffset &&
+                 pmod(col("id_a"), lit(every)) === 0)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[plant] $label%-6s n=$n%-6d planted=${nPlanted.toLong}%-5d " +
+          f"cos[min=$minSim%.3f med=$medSim%.3f] centroids=$cents%-4d nprobe=$np " +
+          f"found=$found%5d/${nPlanted.toLong}%-5d (${100.0 * found / nPlanted}%5.1f%%) $sec%7.2f s")
+      }
+      corpus.unpersist()
+    }
+    plantedRecall(src, "1x")
+    plantedRecall(dst, s"${factor}x")
     spark.stop()
   }
 }

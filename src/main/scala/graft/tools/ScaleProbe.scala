@@ -13,7 +13,8 @@ import graft.{SparkEntry, Tables}
   *
   *   sbt "runMain graft.tools.ScaleProbe [N] [name,name,...]"
   * (the optional second arg restricts the probe to the named queries —
-  * re-probing one operator shouldn't cost the full sweep)
+  * re-probing one operator shouldn't cost the full sweep; the
+  * pseudo-names "recall" and "plant" select the IVF recall tables)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -172,9 +173,13 @@ object ScaleProbe {
           .orderBy("p_brand")
       }))
 
+    // "recall" / "plant" are pseudo-names selecting the nprobe-recall
+    // and planted-tight-pair tables below (always on in a full sweep;
+    // re-probing one operator shouldn't pay the ~1-min recall sweeps)
+    val pseudo = Set("recall", "plant")
     val probes = only match {
       case Some(names) =>
-        val unknown = names -- allProbes.map(_._1).toSet
+        val unknown = names -- allProbes.map(_._1).toSet -- pseudo
         require(unknown.isEmpty, s"unknown probe names: $unknown")
         allProbes.filter { case (n, _) => names(n) }
       case None => allProbes
@@ -237,8 +242,10 @@ object ScaleProbe {
       }
       emb.unpersist()
     }
-    recallTable(src, "1x")
-    recallTable(dst, s"${factor}x")
+    if (only.forall(_("recall"))) {
+      recallTable(src, "1x")
+      recallTable(dst, s"${factor}x")
+    }
 
     // Tight-pair recall: the synthetic corpus has almost no tight
     // duplicate structure (nearly all true pairs sit at 0.45–0.6,
@@ -288,8 +295,10 @@ object ScaleProbe {
       }
       corpus.unpersist()
     }
-    plantedRecall(src, "1x")
-    plantedRecall(dst, s"${factor}x")
+    if (only.forall(_("plant"))) {
+      plantedRecall(src, "1x")
+      plantedRecall(dst, s"${factor}x")
+    }
     spark.stop()
   }
 }

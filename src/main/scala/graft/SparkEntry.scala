@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash_wide"   -> (Dedup.qDedupSimhashWide _),
     "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
     "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
+    "dedup_keep_best"      -> (Dedup.qDedupKeepBest _),
     "dedup_verbatim"       -> (Dedup.qVerbatimCoverage _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
@@ -172,11 +173,12 @@ object SparkEntry {
          FROM av LEFT JOIN pruned ON av.vec_id = pruned.vec_id
          ORDER BY av.vec_id"""
 
-  /** One oracle for both cluster gates: dedup_clusters (guarded
-    * driver/distributed dispatch) and dedup_clusters_dist (distributed
-    * path forced) intentionally compute the same result, so threshold
-    * or shingle changes edit exactly one query. */
-  private val DedupClustersOracleSql: String =
+  /** One oracle CTE chain for the cluster gates: dedup_clusters
+    * (guarded driver/distributed dispatch) and dedup_clusters_dist
+    * (distributed path forced) intentionally compute the same result,
+    * so threshold or shingle changes edit exactly one query;
+    * dedup_keep_best appends its selection tail to the same chain. */
+  private val DedupClustersCtes: String =
     """WITH RECURSIVE d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
@@ -212,8 +214,32 @@ object SparkEntry {
            UNION
            SELECT tc.a, p.b FROM tc JOIN p ON tc.b = p.a),
          clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-                      FROM tc GROUP BY a)
-         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
+                      FROM tc GROUP BY a)"""
+
+  private val DedupClustersOracleSql: String =
+    DedupClustersCtes +
+    """ SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
+
+  /** Keep-best tail over the cluster CTEs: quality score per member
+    * (the text_quality formula, rounded to 4 decimals BEFORE the
+    * rank, exactly as the Spark side rounds), then the top member per
+    * cluster by (quality DESC, doc_id). Reuses the `d` tokens CTE the
+    * cluster pipeline already defines. */
+  private val DedupKeepBestOracleSql: String =
+    DedupClustersCtes +
+    """,
+         q AS (SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality_score
+               FROM d),
+         m AS (SELECT c.cluster_id, c.doc_id, q.quality_score,
+                      row_number() OVER (PARTITION BY c.cluster_id
+                        ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+                      count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+               FROM clusters c JOIN q USING (doc_id))
+         SELECT cluster_id, doc_id AS kept_doc_id,
+                quality_score AS kept_quality, n_members
+         FROM m WHERE rn = 1 ORDER BY cluster_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -560,6 +586,7 @@ object SparkEntry {
          SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
     "dedup_clusters" -> DedupClustersOracleSql,
     "dedup_clusters_dist" -> DedupClustersOracleSql,
+    "dedup_keep_best" -> DedupKeepBestOracleSql,
     // ExactSubstr-style span coverage: 8-token windows shared verbatim
     // across >= 2 distinct docs; per-doc interval merge (island scan)
     "dedup_verbatim" ->

@@ -459,6 +459,32 @@ object Dedup {
   def qDedupClustersDist(spark: SparkSession, dir: String): DataFrame =
     qDedupClusters(spark, dir, forceDistributed = true)
 
+  /** Quality-aware canonical selection: production dedup doesn't keep
+    * an arbitrary cluster member, it keeps the BEST one (min-id is a
+    * tie-break, not a policy — a near-dup cluster usually holds one
+    * clean original and N mangled re-encodes). For each near-dup
+    * cluster, emit the member with the highest heuristic quality
+    * score ([[TextAnalysis.qTextQuality]]; rounded to 4 decimals in
+    * both engines BEFORE ranking, ties to the lower doc_id) plus the
+    * cluster size. Plan shape: the member⋈quality join is
+    * AQE-decided; after it, ONE shuffle on cluster_id feeds both the
+    * size window and the [[graft.plans.GroupedTopK]] top-1 heap
+    * (its required distribution is satisfied by the window's output
+    * partitioning, and the heap prune never sorts a whole cluster —
+    * dup-heavy corpora have huge clusters, the exact case a
+    * sort-based rank degrades on). */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = qDedupClusters(spark, dir)
+      .join(TextAnalysis.qTextQuality(spark, dir), "doc_id")
+    val withSize = members.withColumn("n_members",
+      count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    graft.plans.GroupedTopKApi.groupedTopKOrdered(withSize,
+        Seq("cluster_id"), Seq("quality_score" -> false, "doc_id" -> true), 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+              col("quality_score").as("kept_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Window width (tokens) for [[qVerbatimCoverage]]. Real ExactSubstr
     * pipelines use ~50-token windows; 8 fits the 10–99-token fixture
     * docs while keeping chance collisions negligible (40⁸ keyspace). */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.execution.SparkStrategy
@@ -48,6 +48,15 @@ case class GroupedTopKExec(keys: Seq[Expression], sortOrder: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     if (finalPass) Seq(ClusteredDistribution(keys))
     else Seq(UnspecifiedDistribution)
+
+  // the heap pass drops rows but never moves them across partitions,
+  // so the child's partitioning holds for the output. Without this
+  // override the default UnknownPartitioning makes EnsureRequirements
+  // re-shuffle a child that is ALREADY clustered on the keys (e.g. by
+  // an upstream window/aggregate) — one redundant exchange per topk.
+  // Output ORDERING is deliberately not propagated: heap emission
+  // order is arbitrary.
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys

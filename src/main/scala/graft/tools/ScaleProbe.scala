@@ -97,6 +97,10 @@ object ScaleProbe {
         "q_window_topn", "q_grouped_topk_custom", "q_scan_filter",
         "q_funnel", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_clusters_dist",
+        // clusters + quality join + one clustered shuffle for the
+        // size window and the top-1 heap — should track the cluster
+        // pipeline's own growth and nothing more
+        "dedup_keep_best",
         "dedup_embedding_blocked", "text_tfidf",
         "stream_running_totals", "stream_attribution",
         "pipeline_training_data",

@@ -94,6 +94,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("GroupedTopK \\[".r.findAllIn(p).size == 2, p)
   }
 
+  test("keep-best shares one clustered shuffle between size window and top-1 heap") {
+    val p = planOf("dedup_keep_best")
+    // partial+final heap passes present, and the final pass rides the
+    // window's partitioning: exactly ONE hash exchange on cluster_id
+    // (GroupedTopKExec propagates child partitioning — a second
+    // exchange here is the regression this test pins against)
+    assert("GroupedTopK \\[".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("repetition signals are one scan with no exchange except the output sort") {
     val p = planOf("text_repetition")
     assert(!p.contains("Join"), p)

@@ -101,6 +101,7 @@ object SparkEntry {
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
     "q_skew_join_salted"   -> (ParamFilters.qSkewJoinSalted _),
     "pipeline_training_data" -> (Pipeline.qTrainingPipeline _),
+    "pipeline_funnel"      -> (Pipeline.qCurationFunnel _),
     "pipeline_pretrain_corpus" -> (Pipeline.qPretrainCorpus _),
     "pipeline_pretrain_model"  -> (Pipeline.qPretrainCorpusModel _),
     "q_funnel"             -> (Sessions.qFunnel _),
@@ -1120,6 +1121,58 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, quality FROM exact
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          ORDER BY doc_id""",
+    // the same stages counted per source instead of filtered:
+    // curated ⊆ exact ⊆ quality ⊆ docs, one row per source
+    "pipeline_funnel" ->
+      """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d0),
+         mh AS (SELECT doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         lsh_pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+           FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         passed AS (SELECT d.doc_id, d.text FROM documents d JOIN d0 t ON d.doc_id = t.doc_id
+           WHERE floor((0.4 * least(len(t.toks) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks))
+               + 0.3 * (CAST(len(list_filter(t.toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t.toks))) * 10000 + 0.5) / 10000 >= 0.35),
+         exact AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER
+             (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM passed) WHERE rn = 1),
+         drops AS (SELECT DISTINCT p.doc_b AS doc_id FROM lsh_pairs p
+           WHERE p.doc_a IN (SELECT doc_id FROM exact)
+             AND p.doc_b IN (SELECT doc_id FROM exact)),
+         curated AS (SELECT doc_id FROM exact
+           WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+         SELECT d.source,
+                count(*) AS n_docs,
+                count(p.doc_id) AS n_quality,
+                count(e.doc_id) AS n_exact,
+                count(c.doc_id) AS n_curated
+         FROM documents d
+         LEFT JOIN (SELECT doc_id FROM passed) p ON d.doc_id = p.doc_id
+         LEFT JOIN exact e ON d.doc_id = e.doc_id
+         LEFT JOIN curated c ON d.doc_id = c.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     // the full corpus build: eval holdout -> quality -> exact dedup ->
     // LSH removal -> 4-gram decontamination (vs the RAW eval slice,
     // drop when n_shared > 2) -> 256-token concat-and-chunk packing

@@ -33,22 +33,26 @@ object Pipeline {
 
   private val QualityThreshold = 0.35
 
+  /** The stage-1 heuristic score over `text` — the text_quality
+    * formula (length saturation + lexical diversity + stopword
+    * share), unrounded. */
+  private def heuristicQuality: org.apache.spark.sql.Column = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks)
+    lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+    lit(0.3) * (size(array_distinct(toks)).cast("double") / nTok) +
+    lit(0.3) * (size(filter(toks,
+      t => t.isin("the", "a", "and", "of", "to"))).cast("double") / nTok)
+  }
+
   /** Stages 1–3 over an arbitrary document pool: quality gate →
     * exact dedup → LSH near-dup removal. Returns the surviving docs
     * with text retained (downstream stages may shingle them again). */
   private def curatedSurvivors(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val nTok = size(toks)
-    val quality =
-      lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
-      lit(0.3) * (size(array_distinct(toks)).cast("double") / nTok) +
-      lit(0.3) * (size(filter(toks,
-        t => t.isin("the", "a", "and", "of", "to"))).cast("double") / nTok)
-
     // stage 1: quality gate (projection-only — no shuffle)
     val gated = docs
-      .withColumn("quality", Text.roundPortable(quality, 4))
-      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("quality", Text.roundPortable(heuristicQuality, 4))
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
       .where(col("quality") >= QualityThreshold)
 
     dedupStages(gated)
@@ -74,6 +78,41 @@ object Pipeline {
     curatedSurvivors(Tables.documents(spark, dir))
       .select("doc_id", "lang", "n_tokens", "quality")
       .orderBy("doc_id")
+
+  /** Per-source curation funnel — the governance view of the same
+    * stages ("where did my corpus go"): for every source, how many
+    * docs it contributed and how many survive the quality gate, the
+    * exact dedup, and the LSH removal. One corpus pass: the quality
+    * flag is a projection; the exact-canonical flag is a single
+    * window (min doc_id among quality-passers per content hash — the
+    * same canonical `dedupStages` picks, without filtering rows out
+    * so the funnel can still count the dropped ones); only the LSH
+    * drop set needs the band join, and it runs over exact survivors
+    * exactly as the pipeline itself does. Counts are monotone by
+    * construction (curated ⊆ exact ⊆ quality ⊆ docs). */
+  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val flagged = docs
+      .withColumn("is_q",
+        Text.roundPortable(heuristicQuality, 4) >= QualityThreshold)
+      .withColumn("is_e", col("is_q") &&
+        col("doc_id") === min(when(col("is_q"), col("doc_id")))
+          .over(Window.partitionBy(md5(col("text")))))
+      .cache()
+    val drops = Dedup.lshVerifiedPairs(
+        Dedup.signaturesOf(flagged.where(col("is_e"))
+          .select("doc_id", "text")))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("lsh_dropped", lit(true))
+    flagged.join(drops, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("is_q"), 1)).as("n_quality"),
+           count(when(col("is_e"), 1)).as("n_exact"),
+           count(when(col("is_e") && col("lsh_dropped").isNull, 1))
+             .as("n_curated"))
+      .orderBy("source")
+  }
 
   /** A survivor may share this many distinct eval 4-grams before it
     * is dropped as contaminated (chance collisions are common on the

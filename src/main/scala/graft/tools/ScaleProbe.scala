@@ -104,6 +104,9 @@ object ScaleProbe {
         "dedup_embedding_blocked", "text_tfidf",
         "stream_running_totals", "stream_attribution",
         "pipeline_training_data",
+        // per-source stage-survival counts: one corpus pass + the
+        // LSH drop join the pipeline itself pays — same growth class
+        "pipeline_funnel",
         // the full composed corpus build (quality -> dedups ->
         // decontamination -> packing) — stage costs are each probed
         // individually above; this row shows composition overhead

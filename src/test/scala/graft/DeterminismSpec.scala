@@ -20,7 +20,9 @@ class DeterminismSpec extends SparkSpec {
     "q_temperature_mix",   // largest-remainder quotas
     "dedup_clusters_dist", // iterative label propagation
     "emb_kmeans",          // iterative fitting, driver-side model
-    "dedup_semantic_scaled") // kmeans + cluster-keyed prune
+    "dedup_semantic_scaled", // kmeans + cluster-keyed prune
+    "dedup_keep_best",     // heap-selected rank over cluster labels
+    "pipeline_funnel")     // window-flagged counts over LSH drops
 
   test("hash-ranked / iterative / quota gates are identical across shuffle parallelism") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -40,29 +40,67 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF-style ANN: deterministic "centroids" (first NumCentroids
-    * vectors), every vector assigned to its nearest centroid, and a
-    * query only scans its own bucket. At scale the assignment is one
-    * broadcast pass over the corpus and search cost drops by the
-    * bucket fan-out; recall loss vs brute force is the usual IVF
-    * trade (nprobe=1 here). */
-  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cent = emb.where(col("vec_id") < NumCentroids)
+  /** The deterministic "trained" coarse quantizer: the corpus's first
+    * `numCentroids` vectors as a (c_id, c_vec) frame. ALWAYS derived
+    * from the full corpus — a centroid set derived from a filtered
+    * slice would be a different quantizer under the same name. */
+  private def centroidsOf(emb: DataFrame, numCentroids: Int): DataFrame =
+    emb.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+  /** Coarse assignment: every vector of `vectors` scored against the
+    * broadcast centroid frame, keeping the `keep` nearest as
+    * (vec_id, embedding, bucket) rows. Shared by corpus assignment,
+    * query probing, and the index build so "the cell a vector lands
+    * in" has one definition. */
+  private def nearestCentroids(vectors: DataFrame, cent: DataFrame,
+                               keep: Int): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
-    val assigned = emb.crossJoin(broadcast(cent))
+    vectors.crossJoin(broadcast(cent))
       .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
       .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+      .where(col("rn") <= keep)
       .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-    val q = assigned.where(col("vec_id") < NumQueries)
+  }
+
+  /** SQ8 reconstruction of an `embedding` float-array column as a
+    * `recon` double-array column — range/step projected once per row
+    * (the [[Vectors.sq8ReconWith]] contract: an inline array_min
+    * inside the lambda is O(d²) per row). */
+  private def withSq8Recon(df: DataFrame): DataFrame =
+    df.withColumn("vd", col("embedding").cast("array<double>"))
+      .withColumn("vmin", array_min(col("vd")))
+      .withColumn("vmax", array_max(col("vd")))
+      .withColumn("scl", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("recon", Vectors.sq8ReconWith(
+        col("vd"), col("vmin"), col("vmax"), col("scl")))
+      .drop("vd", "vmin", "vmax", "scl")
+
+  /** IVF(+SQ8) top-k search, the one core all four sim_ivf* gates
+    * run: corpus vectors live in their single nearest of
+    * `numCentroids` cells; each query probes its `nProbes` nearest
+    * cells (the recall/cost dial — a corpus vector is in exactly one
+    * cell, so probed candidates are duplicate-free by construction);
+    * with `sq8` the corpus side is scored on its min + code·step
+    * reconstruction ([[withSq8Recon]]) while queries stay
+    * full-precision — the memory contract of a compressed index.
+    * The query side is a broadcast (queries × nProbes rows), so the
+    * corpus is scanned once and never shuffled; scoring runs in the
+    * codegen'd [[graft.functions.CosineSimilarity]] loop. */
+  private[graft] def ivfSearch(emb: DataFrame, numCentroids: Int,
+                               nProbes: Int, sq8: Boolean): DataFrame = {
+    val cent = centroidsOf(emb, numCentroids)
+    val assigned = nearestCentroids(emb, cent, keep = 1)
+    val corpus = if (sq8) withSq8Recon(assigned) else assigned
+    val scoreVec = if (sq8) col("recon") else col("embedding")
+    val q = nearestCentroids(
+        emb.where(col("vec_id") < NumQueries), cent, keep = nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
               col("bucket").as("q_bucket"))
     val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    assigned.join(q, col("bucket") === col("q_bucket") &&
-                     col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+    corpus.join(broadcast(q), col("bucket") === col("q_bucket") &&
+                   col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), scoreVec))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -70,51 +108,47 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-style ANN: deterministic "centroids" (first NumCentroids
+    * vectors), every vector assigned to its nearest centroid, and a
+    * query only scans its own bucket (nprobe=1). The FIXED 8-centroid
+    * config the oracle unrolls step-for-step; [[qSimIvfScaled]] gates
+    * the √n sizing a real corpus needs. */
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(Tables.embeddings(spark, dir), NumCentroids, nProbes = 1,
+      sq8 = false)
+
   /** IVF + SQ8: the standard compressed-index ANN recipe. Bucketing
     * is identical to [[qSimIvf]] (coarse assignment happens on the
     * raw vector at index-build time), but search scores the corpus
-    * side on its SQ8 RECONSTRUCTION (min + code·step per coordinate,
-    * [[Vectors.sq8Recon]]) while queries stay full-precision — the
-    * memory contract of a real SQ8 index, where only codes + two
-    * scalars per vector are resident. Reconstruction is a pure
-    * per-row projection fused into the bucket scan (no join against
-    * a codes table), and the mixed float×double scoring runs in the
-    * same codegen'd [[graft.functions.CosineSimilarity]] loop.
+    * side on its SQ8 RECONSTRUCTION while queries stay full-precision.
     * Ranking shifts only where quantization error crosses a
     * neighbor gap — the recall cost of the 4× memory cut; the gate
     * hash-checks the full quantize→reconstruct→score→rank path. */
-  def qSimIvfSq8(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cent = emb.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-    val corpus = assigned
-      .withColumn("vd", col("embedding").cast("array<double>"))
-      // range/step projected once per row — the sq8ReconWith contract
-      // (an inline array_min inside the lambda is O(d²) per row)
-      .withColumn("vmin", array_min(col("vd")))
-      .withColumn("vmax", array_max(col("vd")))
-      .withColumn("scl", (col("vmax") - col("vmin")) / lit(255.0))
-      .withColumn("recon", Vectors.sq8ReconWith(
-        col("vd"), col("vmin"), col("vmax"), col("scl")))
-      .drop("vd", "vmin", "vmax", "scl")
-    val q = assigned.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-              col("bucket").as("q_bucket"))
-    val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    corpus.join(q, col("bucket") === col("q_bucket") &&
-                   col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("recon")))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .where(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
-      .orderBy("q_id", "rank")
+  def qSimIvfSq8(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(Tables.embeddings(spark, dir), NumCentroids, nProbes = 1,
+      sq8 = true)
+
+  /** The SCALE config of IVF search — the search twin of
+    * [[qDedupEmbeddingScaled]]: centroid count grows as √n (from
+    * parquet FOOTER metadata, zero jobs at plan build), so expected
+    * cell size stays ~√n and a query's probe cost is
+    * nProbes·√n instead of the fixed config's n/8 — per-query work
+    * SHRINKS relative to the corpus as it grows, which is what makes
+    * top-k search usable at 100 TB. nprobe=2 is the recall dial
+    * (measured against brute force in SCALING.md), mirroring the
+    * dedup side. */
+  def qSimIvfScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    ivfSearch(Tables.embeddings(spark, dir), scaledCentroids(n), NumProbes,
+      sq8 = false)
+  }
+
+  /** √n-centroid IVF + SQ8 — the full compressed-index scale recipe
+    * (the plan you'd actually run at 100 TB) hash-gated end to end. */
+  def qSimIvfSq8Scaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    ivfSearch(Tables.embeddings(spark, dir), scaledCentroids(n), NumProbes,
+      sq8 = true)
   }
 
   /** Corpora up to this size may use the exact all-pairs self-join;
@@ -233,4 +267,98 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------
+  // Materialized IVF index: build once, search many. Every ivfSearch
+  // invocation above recomputes assignment + SQ8 codes from the raw
+  // vectors — fine for a one-shot query, wrong for a served index at
+  // 100 TB where build cost must amortize over queries. The split:
+  //   build  = one corpus pass → catalog table (vec_id, bucket, vmin,
+  //            scl, codes) BUCKETED by the cell id (+ a tiny
+  //            <name>_centroids table holding the coarse quantizer);
+  //   search = rank the query batch against the broadcast centroid
+  //            table, collect the probed cell ids (|q|·nprobe ints —
+  //            the query PLANNING step every ANN engine does
+  //            driver-side), and scan ONLY those cells: the isin
+  //            filter on the bucketing column prunes file buckets at
+  //            the scan (SelectedBucketsCount in the plan), so search
+  //            never touches — or shuffles — the rest of the index.
+  // IvfIndexSpec pins both properties (single corpus-free search scan
+  // + bucket pruning); the sim_ivf_indexed gate hash-checks that the
+  // stored-codes path reproduces sim_ivf_sq8 exactly.
+  // ---------------------------------------------------------------
+
+  /** File-bucket count for the index table. More file buckets than
+    * Spark's max-parallelism makes tiny files; fewer than the
+    * centroid count only coarsens pruning (a file bucket holds
+    * several cells). 32 matches the session's shuffle width. */
+  private val IndexFileBuckets = 32
+
+  /** One-pass index build: nearest-centroid assignment + SQ8
+    * quantization, persisted bucketed-and-sorted by cell id so a
+    * probe's cells are co-located and prunable. Vectors are NOT
+    * stored — codes + (vmin, scl) are the 4×-smaller memory contract;
+    * `recon = vmin + code·scl` at search time is bit-identical to
+    * the recompute path's [[Vectors.sq8ReconWith]]. */
+  def buildIvfIndex(spark: SparkSession, dir: String, name: String,
+                    numCentroids: Int = NumCentroids): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = nearestCentroids(emb, centroidsOf(emb, numCentroids), keep = 1)
+      .withColumn("vd", col("embedding").cast("array<double>"))
+      .withColumn("vmin", array_min(col("vd")))
+      .withColumn("vmax", array_max(col("vd")))
+      .withColumn("scl", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("codes", Vectors.sq8CodesWith(
+        col("vd"), col("vmin"), col("vmax"), col("scl")))
+      .select("vec_id", "bucket", "vmin", "scl", "codes")
+    val cent = centroidsOf(emb, numCentroids)
+    graft.sources.Readers.saveBucketedTable(idx, name,
+      buckets = IndexFileBuckets, bucketCol = "bucket")
+    graft.sources.Readers.replaceTable(cent, s"${name}_centroids")
+  }
+
+  /** Search a built index: queries (a tiny slice) rank against the
+    * broadcast centroid table, the probed cell ids are collected
+    * driver-side (bounded by |queries|·nprobe — query planning, not a
+    * data collect), and the index scan is pruned to those cells. The
+    * corpus-side work per query batch is nprobe·|cell| rows of
+    * `vmin + code·scl` reconstruction + one codegen'd cosine — no
+    * assignment recompute, no quantization, no corpus shuffle. */
+  def searchIvfIndex(spark: SparkSession, dir: String, name: String,
+                     nProbes: Int = 1): DataFrame = {
+    val cent = spark.table(s"${name}_centroids")
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
+    val q = Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("c_id").as("q_bucket"))
+    val probed: Array[Long] =
+      q.select("q_bucket").distinct().collect().map(_.getLong(0))
+    val cells = spark.table(name)
+      .where(col("bucket").isin(probed: _*))
+      .withColumn("recon",
+        transform(col("codes"), c => col("vmin") + c.cast("double") * col("scl")))
+    val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    cells.join(broadcast(q), col("bucket") === col("q_bucket") &&
+                  col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("recon")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The build→search round trip as a gate: SAME oracle as
+    * sim_ivf_sq8 (the stored codes reconstruct to the identical
+    * scoring input), but the rows come off the persisted bucketed
+    * index with pruning — so the served-index path, not just the
+    * one-shot recompute, is hash-checked. */
+  def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    buildIvfIndex(spark, dir, "ivf_sq8_index", NumCentroids)
+    searchIvfIndex(spark, dir, "ivf_sq8_index", nProbes = 1)
+  }
 }

@@ -47,6 +47,38 @@ object Readers {
   def saveTable(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").saveAsTable(name)
 
+  /** Overwrite-safe plain table write: the in-memory catalog forgets
+    * tables between JVMs but their warehouse directories persist, so
+    * a bare overwrite can trip over a stale dir the catalog doesn't
+    * own. Drop both, then write. */
+  def replaceTable(df: DataFrame, name: String): Unit = {
+    dropTableAndDir(df.sparkSession, name)
+    df.write.mode("overwrite").saveAsTable(name)
+  }
+
+  /** Bucketed-and-sorted catalog write — the co-location contract
+    * behind both the no-shuffle fact joins (BucketingSpec) and the
+    * IVF index's prunable cells: rows sharing `bucketCol` land in the
+    * same file bucket, and an equality/IN filter on that column lets
+    * the scan skip whole buckets (SelectedBucketsCount). */
+  def saveBucketedTable(df: DataFrame, name: String, buckets: Int,
+                        bucketCol: String): Unit = {
+    dropTableAndDir(df.sparkSession, name)
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").saveAsTable(name)
+  }
+
+  private def dropTableAndDir(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 }

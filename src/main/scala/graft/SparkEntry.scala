@@ -57,6 +57,9 @@ object SparkEntry {
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
     "sim_ivf_sq8"          -> (Similarity.qSimIvfSq8 _),
+    "sim_ivf_scaled"       -> (Similarity.qSimIvfScaled _),
+    "sim_ivf_sq8_scaled"   -> (Similarity.qSimIvfSq8Scaled _),
+    "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
     "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
@@ -691,6 +694,78 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // √n-centroid IVF search (the scale config): centroid count is
+    // greatest(8, ceil(sqrt(n))) — Similarity.scaledCentroids — and
+    // each query probes its 2 nearest cells; corpus vectors still
+    // live in exactly one cell, so probed candidates are unique
+    "sim_ivf_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                  WHERE vec_id < (SELECT c FROM nc)),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
+               WHERE vec_id < 10 AND rn <= 2),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+             FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // √n-centroid IVF + SQ8 reconstruction — the full compressed-
+    // index scale recipe, corpus scored on min + code·step
+    "sim_ivf_sq8_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                  WHERE vec_id < (SELECT c FROM nc)),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1),
+         rec AS (SELECT vec_id, bucket,
+             CASE WHEN list_max(v) > list_min(v)
+               THEN list_transform(v, x -> list_min(v) +
+                 CAST(least(255.0, greatest(0.0, floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5))) AS BIGINT)
+                   * ((list_max(v) - list_min(v)) / 255.0))
+               ELSE list_transform(v, x -> list_min(v)) END AS recon
+             FROM (SELECT vec_id, bucket, CAST(embedding AS DOUBLE[]) AS v FROM assigned)),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
+               WHERE vec_id < 10 AND rn <= 2),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
+             FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // materialized-index round trip: stored SQ8 codes reconstruct to
+    // the identical scoring input, so the oracle IS sim_ivf_sq8's —
+    // what the gate adds is that the rows come off the persisted
+    // bucketed index with cell pruning, not a recompute
+    "sim_ivf_indexed" ->
+      """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM best WHERE rn = 1),
+         rec AS (SELECT vec_id, bucket,
+             CASE WHEN list_max(v) > list_min(v)
+               THEN list_transform(v, x -> list_min(v) +
+                 CAST(least(255.0, greatest(0.0, floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5))) AS BIGINT)
+                   * ((list_max(v) - list_min(v)) / 255.0))
+               ELSE list_transform(v, x -> list_min(v)) END AS recon
+             FROM (SELECT vec_id, bucket, CAST(embedding AS DOUBLE[]) AS v FROM assigned)),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM assigned WHERE vec_id < 10),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
+             FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "text_stats" ->
       """WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -818,10 +893,14 @@ object SparkEntry {
     "dedup_semantic_scaled" -> semanticDedupOracleSql(
       "SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e"),
     // temperature mixing: quota ∝ √count, largest-remainder rounding,
-    // deterministic md5-rank selection within each lang stratum
+    // deterministic md5-rank selection within each lang stratum.
+    // Weights are integer-scaled (floor(√count·1e6 + 0.5)) so their
+    // SUM is a long sum — no float-summation-order dependence in
+    // either engine (Mixing.weight's contract)
     "q_temperature_mix" ->
       """WITH st AS (SELECT lang, count(*) AS g_cnt FROM documents GROUP BY 1),
-         qt AS (SELECT lang, 200 * sqrt(CAST(g_cnt AS DOUBLE)) / sum(sqrt(CAST(g_cnt AS DOUBLE))) OVER () AS ideal FROM st),
+         sw AS (SELECT lang, CAST(floor(sqrt(CAST(g_cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM st),
+         qt AS (SELECT lang, 200 * CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS ideal FROM sw),
          qb AS (SELECT lang, CAST(floor(ideal) AS BIGINT) AS base, ideal - floor(ideal) AS rem FROM qt),
          qf AS (SELECT *, 200 - sum(base) OVER () AS leftover,
                 row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM qb),
@@ -832,14 +911,18 @@ object SparkEntry {
          ORDER BY lang, doc_id""",
     // token-budget mixing: 20k-token budget split across sources
     // ∝ √(token mass), largest-remainder in whole tokens, quotas
-    // filled greedily in md5 order (running sum must fit the quota)
+    // filled greedily in md5 order (running sum must fit the quota).
+    // Zero-token docs are dropped up front (they can't consume budget
+    // but would pass the ≤-quota filter forever) and weights are
+    // integer-scaled — both mirrored from the Spark plan
     "q_token_budget_mix" ->
-      """WITH d AS (SELECT doc_id, source,
+      """WITH d AS (SELECT * FROM (SELECT doc_id, source,
            CAST(len(regexp_extract_all(text,
              '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_tok
-           FROM documents),
+           FROM documents) WHERE n_tok > 0),
          g AS (SELECT source, sum(n_tok) AS g_tok FROM d GROUP BY 1),
-         qt AS (SELECT source, 20000 * sqrt(CAST(g_tok AS DOUBLE)) / sum(sqrt(CAST(g_tok AS DOUBLE))) OVER () AS ideal FROM g),
+         gw AS (SELECT source, CAST(floor(sqrt(CAST(g_tok AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM g),
+         qt AS (SELECT source, 20000 * CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS ideal FROM gw),
          qb AS (SELECT source, floor(ideal) AS base, ideal - floor(ideal) AS rem FROM qt),
          qf AS (SELECT *, 20000 - sum(base) OVER () AS leftover,
                 row_number() OVER (ORDER BY rem DESC, source) AS rr FROM qb),

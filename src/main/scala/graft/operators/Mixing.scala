@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -32,17 +32,26 @@ import graft.Tables
 object Mixing {
 
   private val TargetN = 200
-  // α = 0.5 (weight = count^α = √count): both engines' sqrt is the
-  // correctly-rounded IEEE one, so quota arithmetic is bit-identical
-  private def weight = sqrt(col("g_cnt").cast("double"))
+  // α = 0.5 (weight = count^α = √count), scaled to integer MILLIONTHS:
+  // sqrt/×/+/floor are all correctly-rounded IEEE ops, so the scaled
+  // weight is bit-identical in both engines — and the weight SUM is
+  // then a sum of longs, which no engine, partitioning, or evaluation
+  // order can perturb. (An unordered double sum here was a latent
+  // last-bit flake: near-tied remainders could flip a largest-
+  // remainder rank between engines.) Headroom: √mass ≤ 1e6 even at a
+  // 10¹² mass, so w ≤ 1e12 and stratum-count × 1e12 stays well under
+  // 2^53 — the division's operands are exactly representable.
+  private def weight(mass: Column): Column =
+    floor(sqrt(mass.cast("double")) * lit(1e6) + lit(0.5))
 
   def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val wAll = Window.partitionBy()
     val wRem = Window.partitionBy().orderBy(desc("rem"), col("lang"))
     val quotas = docs.groupBy("lang").agg(count(lit(1)).as("g_cnt"))
-      .withColumn("w", weight)
-      .withColumn("ideal", lit(TargetN) * col("w") / sum("w").over(wAll))
+      .withColumn("w", weight(col("g_cnt")))
+      .withColumn("ideal", lit(TargetN) * col("w").cast("double") /
+        sum("w").over(wAll).cast("double"))
       .withColumn("base", floor(col("ideal")))
       .withColumn("rem", col("ideal") - col("base"))
       .withColumn("leftover", lit(TargetN) - sum("base").over(wAll))
@@ -80,36 +89,61 @@ object Mixing {
     * Scale posture mirrors the other quota samplers: the quota table
     * is one row per source (broadcast back), and the per-source
     * prefix scan is bounded BEFORE the window by a [[graft.plans.GroupedTopK]]
-    * prune to budget-many docs (a quota of B tokens can consume at
-    * most B one-token docs) — no source is ever fully sorted. */
+    * prune to budget-many docs (zero-token docs are dropped up front,
+    * so a quota of B tokens can consume at most B surviving docs) —
+    * no source is ever fully sorted. The running sum itself is the
+    * TWO-PHASE prefix sum ([[Packing.packTokens]]'s shape): the md5
+    * rank's first two hex chars split each source into 256 uniform
+    * sub-buckets that are a PREFIX of the (rk, doc_id) sort key, the
+    * heavy cumulative window runs per (source, sub-bucket), and only
+    * the 256-per-source sub-bucket subtotals see a wider window — so
+    * no single task ever scans a whole source's quota, even when the
+    * budget (and thus the GroupedTopK bound) is production-sized. */
   def qTokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+      // zero-token docs can't consume budget, but they'd pass the
+      // ≤-quota filter forever — and they'd make the docs-per-quota
+      // prune bound vacuous. Dropped here AND in the oracle.
+      .where(col("n_tok") > 0)
     val wAll = Window.partitionBy()
     val wRem = Window.partitionBy().orderBy(desc("rem"), col("source"))
     val quotas = docs.groupBy("source").agg(sum("n_tok").as("g_tok"))
-      .withColumn("w", sqrt(col("g_tok").cast("double")))
-      .withColumn("ideal", lit(TokenBudget) * col("w") / sum("w").over(wAll))
+      .withColumn("w", weight(col("g_tok")))
+      .withColumn("ideal", lit(TokenBudget) * col("w").cast("double") /
+        sum("w").over(wAll).cast("double"))
       .withColumn("base", floor(col("ideal")))
       .withColumn("rem", col("ideal") - col("base"))
       .withColumn("leftover", lit(TokenBudget) - sum("base").over(wAll))
       .withColumn("rr", row_number().over(wRem))
       .withColumn("quota",
-        (col("base") + when(col("rr") <= col("leftover"), 1.0).otherwise(0.0))
-          .cast("long"))
+        col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
       .select("source", "quota")
     val ranked = docs.withColumn("rk", md5(col("doc_id").cast("string")))
     val pruned = graft.plans.GroupedTopKApi.groupedTopKOrdered(ranked,
       keys = Seq("source"),
       sort = Seq("rk" -> true, "doc_id" -> true),
       k = TokenBudget.toInt)
-    val wCum = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+      .withColumn("hb", substring(col("rk"), 1, 2))
+    // phase 1: per-(source, hash-bucket) inclusive running sum —
+    // parallel across 256 sub-buckets per source
+    val wIntra = Window.partitionBy("source", "hb").orderBy("rk", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phase 2: exclusive prefix over each source's ≤256 sub-bucket
+    // subtotals, broadcast back. hb is a prefix of rk, so
+    // (hb, rk, doc_id) order IS (rk, doc_id) order and
+    // bucket-prefix + intra-bucket sum equals the per-source cumsum.
+    val wBucket = Window.partitionBy("source").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = pruned.groupBy("source", "hb").agg(sum("n_tok").as("bt"))
+      .withColumn("b_excl", sum("bt").over(wBucket) - col("bt"))
+      .select("source", "hb", "b_excl")
     pruned
-      .withColumn("cum", sum("n_tok").over(wCum))
+      .withColumn("cum_intra", sum("n_tok").over(wIntra))
+      .join(broadcast(offsets), Seq("source", "hb"))
       .join(broadcast(quotas), "source")
-      .where(col("cum") <= col("quota"))
+      .where(col("b_excl") + col("cum_intra") <= col("quota"))
       .select(col("source"), col("doc_id"), col("n_tok").as("n_bpe_tokens"))
       .orderBy("source", "doc_id")
   }

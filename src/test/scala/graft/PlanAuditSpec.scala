@@ -185,4 +185,17 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(planOf("sim_ivf")).size, p)
     assert(p.contains("cosine_similarity"), p)
   }
+
+  test("token-budget mix runs its prefix sum two-phase: doc-level window partitions by (source, sub-bucket)") {
+    val p = planOf("q_token_budget_mix")
+    // the heavy running sum must partition by (source, hb) — a doc-
+    // level cumulative window partitioned by source alone is one task
+    // per source scanning the whole quota (the single-partition trap)
+    assert("windowspecdefinition\\(source#\\d+, hb#\\d+, rk#\\d+ ASC".r
+      .findFirstIn(p).isDefined,
+      s"no (source, hb)-partitioned doc-level window:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, rk#\\d+ ASC".r
+      .findFirstIn(p).isEmpty,
+      s"doc-level window still partitions by source alone:\n$p")
+  }
 }

@@ -90,6 +90,41 @@ object Clustering {
       }
       .sortBy(_._1)
 
+  /** Centroid sets elementwise-equal (same ids, same rounded
+    * coords) — the Lloyd FIXED POINT: identical centroids produce
+    * identical assignments, hence identical next centroids, so every
+    * further iteration is provably a no-op. The HALF-UP rounding both
+    * engines share makes this an exact (bitwise) comparison, not an
+    * ε-tolerance — which is why stopping early can never diverge from
+    * an oracle that unrolls the full iteration count. */
+  private def converged(a: Seq[(Int, Array[Double])],
+                        b: Seq[(Int, Array[Double])]): Boolean =
+    a.size == b.size && a.zip(b).forall { case ((i, u), (j, v)) =>
+      i == j && java.util.Arrays.equals(u, v)
+    }
+
+  /** The Lloyd loop with convergence stop: run `step` up to `iters`
+    * times, stopping as soon as the centroids stop moving. Returns
+    * the final centroids and how many iterations actually ran —
+    * ConvergenceSpec pins that a pre-converged corpus stops after one.
+    * One Spark job per executed iteration, zero extra jobs for the
+    * check: movement falls out of the model the update already
+    * collects (k·dim doubles, driver-side). */
+  private def lloyd(init: Seq[(Int, Array[Double])], iters: Int,
+                    step: Seq[(Int, Array[Double])] => Seq[(Int, Array[Double])])
+      : (Seq[(Int, Array[Double])], Int) = {
+    var cents = init
+    var ran = 0
+    var done = false
+    while (ran < iters && !done) {
+      val next = step(cents)
+      done = converged(cents, next)
+      cents = next
+      ran += 1
+    }
+    (cents, ran)
+  }
+
   /** vec_id → final cluster (+ rounded distance) after [[Iters]]
     * Lloyd iterations from the deterministic first-k init. */
   def qEmbKmeans(spark: SparkSession, dir: String): DataFrame =
@@ -109,7 +144,13 @@ object Clustering {
   /** Core with k and the iteration count exposed (spec dial: more
     * iterations must not increase within-cluster sum of squares). */
   private[graft] def kmeans(embeddings: DataFrame, k: Int,
-                            iters: Int): DataFrame = {
+                            iters: Int): DataFrame =
+    kmeansWithStats(embeddings, k, iters)._1
+
+  /** [[kmeans]] plus the executed-iteration count (convergence-stop
+    * observability for ConvergenceSpec). */
+  private[graft] def kmeansWithStats(embeddings: DataFrame, k: Int,
+                                     iters: Int): (DataFrame, Int) = {
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val init: Seq[(Int, Array[Double])] = emb
@@ -119,16 +160,15 @@ object Clustering {
         r.getSeq[Double](1).iterator.map(roundTo).toArray))
       .sortBy(_._1)
       .toSeq
-    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+    val (finalCents, ran) = lloyd(init, iters, cents =>
       updateCentroids(
-        emb.withColumn("cluster", assign(col("v"), cents).getField("c_id")))
-    }
+        emb.withColumn("cluster", assign(col("v"), cents).getField("c_id"))))
     val best = assign(col("v"), finalCents)
-    emb.select(
+    (emb.select(
         col("vec_id"),
         best.getField("c_id").cast("long").as("cluster"),
         Text.roundPortable(best.getField("d"), Scale).as("dist"))
-      .orderBy("vec_id")
+      .orderBy("vec_id"), ran)
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
@@ -225,10 +265,9 @@ object Clustering {
         .agg(min(struct(col("d"), col("c_id"))).as("best"),
              first("v").as("v"))
     }
-    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+    val (finalCents, _) = lloyd(init, iters, cents =>
       updateCentroids(
-        assigned(cents).select(col("best.c_id").as("cluster"), col("v")))
-    }
+        assigned(cents).select(col("best.c_id").as("cluster"), col("v"))))
     assigned(finalCents).select(
         col("vec_id"),
         col("best.c_id").cast("long").as("cluster"),

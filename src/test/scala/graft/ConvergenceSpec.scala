@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Clustering
+
+/** The k-means convergence stop: iteration halts at the Lloyd fixed
+  * point (centroids bitwise-unchanged after the shared HALF-UP
+  * rounding) instead of burning the full budget. Exactness of the
+  * fixed-point test is what keeps the gate's oracle — which unrolls a
+  * FIXED iteration count — valid: stopping early can only happen when
+  * every skipped iteration would have been a no-op.
+  */
+class ConvergenceSpec extends SparkSpec {
+
+  test("pre-converged corpus stops after one iteration of a 100-budget") {
+    val s = spark; import s.implicits._
+    // two exact point-masses whose first-2 init IS the fixed point
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val (res, ran) = Clustering.kmeansWithStats(emb, k = 2, iters = 100)
+    assert(ran == 1, s"expected early stop after 1 iteration, ran $ran")
+    assert(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("an unconverged corpus still runs its full budget (gate config unaffected)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (_, ran) = Clustering.kmeansWithStats(emb, k = 8, iters = 2)
+    assert(ran == 2, s"fixture is unconverged at 2 iterations, ran $ran")
+  }
+
+  test("budget beyond the fixed point is a no-op: converged result identical under a larger cap") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (resA, ranA) = Clustering.kmeansWithStats(emb, k = 8, iters = 50)
+    assert(ranA < 50, s"fixture should converge within 50 iterations, ran $ranA")
+    val (resB, ranB) = Clustering.kmeansWithStats(emb, k = 8, iters = ranA + 10)
+    assert(ranB == ranA)
+    assert(resA.collect().toSeq == resB.collect().toSeq)
+  }
+}

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_stratified_sample"  -> (ParamFilters.qStratifiedSample _),
     "q_salted_agg"         -> (ParamFilters.qSaltedAgg _),
     "q_skew_join_salted"   -> (ParamFilters.qSkewJoinSalted _),
+    "q_skew_join_plain_aqe" -> (ParamFilters.qSkewJoinPlainAqe _),
     "pipeline_training_data" -> (Pipeline.qTrainingPipeline _),
     "pipeline_funnel"      -> (Pipeline.qCurationFunnel _),
     "pipeline_pretrain_corpus" -> (Pipeline.qPretrainCorpus _),
@@ -1156,6 +1157,12 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     // plain (unsalted) join — the salted plan must produce exactly this
     "q_skew_join_salted" ->
+      """SELECT p_brand, count(*) AS n_items,
+                floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
+    // identical semantics, AQE-default plan — same oracle by design
+    "q_skew_join_plain_aqe" ->
       """SELECT p_brand, count(*) AS n_items,
                 floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -128,6 +128,22 @@ object ParamFilters {
       .orderBy("p_brand")
   }
 
+  /** The RECOMMENDED-default skew plan: the same join/agg as
+    * [[qSkewJoinSalted]] but unsalted, leaving skew to AQE's runtime
+    * split. SCALING.md's salt-vs-AQE probe shows this is the plan to
+    * reach for first on Spark 4 (the ×8 dim replication rarely earns
+    * its complexity); gated with the identical oracle so the default,
+    * not just the legacy idiom, is hash-checked. */
+  def qSkewJoinPlainAqe(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+           graft.functions.Text.roundPortable(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val SaltBuckets = 8
     val li = Tables.lineitem(spark, dir)

@@ -168,17 +168,8 @@ object ScaleProbe {
       // the same join/agg as q_skew_join_salted but UNSALTED, leaving
       // skew to AQE's runtime split — benchmarked beside the manual
       // salt so SCALING.md shows whether the ×8 dim replication still
-      // earns its complexity on Spark 4 AQE
-      "q_skew_join_plain_aqe" -> ((s: SparkSession, d: String) => {
-        val li = Tables.lineitem(s, d)
-        val pt = Tables.part(s, d)
-        li.join(pt, li("l_partkey") === pt("p_partkey"))
-          .groupBy("p_brand")
-          .agg(count(lit(1)).as("n_items"),
-               graft.functions.Text.roundPortable(
-                 sum("l_extendedprice"), 2).as("revenue"))
-          .orderBy("p_brand")
-      }))
+      // earns its complexity on Spark 4 AQE (oracle-gated since r8)
+      "q_skew_join_plain_aqe" -> SparkEntry.queries("q_skew_join_plain_aqe"))
 
     // "recall" / "plant" are pseudo-names selecting the nprobe-recall
     // and planted-tight-pair tables below (always on in a full sweep;

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -26,6 +27,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+
+  // reject bad inputs at ANALYSIS time: without this an array<int>
+  // through the SQL-registered function surfaces as a mid-job
+  // eval/codegen failure instead of an AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.checkFloatArrays(prettyName, left, right)
 
   private def isDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -89,6 +96,10 @@ case class SquaredDistance(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "squared_distance"
 
+  // analysis-time rejection — same contract as CosineSimilarity
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.checkFloatArrays(prettyName, left, right)
+
   private def isDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case ArrayType(FloatType, _) => false
@@ -135,6 +146,22 @@ case class SquaredDistance(left: Expression, right: Expression)
 
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Shared analysis-time input check for the vector kernels: both
+    * sides must be float or double arrays (independently per side —
+    * the SQ8 path scores double reconstructions against float
+    * queries). */
+  private[functions] def checkFloatArrays(fn: String, left: Expression,
+                                          right: Expression): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<float|double> arguments, got " +
+      s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   /** Column form of the native expression. */
   def cosine(a: Column, b: Column): Column =

@@ -190,15 +190,21 @@ object TextAnalysis {
   private[graft] def decontaminateBloomAgainst(evalShingles: DataFrame,
                                                trainShingled: DataFrame,
                                                fpp: Double = 0.01): DataFrame = {
-    // sizing count + filter build both scan only the eval slice
-    val bloom = evalShingles.stat.bloomFilter(
-      "sh", math.max(evalShingles.count(), 1L), fpp)
+    // the eval slice is read three times (sizing count, filter build,
+    // verify join) — cached so re-shingling and re-distincting run
+    // once, not per consumer. Same release contract as the pipeline
+    // caches: the harness's clearCache after the terminal action
+    // (MemoryCleanupSpec's discipline) frees it; eval is the small,
+    // fixed-size relation by contract so the footprint is bounded.
+    val evalCached = evalShingles.cache()
+    val bloom = evalCached.stat.bloomFilter(
+      "sh", math.max(evalCached.count(), 1L), fpp)
     trainShingled
       .where(graft.functions.Bloom.mightContain(bloom, col("sh")))
       // no broadcast hint, unlike decontaminateAgainst: this variant
       // exists precisely for eval sets near/over the broadcast limit,
       // so AQE picks the verify-join strategy from the real sizes
-      .join(evalShingles, "sh")
+      .join(evalCached, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")

@@ -86,6 +86,21 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(got(0) - 1.0) < 1e-12 && math.abs(got(1)) < 1e-12)
   }
 
+  test("vector kernels reject non-float arrays at ANALYSIS time, not mid-job") {
+    val df = Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+    // an unsupported input must surface as an AnalysisException when
+    // the plan is analyzed — never as an eval/codegen failure inside
+    // a running job (checkInputDataTypes contract)
+    val eCos = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.cosine($"a", $"b")).queryExecution.analyzed
+    }
+    assert(eCos.getMessage.contains("array<float|double>"), eCos.getMessage)
+    val eSq = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.sqDist($"a", $"b")).queryExecution.analyzed
+    }
+    assert(eSq.getMessage.contains("array<float|double>"), eSq.getMessage)
+  }
+
   test("GroupConcatDistinct dedupes, sorts, handles substrings") {
     // the reference's contains()-based dedupe would drop "1:Beijing"
     // when "11:Beijing" is present — ours must keep both

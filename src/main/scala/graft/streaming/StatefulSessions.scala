@@ -132,6 +132,7 @@ object StatefulSessions {
       .select(col("user_id").cast("long").as("user_id"), col("ts_sec"),
               col("event_type"))
       .as[SessionEvent]
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
       .collect()
     val maxSec = evs.iterator.map(_.ts_sec).max
     val input = MemoryStream[SessionEvent]

@@ -55,10 +55,12 @@ object StreamReplays {
     evalSh.count()
     val train = docs.where(col("doc_id") % 20 =!= 0)
       .select("doc_id", "text").orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
       .as[(Long, String)].collect().toSeq
     val rows = replay(spark, train, nChunks = 3) { batch =>
       graft.operators.TextAnalysis.decontaminateAgainst(
           evalSh, graft.operators.TextAnalysis.shingleSet(batch, w))
+        // harness-side collect: draining one micro-batch's OUTPUT rows
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
     evalSh.unpersist()
@@ -75,6 +77,7 @@ object StreamReplays {
     corpusSigs.count()
     val stream = docs.where(pmod(col("doc_id"), lit(2)) === 1)
       .select("doc_id", "text").orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
       .as[(Long, String)].collect().toSeq
     val rows = replay(spark, stream, nChunks = 3) { batch =>
       // lifecycle-safe per-batch body: batch signatures cached for the
@@ -84,6 +87,7 @@ object StreamReplays {
         df.select(col("b_id"), col("dup_of"), col("n_matches"),
             graft.functions.Text.roundPortable(col("best_jaccard"), 6)
               .as("best_jaccard"))
+          // harness-side collect: draining one micro-batch's OUTPUT rows
           .collect()
       }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSeq

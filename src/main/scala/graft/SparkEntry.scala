@@ -79,6 +79,7 @@ object SparkEntry {
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
     "pack_sequences"       -> (Packing.qPackSequences _),
+    "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
@@ -945,6 +946,16 @@ object SparkEntry {
            CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                 - n_bpe_tokens AS BIGINT) AS start_offset FROM t)
          SELECT doc_id, n_bpe_tokens, start_offset // 256 AS seq_id,
+                start_offset % 256 AS seq_offset
+         FROM c ORDER BY doc_id""",
+    // the tokenizer hook: same packing, counts read from the
+    // fixture's precomputed n_chars column instead of the regex
+    // stand-in — an external tokenizer's materialized output
+    "pack_sequences_precounted" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+           CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_chars AS BIGINT) AS start_offset FROM documents)
+         SELECT doc_id, n_chars AS n_tok, start_offset // 256 AS seq_id,
                 start_offset % 256 AS seq_offset
          FROM c ORDER BY doc_id""",
     // deterministic training-order shuffle: rank on md5(doc_id)

@@ -99,10 +99,18 @@ object Mixing {
     * the 256-per-source sub-bucket subtotals see a wider window — so
     * no single task ever scans a whole source's quota, even when the
     * budget (and thus the GroupedTopK bound) is production-sized. */
-  def qTokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qTokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixFromCounts(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+        TextAnalysis.bpeTokenCount(col("text")).as("n_tok")))
+
+  /** The REAL-TOKENIZER hook ([[Packing.packFromCounts]]'s twin):
+    * budget-mix from a caller-supplied (doc_id, source, n_tok) frame —
+    * a production pipeline tokenizes once and materializes counts as
+    * a column, so the mixer takes counts as data rather than
+    * recomputing the regex stand-in. */
+  def tokenBudgetMixFromCounts(counted: DataFrame): DataFrame = {
+    val docs = counted
       // zero-token docs can't consume budget, but they'd pass the
       // ≤-quota filter forever — and they'd make the docs-per-quota
       // prune bound vacuous. Dropped here AND in the oracle.

@@ -46,6 +46,32 @@ object Packing {
   private[graft] def bucketWidthFor(n: Long): Long =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** The REAL-TOKENIZER hook: pack from a caller-supplied count
+    * column instead of the in-engine regex stand-in. A production
+    * pipeline tokenizes once (an external tokenizer, counts
+    * materialized as a column) and every downstream budget consumer
+    * reads the column — so the packing operator must take counts as
+    * data, not recompute them. `docs` needs (doc_id, <countCol>);
+    * the plan is [[packTokens]]'s two-phase prefix sum unchanged.
+    * Gated as pack_sequences_precounted over the fixture's n_chars
+    * column (a genuine precomputed per-doc count). */
+  def packFromCounts(docs: DataFrame, countCol: String,
+                     totalDocs: Long): DataFrame =
+    packTokens(
+      docs.select(col("doc_id"), col(countCol).as("n_bpe_tokens")),
+      bucketWidthFor(totalDocs))
+
+  /** [[packFromCounts]] over the fixture's precomputed n_chars —
+    * same oracle recipe as pack_sequences with the count column
+    * swapped, proving the hook leaves the packing plan unchanged. */
+  def qPackSequencesPrecounted(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    packFromCounts(Tables.documents(spark, dir), "n_chars", n)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"),
+              col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   /** The two-phase prefix-sum pack over any (doc_id, n_bpe_tokens)
     * frame (extra columns ride along): per-bucket exclusive running
     * sums in parallel, a global window over only the ~√n bucket

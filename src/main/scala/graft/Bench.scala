@@ -104,11 +104,21 @@ object Bench {
     def ms(x: Double): Double = math.round(x * 1000) / 1000.0
     val qs = results.map { case (k, r) => jstr(k) + ":" + ms(r.sec) }
       .mkString("{", ",", "}")
+    // min alongside median, plus an environment-suspect flag: a query
+    // whose median is >2× its own best rep inside ONE run is showing
+    // scheduler/GC noise, not a plan property — round-to-round deltas
+    // on flagged queries must not be read as regressions (q_area_top3
+    // spanned 1.2–3.7 s within a single r7 run on byte-identical plans)
     val detail = results.map { case (k, r) =>
       val reps = r.reps.mkString("[", ",", "]")
       val err = r.err.map(jstr).getOrElse("null")
-      s"""${jstr(k)}:{"sec":${r.sec},"reps":$reps,"rows":${r.rows},"err":$err}"""
+      val minV = if (r.reps.isEmpty) -1.0 else r.reps.min
+      val suspect = minV > 0 && r.sec / minV > 2.0
+      s"""${jstr(k)}:{"sec":${r.sec},"min":$minV,"envSuspect":$suspect,"reps":$reps,"rows":${r.rows},"err":$err}"""
     }.mkString("{", ",", "}")
+    val nSuspect = results.count { case (_, r) =>
+      r.reps.nonEmpty && r.reps.min > 0 && r.sec / r.reps.min > 2.0
+    }
     val total = results.map { case (_, r) => math.max(r.sec, 0.0) }.sum
     val nErr = results.count { case (_, r) => r.err.nonEmpty }
     // detail path is overridable (-Dbench.detail.path=…) and always
@@ -116,8 +126,10 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.props.getOrElse("bench.detail.path", "BENCH_DETAIL.json")).toAbsolutePath
     java.nio.file.Files.write(detailPath,
-      s"""{"reps":$BaseReps,"heavyReps":$HeavyReps,"heavyThresholdSec":$HeavyThresholdSec,"errors":$nErr,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
-    System.err.println(s"[bench] detail written to $detailPath")
+      s"""{"reps":$BaseReps,"heavyReps":$HeavyReps,"heavyThresholdSec":$HeavyThresholdSec,"errors":$nErr,"envSuspect":$nSuspect,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+    System.err.println(s"[bench] detail written to $detailPath" +
+      (if (nSuspect > 0) s" ($nSuspect queries env-suspect: median > 2x own min)"
+       else ""))
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"reps":$BaseReps,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }

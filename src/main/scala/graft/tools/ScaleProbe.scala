@@ -159,7 +159,22 @@ object ScaleProbe {
         "q_temperature_mix",
         // token-mass quotas + greedy per-source prefix fill; the
         // prefix scan is GroupedTopK-bounded at budget-many docs
-        "q_token_budget_mix")
+        "q_token_budget_mix",
+        // FIXED 8-centroid IVF search (oracle-pinned toy config):
+        // bucket ≈ n/8, so per-query cost grows linearly — kept as
+        // the contrast row for the √n configs below
+        "sim_ivf",
+        // √n-centroid IVF search (+SQ8): probe cost ~nprobe·√n per
+        // query — per-query work SHRINKS relative to the corpus; the
+        // timed figure still includes the one-off corpus assignment
+        // pass, which the materialized index amortizes away
+        "sim_ivf_scaled", "sim_ivf_sq8_scaled",
+        // build-once bucketed index + pruned-cell search round trip
+        // (gate config pins 8 cells for the oracle; the build pass
+        // dominates and should track corpus size ~linearly)
+        "sim_ivf_indexed",
+        // same two-phase packing plan, counts read from a column
+        "pack_sequences_precounted")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)
@@ -174,7 +189,7 @@ object ScaleProbe {
     // "recall" / "plant" are pseudo-names selecting the nprobe-recall
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
-    val pseudo = Set("recall", "plant")
+    val pseudo = Set("recall", "plant", "searchrecall")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -296,6 +311,34 @@ object ScaleProbe {
     if (only.forall(_("plant"))) {
       plantedRecall(src, "1x")
       plantedRecall(dst, s"${factor}x")
+    }
+
+    // Top-k recall of the √n-centroid IVF SEARCH against brute-force
+    // ground truth — the search twin of the near-dup recall tables:
+    // recall@5 = share of each query's true top-5 the pruned search
+    // returns at the nprobe settings a user would dial.
+    def searchRecallTable(dir: String, label: String): Unit = {
+      val emb = Tables.embeddings(spark, dir).cache()
+      val n = emb.count()
+      val cents = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val truthPairs = SparkEntry.queries("sim_brute_force")(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq(1, 2, 4).foreach { np =>
+        val t0 = System.nanoTime()
+        val got = graft.operators.Similarity.ivfSearch(emb, cents, np, sq8 = false)
+          .select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rec = 100.0 * got.count(truthPairs) / math.max(truthPairs.size, 1)
+        println(f"[searchrecall] $label%-6s n=$n%-7d centroids=$cents%-4d " +
+          f"nprobe=$np recall@5=$rec%5.1f%% $sec%7.2f s")
+      }
+      emb.unpersist()
+    }
+    if (only.forall(_("searchrecall"))) {
+      searchRecallTable(src, "1x")
+      searchRecallTable(dst, s"${factor}x")
     }
     spark.stop()
   }

@@ -194,8 +194,8 @@ object TextAnalysis {
     // verify join) — cached so re-shingling and re-distincting run
     // once, not per consumer. Same release contract as the pipeline
     // caches: the harness's clearCache after the terminal action
-    // (MemoryCleanupSpec's discipline) frees it; eval is the small,
-    // fixed-size relation by contract so the footprint is bounded.
+    // (Verify/Bench both do) frees it; eval is the small, fixed-size
+    // relation by contract so the footprint is bounded.
     val evalCached = evalShingles.cache()
     val bloom = evalCached.stat.bloomFilter(
       "sh", math.max(evalCached.count(), 1L), fpp)

@@ -22,7 +22,11 @@ class DeterminismSpec extends SparkSpec {
     "emb_kmeans",          // iterative fitting, driver-side model
     "dedup_semantic_scaled", // kmeans + cluster-keyed prune
     "dedup_keep_best",     // heap-selected rank over cluster labels
-    "pipeline_funnel")     // window-flagged counts over LSH drops
+    "pipeline_funnel",     // window-flagged counts over LSH drops
+    "sim_ivf_scaled",      // √n-cell assignment + per-query rank
+    "sim_ivf_sq8_scaled",  // + SQ8 reconstruction scoring
+    "sim_ivf_indexed",     // persisted-index round trip (build+search)
+    "pack_sequences_precounted") // column-fed two-phase prefix sum
 
   test("hash-ranked / iterative / quota gates are identical across shuffle parallelism") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

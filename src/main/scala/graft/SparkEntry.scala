@@ -60,6 +60,7 @@ object SparkEntry {
     "sim_ivf_scaled"       -> (Similarity.qSimIvfScaled _),
     "sim_ivf_sq8_scaled"   -> (Similarity.qSimIvfSq8Scaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
+    "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
     "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
@@ -123,6 +124,34 @@ object SparkEntry {
     * cross-engine determinism contract), squared-Euclidean arg-min
     * with ties to the lower cluster id, unrolled iteration by
     * iteration. */
+  /** √n-centroid IVF + SQ8 search oracle — shared by
+    * sim_ivf_sq8_scaled (recompute plan) and sim_ivf_indexed_scaled
+    * (persisted-index plan): two plans, one semantics. */
+  private val SimIvfSq8ScaledOracleSql: String =
+    """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+       cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                WHERE vec_id < (SELECT c FROM nc)),
+       asg AS (SELECT vec_id, embedding, c_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+           FROM embeddings CROSS JOIN cent),
+       rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+       assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1),
+       rec AS (SELECT vec_id, bucket,
+           CASE WHEN list_max(v) > list_min(v)
+             THEN list_transform(v, x -> list_min(v) +
+               CAST(least(255.0, greatest(0.0, floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5))) AS BIGINT)
+                 * ((list_max(v) - list_min(v)) / 255.0))
+             ELSE list_transform(v, x -> list_min(v)) END AS recon
+           FROM (SELECT vec_id, bucket, CAST(embedding AS DOUBLE[]) AS v FROM assigned)),
+       q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
+             WHERE vec_id < 10 AND rn <= 2),
+       scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
+           FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+       SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+       WHERE "rank" <= 5 ORDER BY q_id, "rank" """
+
   private val KmeansOracleSql: String = kmeansCtes("8") +
     """
          SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
@@ -718,31 +747,12 @@ object SparkEntry {
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     // √n-centroid IVF + SQ8 reconstruction — the full compressed-
-    // index scale recipe, corpus scored on min + code·step
-    "sim_ivf_sq8_scaled" ->
-      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
-         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
-                  WHERE vec_id < (SELECT c FROM nc)),
-         asg AS (SELECT vec_id, embedding, c_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
-             FROM embeddings CROSS JOIN cent),
-         rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
-         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1),
-         rec AS (SELECT vec_id, bucket,
-             CASE WHEN list_max(v) > list_min(v)
-               THEN list_transform(v, x -> list_min(v) +
-                 CAST(least(255.0, greatest(0.0, floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5))) AS BIGINT)
-                   * ((list_max(v) - list_min(v)) / 255.0))
-               ELSE list_transform(v, x -> list_min(v)) END AS recon
-             FROM (SELECT vec_id, bucket, CAST(embedding AS DOUBLE[]) AS v FROM assigned)),
-         q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
-               WHERE vec_id < 10 AND rn <= 2),
-         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
-             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
-             FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
-         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
-         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
-         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // index scale recipe, corpus scored on min + code·step. The SAME
+    // oracle also gates sim_ivf_indexed_scaled: the persisted √n-cell
+    // index stores codes that reconstruct to the identical scoring
+    // input, so build→prune→search must land on these exact rows.
+    "sim_ivf_sq8_scaled" -> SimIvfSq8ScaledOracleSql,
+    "sim_ivf_indexed_scaled" -> SimIvfSq8ScaledOracleSql,
     // materialized-index round trip: stored SQ8 codes reconstruct to
     // the identical scoring input, so the oracle IS sim_ivf_sq8's —
     // what the gate adds is that the rows come off the persisted

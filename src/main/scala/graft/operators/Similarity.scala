@@ -301,9 +301,15 @@ object Similarity {
     * `recon = vmin + code·scl` at search time is bit-identical to
     * the recompute path's [[Vectors.sq8ReconWith]]. */
   def buildIvfIndex(spark: SparkSession, dir: String, name: String,
-                    numCentroids: Int = NumCentroids): Unit = {
-    val emb = Tables.embeddings(spark, dir)
-    val idx = nearestCentroids(emb, centroidsOf(emb, numCentroids), keep = 1)
+                    numCentroids: Int = NumCentroids): Unit =
+    buildIvfIndexFrom(Tables.embeddings(spark, dir), name, numCentroids)
+
+  /** Index rows for any vector frame against a given quantizer —
+    * the one definition shared by full build and incremental append
+    * (an appended vector must land exactly where a rebuild would put
+    * it, or the index silently diverges from its own gate). */
+  private def indexRows(vectors: DataFrame, cent: DataFrame): DataFrame =
+    nearestCentroids(vectors, cent, keep = 1)
       .withColumn("vd", col("embedding").cast("array<double>"))
       .withColumn("vmin", array_min(col("vd")))
       .withColumn("vmax", array_max(col("vd")))
@@ -311,11 +317,30 @@ object Similarity {
       .withColumn("codes", Vectors.sq8CodesWith(
         col("vd"), col("vmin"), col("vmax"), col("scl")))
       .select("vec_id", "bucket", "vmin", "scl", "codes")
+
+  /** [[buildIvfIndex]] over an explicit vector frame (corpus slices,
+    * tests). The coarse quantizer is trained (= taken) from THIS
+    * frame and persisted alongside; appends never retrain it. */
+  private[graft] def buildIvfIndexFrom(emb: DataFrame, name: String,
+                                       numCentroids: Int): Unit = {
     val cent = centroidsOf(emb, numCentroids)
-    graft.sources.Readers.saveBucketedTable(idx, name,
+    graft.sources.Readers.saveBucketedTable(indexRows(emb, cent), name,
       buckets = IndexFileBuckets, bucketCol = "bucket")
     graft.sources.Readers.replaceTable(cent, s"${name}_centroids")
   }
+
+  /** INCREMENTAL index maintenance — the search-side twin of the
+    * incremental dedup batch: new vectors are assigned and quantized
+    * against the PERSISTED quantizer (never retrained — the standard
+    * IVF append contract) and their rows appended to the bucketed
+    * table. Cost is one pass over the batch; existing cells are
+    * untouched, so a 100 TB index absorbs a daily batch without a
+    * rebuild. IvfIndexSpec pins append ≡ full rebuild. */
+  def appendToIvfIndex(spark: SparkSession, name: String,
+                       batch: DataFrame): Unit =
+    indexRows(batch, spark.table(s"${name}_centroids"))
+      .write.bucketBy(IndexFileBuckets, "bucket").sortBy("bucket")
+      .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(name)
 
   /** Search a built index: queries (a tiny slice) rank against the
     * broadcast centroid table, the probed cell ids are collected
@@ -360,5 +385,16 @@ object Similarity {
   def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     buildIvfIndex(spark, dir, "ivf_sq8_index", NumCentroids)
     searchIvfIndex(spark, dir, "ivf_sq8_index", nProbes = 1)
+  }
+
+  /** The SCALED index round trip — the index a large corpus would
+    * actually persist: √n cells from footer metadata, nprobe=2
+    * search. Same oracle as sim_ivf_sq8_scaled (stored codes
+    * reconstruct to the identical scoring input), so the production
+    * index config, not just the toy, is hash-checked. */
+  def qSimIvfIndexedScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    buildIvfIndex(spark, dir, "ivf_sq8_index_scaled", scaledCentroids(n))
+    searchIvfIndex(spark, dir, "ivf_sq8_index_scaled", NumProbes)
   }
 }

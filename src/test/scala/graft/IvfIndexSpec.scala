@@ -63,6 +63,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIndex == recompute)
   }
 
+  test("incremental append equals a full rebuild") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // first half carries all 8 quantizer vectors (vec_id < 8), so the
+    // half-built index trains the SAME quantizer as a full build; the
+    // second half is then appended against the persisted quantizer —
+    // every appended row must land exactly where a rebuild puts it
+    Similarity.buildIvfIndexFrom(emb.where(org.apache.spark.sql.functions
+      .col("vec_id") < 250), "ivf_index_spec_inc", 8)
+    Similarity.appendToIvfIndex(spark, "ivf_index_spec_inc",
+      emb.where(org.apache.spark.sql.functions.col("vec_id") >= 250))
+    built
+    val full = Similarity.searchIvfIndex(spark, sf, IndexName, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    val inc = Similarity.searchIvfIndex(spark, sf, "ivf_index_spec_inc",
+      nProbes = 2).collect().map(_.toSeq).toSeq
+    assert(inc == full)
+    // and the appended table still prunes
+    val p = Similarity.searchIvfIndex(spark, sf, "ivf_index_spec_inc",
+      nProbes = 1).queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("nprobe widens the candidate set monotonically") {
     built
     // top-k per query can only improve (sim non-decreasing per rank)

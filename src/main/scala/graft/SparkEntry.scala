@@ -61,6 +61,8 @@ object SparkEntry {
     "sim_ivf_sq8_scaled"   -> (Similarity.qSimIvfSq8Scaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
+    "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
+    "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
     "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
@@ -79,6 +81,7 @@ object SparkEntry {
     "dedup_semantic_scaled" -> (Clustering.qSemanticDedupScaled _),
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
+    "q_mix_epochs"         -> (Mixing.qMixEpochs _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
@@ -151,6 +154,27 @@ object SparkEntry {
        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
        SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
        WHERE "rank" <= 5 ORDER BY q_id, "rank" """
+
+  /** k-NN-graph oracle, parameterized on the centroid-count
+    * expression (a literal for the fixed gate, the √n derivation for
+    * the scaled one — Similarity.scaledCentroids' rule): every vector
+    * queries its 2 nearest of `cExpr` cells for its top-3 neighbors. */
+  private def knnGraphOracleSql(cExpr: String): String =
+    s"""WITH nc AS (SELECT ($cExpr) AS c),
+       cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                WHERE vec_id < (SELECT c FROM nc)),
+       asg AS (SELECT vec_id, embedding, c_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+           FROM embeddings CROSS JOIN cent),
+       rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+       assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1),
+       q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk WHERE rn <= 2),
+       scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+           FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+       SELECT q_id AS vec_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+       WHERE "rank" <= 3 ORDER BY vec_id, "rank" """
 
   private val KmeansOracleSql: String = kmeansCtes("8") +
     """
@@ -753,6 +777,14 @@ object SparkEntry {
     // input, so build→prune→search must land on these exact rows.
     "sim_ivf_sq8_scaled" -> SimIvfSq8ScaledOracleSql,
     "sim_ivf_indexed_scaled" -> SimIvfSq8ScaledOracleSql,
+    // k-NN graph: every vector's top-3 neighbors within its 2 probed
+    // IVF cells — the blocked-candidate recipe of dedup_embedding_*
+    // with a per-query top-k instead of a threshold. The fixed gate
+    // pins 8 cells; the scaled gate derives greatest(8, ceil(√n))
+    // in SQL, so the √n graph-build plan is the hash-checked one
+    "sim_knn_graph" -> knnGraphOracleSql("8"),
+    "sim_knn_graph_scaled" -> knnGraphOracleSql(
+      "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings"),
     // materialized-index round trip: stored SQ8 codes reconstruct to
     // the identical scoring input, so the oracle IS sim_ivf_sq8's —
     // what the gate adds is that the rows come off the persisted
@@ -944,6 +976,27 @@ object SparkEntry {
          SELECT source, doc_id, n_tok AS n_bpe_tokens
          FROM c JOIN qq USING (source) WHERE cum <= quota
          ORDER BY source, doc_id""",
+    // epoch-weighted resampling with repetition: per-source doc quota
+    // ∝ √(char mass) with largest-remainder rounding; each doc gets
+    // ⌊quota/n⌋ epochs plus one more iff its 24-bit md5 hash clears
+    // the exact integer threshold h·n < (quota mod n)·2^24 — the
+    // map-only membership test the Spark side runs (Mixing.qMixEpochs)
+    "q_mix_epochs" ->
+      """WITH g AS (SELECT source, sum(n_chars) AS mass, count(*) AS n_docs FROM documents GROUP BY 1),
+         gw AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM g),
+         qt AS (SELECT source, n_docs, 600 * CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS ideal FROM gw),
+         qb AS (SELECT source, n_docs, CAST(floor(ideal) AS BIGINT) AS base, ideal - floor(ideal) AS rem FROM qt),
+         qf AS (SELECT *, 600 - sum(base) OVER () AS leftover,
+                row_number() OVER (ORDER BY rem DESC, source) AS rr FROM qb),
+         qq AS (SELECT source, n_docs,
+                base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota FROM qf),
+         c AS (SELECT d.source, d.doc_id,
+               quota // n_docs +
+               CASE WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,6)) AS BIGINT) * n_docs
+                         < (quota % n_docs) * 16777216 THEN 1 ELSE 0 END AS copies
+               FROM documents d JOIN qq USING (source))
+         SELECT source, doc_id, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+         FROM c WHERE copies >= 1 ORDER BY source, doc_id, epoch""",
     // concat-and-chunk packing at 256 tokens/sequence in doc_id order;
     // the oracle's single global cumsum is the semantic spec the
     // engine's two-phase distributed prefix sum must reproduce

@@ -104,6 +104,70 @@ object Mixing {
       .select(col("doc_id"), col("source"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_tok")))
 
+  private val EpochTargetDocs = 600L
+  // 16^6 — the md5-prefix hash space of [[hash24]]; the integer
+  // cross-multiplied threshold compare below needs it as a literal
+  private val Hash24Space = 16777216L
+
+  /** First 6 hex chars of md5(doc_id) as a long in [0, 2^24) — the
+    * proven cross-engine uniform hash (DuckDB reads it back as
+    * CAST(('0x'||substr(md5(..),1,6)) AS BIGINT)). */
+  private def hash24(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Epoch-weighted resampling WITH REPETITION — the "repeat rare
+    * sources for multiple epochs" step of pre-training data mixing
+    * (the up-sampling half that [[qTemperatureMix]], a pure sampler,
+    * cannot express). Each source's document quota is allocated
+    * ∝ √(character mass) with largest-remainder rounding (the
+    * integer-scaled [[weight]] contract), and a quota is realized as
+    * copies-per-document: every doc gets ⌊quota/n⌋ full epochs, and
+    * docs whose 24-bit md5 hash falls below (quota mod n)/n of the
+    * hash space get one more — so a quota BELOW the source count
+    * degrades to hash-proportional subsampling and a quota above it
+    * to fractional epochs, under one definition.
+    *
+    * The fractional-epoch membership test is the exact integer
+    * compare h·n < r·2^24 (h < 2^24, so it stays in long range for
+    * any source under ~5×10¹¹ docs) — no rank, no sort, no float.
+    * That is the 100 TB posture: after the one tiny quota aggregate
+    * (one row per source, broadcast back), the corpus side is
+    * MAP-ONLY — hash, compare, explode a ≤(base+1)-element sequence.
+    * Selecting exactly r extra docs would need a per-source rank of
+    * the whole corpus; proportional-in-expectation hashing is the
+    * standard trade and the oracle replays it bit-for-bit. */
+  def qMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy().orderBy(desc("rem"), col("source"))
+    val quotas = docs.groupBy("source")
+      .agg(sum("n_chars").as("mass"), count(lit(1)).as("n_docs"))
+      .withColumn("w", weight(col("mass")))
+      .withColumn("ideal", lit(EpochTargetDocs) * col("w").cast("double") /
+        sum("w").over(wAll).cast("double"))
+      .withColumn("base", floor(col("ideal")))
+      .withColumn("rem", col("ideal") - col("base"))
+      .withColumn("leftover", lit(EpochTargetDocs) - sum("base").over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .withColumn("quota",
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("source"), col("quota"), col("n_docs"))
+    docs.select("source", "doc_id")
+      .join(broadcast(quotas), "source")
+      .withColumn("copies",
+        (col("quota") / col("n_docs")).cast("long") +
+        when(hash24(col("doc_id")) * col("n_docs") <
+             (col("quota") % col("n_docs")) * lit(Hash24Space), 1L)
+          .otherwise(0L))
+      // copies = 0 drops the doc (subsampling); the filter must come
+      // BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+      .where(col("copies") >= 1L)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .orderBy("source", "doc_id", "epoch")
+  }
+
   /** The REAL-TOKENIZER hook ([[Packing.packFromCounts]]'s twin):
     * budget-mix from a caller-supplied (doc_id, source, n_tok) frame —
     * a production pipeline tokenizes once and materializes counts as

@@ -151,6 +151,59 @@ object Similarity {
       sq8 = true)
   }
 
+  private val KnnK = 3
+
+  /** k-nearest-neighbor GRAPH: every corpus vector's `k` nearest
+    * neighbors, found within IVF buckets — the precursor structure of
+    * graph-based fuzzy dedup and SemDeDup-style curation (threshold
+    * pair generation is [[blockedNearDup]]; this is its top-k
+    * sibling, where each vector keeps a bounded neighbor list however
+    * dense its neighborhood is). Corpus vectors live in their single
+    * nearest cell; as QUERIES they probe their `nProbes` nearest
+    * cells, so candidates come from a bucket EQUI-JOIN (the only
+    * corpus-wide shuffle — never all-pairs) and a (q, neighbor) pair
+    * can't repeat (the corpus side is in exactly one cell). Per-query
+    * top-k runs in the bounded-heap [[graft.plans.GroupedTopK]]
+    * operator — O(k) task memory, no full sort of any neighborhood. */
+  private[graft] def knnGraph(emb: DataFrame, numCentroids: Int,
+                              nProbes: Int, k: Int): DataFrame = {
+    val cent = centroidsOf(emb, numCentroids)
+    val corpus = nearestCentroids(emb, cent, keep = 1)
+    val q = nearestCentroids(emb, cent, keep = nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("bucket").as("q_bucket"))
+    val scored = corpus
+      .join(q, col("bucket") === col("q_bucket") &&
+               col("vec_id") =!= col("q_id"))
+      .withColumn("nsim", cosine(col("q_vec"), col("embedding")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("nsim"))
+    val pruned = graft.plans.GroupedTopKApi.groupedTopKOrdered(scored,
+      keys = Seq("q_id"),
+      sort = Seq("nsim" -> false, "neighbor_id" -> true),
+      k = k)
+    val wRank = Window.partitionBy("q_id").orderBy(desc("nsim"), col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("q_id").as("vec_id"), col("rank"), col("neighbor_id"),
+              graft.functions.Text.roundPortable(col("nsim"), 4).as("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The fixed-config k-NN-graph gate (8 cells, nprobe 2, k=3) the
+    * oracle unrolls step for step. */
+  def qSimKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir), NumCentroids, NumProbes, KnnK)
+
+  /** The SCALE config: √n cells from parquet-footer metadata, so each
+    * vector's candidate set stays ~nProbes·√n as the corpus grows —
+    * building the n·k neighbor graph costs ~n^1.5 candidate scores
+    * total, never n². Same sizing rule, and same oracle recipe, as
+    * [[qDedupEmbeddingScaled]]. */
+  def qSimKnnGraphScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    knnGraph(Tables.embeddings(spark, dir), scaledCentroids(n), NumProbes, KnnK)
+  }
+
   /** Corpora up to this size may use the exact all-pairs self-join;
     * beyond it the blocked path always runs (all-pairs is O(n²) in
     * the corpus — the one thing embedding dedup must never be at

@@ -101,6 +101,50 @@ class MixingClusteringSpec extends SparkSpec {
     }
   }
 
+  test("epoch mix: per-doc copies follow the exact integer threshold rule, epochs are dense") {
+    val out = Mixing.qMixEpochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // epochs per (source, doc) are exactly 1..copies — no gaps, no dups
+    val byDoc = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    byDoc.foreach { case ((src, id), epochs) =>
+      assert(epochs.toList == (1L to epochs.length).toList,
+        s"$src/$id epochs ${epochs.toList} are not dense from 1")
+    }
+    // re-derive the whole allocation locally: √(char mass) weights,
+    // largest-remainder doc quotas, base = quota/n epochs for all,
+    // +1 for docs whose 24-bit md5 hash clears h·n < (quota mod n)·2^24
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1)
+    val w = bySrc.view.mapValues(rows =>
+      math.floor(math.sqrt(rows.map(_._3).sum.toDouble) * 1e6 + 0.5).toLong).toMap
+    val wSum = w.values.sum
+    val ideal = w.view.mapValues(wi => 600.0 * wi / wSum).toMap
+    val base = ideal.view.mapValues(i => math.floor(i).toLong).toMap
+    val leftover = 600L - base.values.sum
+    val extraRank = ideal.toSeq
+      .sortBy { case (s, i) => (-(i - math.floor(i)), s) }.map(_._1).zipWithIndex.toMap
+    val quota = base.map { case (s, b) =>
+      s -> (b + (if (extraRank(s) < leftover) 1L else 0L)) }
+    def h24(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(3)
+        .map("%02x".format(_)).mkString, 16)
+    docs.foreach { case (src, id, _) =>
+      val n = bySrc(src).length.toLong
+      val expect = quota(src) / n +
+        (if (h24(id) * n < (quota(src) % n) * 16777216L) 1L else 0L)
+      val got = byDoc.get((src, id)).map(_.length.toLong).getOrElse(0L)
+      assert(got == expect, s"$src/$id: got $got epochs, expected $expect")
+    }
+    // the fixture must exercise the fractional-epoch branch: some doc
+    // repeated (≥2 epochs) AND unevenly within its source
+    assert(out.exists(_._3 >= 2L), "no doc was upsampled to a 2nd epoch")
+    assert(byDoc.values.map(_.length).toSet.size > 1,
+      "all docs got identical copy counts — threshold branch untested")
+  }
+
   test("semantic dedup: output partitions the corpus and every cluster keeps its farthest member") {
     val n = Tables.embeddings(spark, sf).count()
     for (out <- Seq(Clustering.qSemanticDedup(spark, sf).collect(),

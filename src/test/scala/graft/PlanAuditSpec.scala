@@ -186,6 +186,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), p)
   }
 
+  test("epoch mix is map-only on the corpus: broadcast quota join, one hash exchange total") {
+    val p = planOf("q_mix_epochs")
+    // the ONE hash exchange is the per-source quota aggregate (20
+    // rows); the corpus side must see only the broadcast join + the
+    // explode — a second hash exchange means the membership test
+    // regressed to a rank/sort somewhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("knn graph candidates come from a bucket equi-join with a bounded-heap top-k") {
+    for (name <- Seq("sim_knn_graph", "sim_knn_graph_scaled")) {
+      val p = planOf(name)
+      // partial + final heap passes; candidates only ever pair within
+      // a cell (equi-join on the cell id — the all-pairs cross product
+      // is exactly what the IVF blocking exists to avoid)
+      assert("GroupedTopK \\[".r.findAllIn(p).size == 2, p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert("Join \\S*\\[bucket".r.findFirstIn(p).isDefined, p)
+    }
+  }
+
   test("token-budget mix runs its prefix sum two-phase: doc-level window partitions by (source, sub-bucket)") {
     val p = planOf("q_token_budget_mix")
     // the heavy running sum must partition by (source, hb) — a doc-

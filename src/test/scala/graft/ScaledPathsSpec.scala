@@ -78,6 +78,37 @@ class ScaledPathsSpec extends SparkSpec {
       s"scaled-only pairs: ${(scaled diff exactDf).take(3)}")
   }
 
+  test("knn graph: dense top-k per vector with true descending cosines") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (out <- Seq(Similarity.qSimKnnGraph(spark, sf).collect(),
+                    Similarity.qSimKnnGraphScaled(spark, sf).collect())) {
+      val byVec = out.groupBy(_.getLong(0))
+      assert(byVec.size.toLong == vecs.size, "every vector has a neighbor list")
+      byVec.foreach { case (v, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length),
+          s"vec $v ranks not dense from 1")
+        assert(sorted.length == 3, s"vec $v has ${sorted.length} neighbors, want 3")
+        assert(sorted.forall(_.getLong(2) != v), s"vec $v lists itself")
+        val sims = sorted.map(_.getDouble(3))
+        assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+          s"vec $v sims not descending: ${sims.toSeq}")
+        // reported sim is the true 4dp-rounded cosine of the pair
+        sorted.foreach { r =>
+          val true4 = math.floor(cos(vecs(v), vecs(r.getLong(2))) * 10000 + 0.5) / 10000
+          assert(r.getDouble(3) == true4,
+            s"vec $v → ${r.getLong(2)}: reported ${r.getDouble(3)} vs true $true4")
+        }
+      }
+    }
+  }
+
   test("streaming sessionizer replay equals the batch window sessionizer") {
     val stream = graft.streaming.StatefulSessions.qStreamSessions(spark, sf)
       .collect().map(_.toSeq).toSet

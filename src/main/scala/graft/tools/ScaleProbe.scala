@@ -174,7 +174,14 @@ object ScaleProbe {
         // dominates and should track corpus size ~linearly)
         "sim_ivf_indexed",
         // same two-phase packing plan, counts read from a column
-        "pack_sequences_precounted")
+        "pack_sequences_precounted",
+        // map-only epoch resampling: broadcast quota join + hash
+        // threshold + explode — should be row-linear like the scans
+        "q_mix_epochs",
+        // n·k neighbor graph from IVF-cell candidates: fixed 8 cells
+        // is the contrast row (cell ≈ n/8 → candidate pairs ~n²/8);
+        // √n cells keeps total candidate scores ~nprobe·n^1.5
+        "sim_knn_graph", "sim_knn_graph_scaled")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

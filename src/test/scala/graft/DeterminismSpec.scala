@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSpec {
     "sim_ivf_scaled",      // √n-cell assignment + per-query rank
     "sim_ivf_sq8_scaled",  // + SQ8 reconstruction scoring
     "sim_ivf_indexed",     // persisted-index round trip (build+search)
-    "pack_sequences_precounted") // column-fed two-phase prefix sum
+    "pack_sequences_precounted", // column-fed two-phase prefix sum
+    "q_mix_epochs",        // quota-driven hash-threshold copies
+    "sim_knn_graph_scaled") // √n-cell candidates + per-vector heap top-k
 
   test("hash-ranked / iterative / quota gates are identical across shuffle parallelism") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

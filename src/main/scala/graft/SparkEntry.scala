@@ -63,6 +63,7 @@ object SparkEntry {
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
     "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
+    "sim_mutual_knn_clusters" -> (Similarity.qSimMutualKnnClusters _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
     "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
@@ -155,12 +156,14 @@ object SparkEntry {
        SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
        WHERE "rank" <= 5 ORDER BY q_id, "rank" """
 
-  /** k-NN-graph oracle, parameterized on the centroid-count
+  /** k-NN-graph CTE chain, parameterized on the centroid-count
     * expression (a literal for the fixed gate, the √n derivation for
     * the scaled one — Similarity.scaledCentroids' rule): every vector
-    * queries its 2 nearest of `cExpr` cells for its top-3 neighbors. */
-  private def knnGraphOracleSql(cExpr: String): String =
-    s"""WITH nc AS (SELECT ($cExpr) AS c),
+    * queries its 2 nearest of `cExpr` cells for its top-3 neighbors,
+    * ranked in `r`. Shared by the two graph gates and the mutual-kNN
+    * cluster gate. */
+  private def knnGraphCtes(cExpr: String): String =
+    s"""nc AS (SELECT ($cExpr) AS c),
        cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
                 WHERE vec_id < (SELECT c FROM nc)),
        asg AS (SELECT vec_id, embedding, c_id,
@@ -172,9 +175,29 @@ object SparkEntry {
        scored AS (SELECT q_id, a.vec_id AS neighbor_id,
            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
            FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
-       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)"""
+
+  private def knnGraphOracleSql(cExpr: String): String =
+    "WITH " + knnGraphCtes(cExpr) + """
        SELECT q_id AS vec_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
        WHERE "rank" <= 3 ORDER BY vec_id, "rank" """
+
+  /** Mutual-kNN clusters: the scaled knn CTEs, mutual edges by the
+    * reversed-pair self-join, components by the same recursive
+    * closure + min-label rule as the text cluster oracle. */
+  private val MutualKnnClustersOracleSql: String =
+    "WITH RECURSIVE " + knnGraphCtes(
+      "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings") + s""",
+       knn AS (SELECT q_id, neighbor_id FROM r WHERE "rank" <= 3),
+       mutual AS (SELECT f.q_id AS a, f.neighbor_id AS b FROM knn f
+                  JOIN knn g ON f.q_id = g.neighbor_id AND f.neighbor_id = g.q_id
+                  WHERE f.q_id < f.neighbor_id),
+       p AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+       tc AS (SELECT a, b FROM p
+              UNION SELECT tc.a, p.b FROM tc JOIN p ON tc.b = p.a),
+       clusters AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+                    FROM tc GROUP BY a)
+       SELECT vec_id, cluster_id FROM clusters ORDER BY vec_id"""
 
   private val KmeansOracleSql: String = kmeansCtes("8") +
     """
@@ -785,6 +808,9 @@ object SparkEntry {
     "sim_knn_graph" -> knnGraphOracleSql("8"),
     "sim_knn_graph_scaled" -> knnGraphOracleSql(
       "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings"),
+    // thresholdless graph clustering: mutual k-NN edges + connected
+    // components (the scaled knn CTEs feed the text-cluster closure)
+    "sim_mutual_knn_clusters" -> MutualKnnClustersOracleSql,
     // materialized-index round trip: stored SQ8 codes reconstruct to
     // the identical scoring input, so the oracle IS sim_ivf_sq8's —
     // what the gate adds is that the rows come off the persisted

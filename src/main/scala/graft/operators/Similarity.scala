@@ -167,6 +167,22 @@ object Similarity {
     * operator — O(k) task memory, no full sort of any neighborhood. */
   private[graft] def knnGraph(emb: DataFrame, numCentroids: Int,
                               nProbes: Int, k: Int): DataFrame = {
+    val pruned = knnTopK(emb, numCentroids, nProbes, k)
+    val wRank = Window.partitionBy("q_id").orderBy(desc("nsim"), col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("q_id").as("vec_id"), col("rank"), col("neighbor_id"),
+              graft.functions.Text.roundPortable(col("nsim"), 4).as("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The graph's working core — scored cell candidates pruned to the
+    * per-vector top-k heap, WITHOUT presentation (rank numbering,
+    * rounding, output sort): [[qSimMutualKnnClusters]] consumes the
+    * edge set directly and must not inherit a sort it would only
+    * shuffle away. */
+  private def knnTopK(emb: DataFrame, numCentroids: Int,
+                      nProbes: Int, k: Int): DataFrame = {
     val cent = centroidsOf(emb, numCentroids)
     val corpus = nearestCentroids(emb, cent, keep = 1)
     val q = nearestCentroids(emb, cent, keep = nProbes)
@@ -177,16 +193,38 @@ object Similarity {
                col("vec_id") =!= col("q_id"))
       .withColumn("nsim", cosine(col("q_vec"), col("embedding")))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("nsim"))
-    val pruned = graft.plans.GroupedTopKApi.groupedTopKOrdered(scored,
+    graft.plans.GroupedTopKApi.groupedTopKOrdered(scored,
       keys = Seq("q_id"),
       sort = Seq("nsim" -> false, "neighbor_id" -> true),
       k = k)
-    val wRank = Window.partitionBy("q_id").orderBy(desc("nsim"), col("neighbor_id"))
-    pruned
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .select(col("q_id").as("vec_id"), col("rank"), col("neighbor_id"),
-              graft.functions.Text.roundPortable(col("nsim"), 4).as("sim"))
-      .orderBy("vec_id", "rank")
+  }
+
+  /** Mutual-k-NN clustering: vectors grouped by the connected
+    * components of the MUTUAL k-NN edge set (a—b is an edge iff each
+    * lists the other in its top-k) — the thresholdless graph
+    * clustering built on [[knnGraph]]: mutuality is the symmetric
+    * density filter (a point sitting near a cluster it doesn't belong
+    * to lists cluster members, but they don't list it back), so no
+    * cosine cutoff needs tuning. √n cells from footer metadata;
+    * mutuality is one self-join of the n·k edge list on the reversed
+    * pair; components run in [[Dedup.connectedComponents]]'s
+    * min-label propagation — one job per round, lazily checkpointed.
+    * Output: (vec_id, cluster_id = min member id) for vectors with at
+    * least one mutual edge; singletons are omitted like the text
+    * cluster gates omit unpaired docs. */
+  def qSimMutualKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val knn = knnTopK(Tables.embeddings(spark, dir), scaledCentroids(n),
+        NumProbes, KnnK)
+      .select(col("q_id"), col("neighbor_id"))
+    val mutual = knn.as("f")
+      .join(knn.as("r"), col("f.q_id") === col("r.neighbor_id") &&
+                         col("f.neighbor_id") === col("r.q_id"))
+      .where(col("f.q_id") < col("f.neighbor_id"))
+      .select(col("f.q_id").as("doc_a"), col("f.neighbor_id").as("doc_b"))
+    Dedup.connectedComponents(mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
   }
 
   /** The fixed-config k-NN-graph gate (8 cells, nprobe 2, k=3) the

@@ -181,7 +181,9 @@ object ScaleProbe {
         // n·k neighbor graph from IVF-cell candidates: fixed 8 cells
         // is the contrast row (cell ≈ n/8 → candidate pairs ~n²/8);
         // √n cells keeps total candidate scores ~nprobe·n^1.5
-        "sim_knn_graph", "sim_knn_graph_scaled")
+        "sim_knn_graph", "sim_knn_graph_scaled",
+        // mutual edges + min-label components over the √n-cell graph
+        "sim_mutual_knn_clusters")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -109,6 +109,29 @@ class ScaledPathsSpec extends SparkSpec {
     }
   }
 
+  test("mutual-knn clusters: labels are component minima over exactly the mutual edge set") {
+    val knn = Similarity.qSimKnnGraphScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn((b, a)) }
+    val clusters = Similarity.qSimMutualKnnClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mutual.nonEmpty && clusters.nonEmpty)
+    // exactly the mutually-listed vectors are clustered
+    assert(clusters.keySet == mutual.flatMap(e => Seq(e._1, e._2)),
+      "clustered vectors ≠ vectors with a mutual edge")
+    // each mutual edge lands inside one cluster
+    mutual.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"mutual edge ($a,$b) spans clusters")
+    }
+    // the label is the component minimum: it names a member, no
+    // member undercuts it, and labels don't bridge across edges
+    // (transitivity is the oracle's recursive-closure half)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min == label,
+        s"cluster $label labeled above its minimum ${members.keySet.min}")
+    }
+  }
+
   test("streaming sessionizer replay equals the batch window sessionizer") {
     val stream = graft.streaming.StatefulSessions.qStreamSessions(spark, sf)
       .collect().map(_.toSeq).toSet

@@ -114,6 +114,7 @@ object SparkEntry {
     "pipeline_funnel"      -> (Pipeline.qCurationFunnel _),
     "pipeline_pretrain_corpus" -> (Pipeline.qPretrainCorpus _),
     "pipeline_pretrain_model"  -> (Pipeline.qPretrainCorpusModel _),
+    "pipeline_epoch_pack"  -> (Pipeline.qEpochPack _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
@@ -1023,6 +1024,32 @@ object SparkEntry {
                FROM documents d JOIN qq USING (source))
          SELECT source, doc_id, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
          FROM c WHERE copies >= 1 ORDER BY source, doc_id, epoch""",
+    // epoch-aware assembly: the q_mix_epochs resample (n_chars riding
+    // along as the token count), a per-COPY md5 training order (the
+    // '#'-salted hash scatters a doc's epochs), and the concat-and-
+    // chunk packing cumsum over that order
+    "pipeline_epoch_pack" ->
+      """WITH g AS (SELECT source, sum(n_chars) AS mass, count(*) AS n_docs FROM documents GROUP BY 1),
+         gw AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM g),
+         qt AS (SELECT source, n_docs, 600 * CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS ideal FROM gw),
+         qb AS (SELECT source, n_docs, CAST(floor(ideal) AS BIGINT) AS base, ideal - floor(ideal) AS rem FROM qt),
+         qf AS (SELECT *, 600 - sum(base) OVER () AS leftover,
+                row_number() OVER (ORDER BY rem DESC, source) AS rr FROM qb),
+         qq AS (SELECT source, n_docs,
+                base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota FROM qf),
+         c AS (SELECT d.doc_id, d.n_chars,
+               quota // n_docs +
+               CASE WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,6)) AS BIGINT) * n_docs
+                         < (quota % n_docs) * 16777216 THEN 1 ELSE 0 END AS copies
+               FROM documents d JOIN qq USING (source)),
+         e AS (SELECT doc_id, n_chars, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+               FROM c WHERE copies >= 1),
+         r AS (SELECT *, md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)) AS rk FROM e),
+         s AS (SELECT *, CAST(sum(n_chars) OVER (ORDER BY rk, doc_id, epoch ROWS UNBOUNDED PRECEDING)
+                    - n_chars AS BIGINT) AS start_offset FROM r)
+         SELECT doc_id, epoch, n_chars AS n_tok, start_offset // 256 AS seq_id,
+                start_offset % 256 AS seq_offset
+         FROM s ORDER BY doc_id, epoch""",
     // concat-and-chunk packing at 256 tokens/sequence in doc_id order;
     // the oracle's single global cumsum is the semantic spec the
     // engine's two-phase distributed prefix sum must reproduce

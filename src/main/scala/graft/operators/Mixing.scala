@@ -136,8 +136,15 @@ object Mixing {
     * Selecting exactly r extra docs would need a per-source rank of
     * the whole corpus; proportional-in-expectation hashing is the
     * standard trade and the oracle replays it bit-for-bit. */
-  def qMixEpochs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qMixEpochs(spark: SparkSession, dir: String): DataFrame =
+    epochCopies(Tables.documents(spark, dir))
+      .select("source", "doc_id", "epoch")
+      .orderBy("source", "doc_id", "epoch")
+
+  /** The epoch-resample core, presentation-free: (source, doc_id,
+    * n_chars, epoch) rows — n_chars rides through so the epoch-pack
+    * pipeline can budget tokens without re-joining the corpus. */
+  private[operators] def epochCopies(docs: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val wRem = Window.partitionBy().orderBy(desc("rem"), col("source"))
     val quotas = docs.groupBy("source")
@@ -153,7 +160,7 @@ object Mixing {
         (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
           .cast("long"))
       .select(col("source"), col("quota"), col("n_docs"))
-    docs.select("source", "doc_id")
+    docs.select("source", "doc_id", "n_chars")
       .join(broadcast(quotas), "source")
       .withColumn("copies",
         (col("quota") / col("n_docs")).cast("long") +
@@ -163,9 +170,8 @@ object Mixing {
       // copies = 0 drops the doc (subsampling); the filter must come
       // BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
       .where(col("copies") >= 1L)
-      .select(col("source"), col("doc_id"),
+      .select(col("source"), col("doc_id"), col("n_chars"),
         explode(sequence(lit(1L), col("copies"))).as("epoch"))
-      .orderBy("source", "doc_id", "epoch")
   }
 
   /** The REAL-TOKENIZER hook ([[Packing.packFromCounts]]'s twin):

@@ -214,4 +214,45 @@ object Pipeline {
               "seq_id", "seq_offset")
       .orderBy("doc_id")
   }
+
+  /** Epoch-aware training-order assembly — the step between "which
+    * data" and "which batch" that multi-epoch mixing needs: the
+    * epoch-weighted resample ([[Mixing.epochCopies]] — repetition AND
+    * subsampling under one quota rule) feeds a per-COPY deterministic
+    * shuffle (rank on md5(doc_id || '#' || epoch), so the same doc's
+    * epochs scatter through the training order instead of clumping),
+    * and the shuffled stream is concat-and-chunk packed into
+    * 256-token sequences.
+    *
+    * Scale shape, stage by stage: the resample is map-only after its
+    * 20-row quota broadcast; the shuffle-order prefix sum is the
+    * (hb = first two hash hex chars) two-phase trick — the hash
+    * bucket is a PREFIX of the sort key, so per-bucket cumsums + 256
+    * broadcast bucket offsets equal the global running sum — and no
+    * task ever windows more than ~n/256 rows. Token counts ride in
+    * from n_chars (the precomputed-count hook): the pipeline never
+    * re-tokenizes. */
+  def qEpochPack(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Mixing.epochCopies(Tables.documents(spark, dir))
+      .withColumn("rk", md5(concat(col("doc_id").cast("string"),
+        lit("#"), col("epoch").cast("string"))))
+      .withColumn("hb", substring(col("rk"), 1, 2))
+    val wIntra = Window.partitionBy("hb").orderBy("rk", "doc_id", "epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBucket = Window.orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked.groupBy("hb").agg(sum("n_chars").as("bt"))
+      .withColumn("b_excl", sum("bt").over(wBucket) - col("bt"))
+      .select("hb", "b_excl")
+    ranked
+      .withColumn("intra", sum("n_chars").over(wIntra) - col("n_chars"))
+      .join(broadcast(offsets), "hb")
+      .withColumn("start_offset", col("b_excl") + col("intra"))
+      // integer DIV — double division loses exactness past 2^53
+      .withColumn("seq_id", expr("start_offset DIV 256"))
+      .withColumn("seq_offset", pmod(col("start_offset"), lit(256L)).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("n_chars").as("n_tok"),
+              col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id", "epoch")
+  }
 }

@@ -183,7 +183,9 @@ object ScaleProbe {
         // √n cells keeps total candidate scores ~nprobe·n^1.5
         "sim_knn_graph", "sim_knn_graph_scaled",
         // mutual edges + min-label components over the √n-cell graph
-        "sim_mutual_knn_clusters")
+        "sim_mutual_knn_clusters",
+        // epoch resample → per-copy hash order → two-phase pack
+        "pipeline_epoch_pack")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

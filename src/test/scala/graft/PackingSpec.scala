@@ -40,6 +40,25 @@ class PackingSpec extends SparkSpec {
     assert(seqIds.zip(seqIds.tail).forall { case (a, b) => b >= a })
   }
 
+  test("epoch pack covers exactly the resample's copies with a contiguous token layout") {
+    val packed = graft.operators.Pipeline.qEpochPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val copies = graft.operators.Mixing.qMixEpochs(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // every epoch copy is packed exactly once — the pack stage can't
+    // drop or duplicate what the resample emitted
+    assert(packed.map(t => (t._1, t._2)).toSet == copies)
+    assert(packed.length == copies.size)
+    // contiguity: reassembling start offsets (seq_id·256 + offset) in
+    // ascending order must tile the token stream with no gap/overlap
+    val starts = packed.map(t => (t._4 * 256 + t._5, t._3)).sortBy(_._1)
+    starts.foldLeft(0L) { case (expected, (start, n)) =>
+      assert(start == expected, s"offset $start, expected $expected")
+      expected + n
+    }
+    assert(packed.forall(t => t._5 >= 0 && t._5 < 256))
+  }
+
   test("global shuffle is a permutation of 0..n-1 that differs from id order") {
     val pos = Packing.qGlobalShuffle(spark, sf)
       .orderBy("doc_id").select("position").collect().map(_.getLong(0))

@@ -209,6 +209,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("epoch pack windows per hash bucket, never a copy-level global window") {
+    val p = planOf("pipeline_epoch_pack")
+    // the heavy cumulative sum must partition by hb (256 hash
+    // buckets); an unpartitioned copy-level window is the
+    // single-partition trap the two-phase sum exists to avoid (the
+    // only global windows may be the 256-row bucket-offset pass and
+    // the tiny quota table)
+    assert("windowspecdefinition\\(hb#\\d+, rk#\\d+ ASC".r
+      .findFirstIn(p).isDefined,
+      s"no hb-partitioned copy-level window:\n$p")
+  }
+
   test("token-budget mix runs its prefix sum two-phase: doc-level window partitions by (source, sub-bucket)") {
     val p = planOf("q_token_budget_mix")
     // the heavy running sum must partition by (source, hb) — a doc-

@@ -48,20 +48,36 @@ object Similarity {
     emb.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
-  /** Coarse assignment: every vector of `vectors` scored against the
-    * broadcast centroid frame, keeping the `keep` nearest as
-    * (vec_id, embedding, bucket) rows. Shared by corpus assignment,
-    * query probing, and the index build so "the cell a vector lands
-    * in" has one definition. */
+  /** The quantizer pulled to the driver as `(c_id, c_vec)` pairs —
+    * bounded MODEL state (√n·dim doubles; the k-means collect
+    * precedent, Clustering.scala), ordered by c_id for the tie-break
+    * contract. One tiny job (the vec_id filter reaches the footer-
+    * pruned scan); never corpus-sized. */
+  private def collectCentroids(cent: DataFrame): Seq[(Long, Array[Double])] =
+    cent.select(col("c_id"), col("c_vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Coarse assignment: every vector of `vectors` keeps its `keep`
+    * nearest centroids as (vec_id, embedding, bucket) rows. Shared by
+    * corpus assignment, query probing, and the index build so "the
+    * cell a vector lands in" has one definition.
+    *
+    * MAP-ONLY: the per-row top-`keep` argmax runs in the codegen'd
+    * [[graft.functions.NearestCells]] expression over the collected
+    * centroid matrix, then explodes — a projection + generate, no
+    * join, no exchange between the corpus scan and the bucket id.
+    * (The crossJoin + per-vec_id window this replaced shuffled
+    * n·numCentroids scored rows — an n^1.5-row exchange at the √n
+    * configs — before any candidate generation began.) */
   private def nearestCentroids(vectors: DataFrame, cent: DataFrame,
-                               keep: Int): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
-    vectors.crossJoin(broadcast(cent))
-      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= keep)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-  }
+                               keep: Int): DataFrame =
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        explode(graft.functions.NearestCells.nearestCells(
+          col("embedding"), collectCentroids(cent), keep)).as("bucket"))
 
   /** SQ8 reconstruction of an `embedding` float-array column as a
     * `recon` double-array column — range/step projected once per row
@@ -270,14 +286,9 @@ object Similarity {
     * [[AllPairsMaxVectors]]. */
   private[graft] def blockedNearDup(emb: DataFrame, numCentroids: Int,
                                     nProbes: Int): DataFrame = {
-    val cent = emb.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= nProbes)
-      .select(col("vec_id"), col("c_id").as("bucket"))
+    val assigned =
+      nearestCentroids(emb, centroidsOf(emb, numCentroids), keep = nProbes)
+        .select(col("vec_id"), col("bucket"))
     val cands = assigned.as("a")
       .join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -443,14 +454,11 @@ object Similarity {
   def searchIvfIndex(spark: SparkSession, dir: String, name: String,
                      nProbes: Int = 1): DataFrame = {
     val cent = spark.table(s"${name}_centroids")
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("c_id"))
-    val q = Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cent))
-      .withColumn("c_sim", cosine(col("embedding"), col("c_vec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= nProbes)
+    val q = nearestCentroids(
+        Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries),
+        cent, keep = nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-              col("c_id").as("q_bucket"))
+              col("bucket").as("q_bucket"))
     val probed: Array[Long] =
       q.select("q_bucket").distinct().collect().map(_.getLong(0))
     val cells = spark.table(name)

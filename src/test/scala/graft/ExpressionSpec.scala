@@ -101,6 +101,54 @@ class ExpressionSpec extends SparkSpec {
     assert(eSq.getMessage.contains("array<float|double>"), eSq.getMessage)
   }
 
+  /** Independent reference for the map-only coarse assignment: full
+    * cosine per centroid, rank desc(sim) then asc(id) — the window
+    * formulation NearestCells replaced, written as plain Scala. */
+  private def nearestRef(v: Array[Float], cents: Seq[(Long, Array[Double])],
+                         keep: Int): Seq[Long] =
+    cents.map { case (id, c) =>
+      val n = math.min(v.length, c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = v(i).toDouble; val y = c(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      (if (denom == 0.0) 0.0 else dot / denom, id)
+    }.sortBy { case (sim, id) => (-sim, id) }.take(keep).map(_._2)
+
+  test("nearest_cells matches the rank-by-cosine reference, ties to the lower id") {
+    val rnd = new scala.util.Random(13)
+    def fvec() = Array.fill(8)(rnd.nextFloat() - 0.5f)
+    val cents: Seq[(Long, Array[Double])] =
+      Seq.tabulate(17)(j => (j.toLong, fvec().map(_.toDouble)))
+    // exact-tie coverage: centroids 3 and 9 are identical, so every
+    // vector's sims for them are bitwise equal — the lower id (3) must
+    // always outrank 9
+    val tied = cents.map { case (id, c) => if (id == 9L) (id, cents(3)._2) else (id, c) }
+    val rows = Seq.fill(40)(fvec())
+    for (keep <- Seq(1, 2, 5, 25)) { // 25 > |centroids| exercises truncation
+      val got = rows.toDF("v")
+        .select(graft.functions.NearestCells.nearestCells($"v", tied, keep).as("b"))
+        .as[Seq[Long]].collect()
+      val want = rows.map(nearestRef(_, tied, keep))
+      assert(got.toSeq == want, s"keep=$keep")
+      got.foreach { bs =>
+        val (i3, i9) = (bs.indexOf(3L), bs.indexOf(9L))
+        if (i9 >= 0) assert(i3 >= 0 && i3 < i9, s"tie must rank id 3 before 9: $bs")
+      }
+    }
+  }
+
+  test("nearest_cells rejects non-float vectors at ANALYSIS time") {
+    val df = Seq(Array(1, 2, 3)).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.NearestCells.nearestCells(
+        $"v", Seq((0L, Array(1.0, 2.0, 3.0))), 1)).queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("array<float|double>"), e.getMessage)
+  }
+
   test("GroupConcatDistinct dedupes, sorts, handles substrings") {
     // the reference's contains()-based dedupe would drop "1:Beijing"
     // when "11:Beijing" is present — ours must keep both

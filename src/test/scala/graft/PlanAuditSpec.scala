@@ -197,6 +197,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("IVF coarse assignment is map-only: no exchange between corpus scan and bucket id") {
+    // the round-9 contract: assignment is the nearest_cells projection
+    // over the driver-held centroid matrix — no crossJoin, no per-
+    // vec_id window, so NOTHING shuffles before candidate generation.
+    // In the ivf searches the candidates join a broadcast query set,
+    // leaving exactly ONE hash exchange in the whole plan (the
+    // per-query rank window over already-pruned candidate rows)
+    for (name <- Seq("sim_ivf", "sim_ivf_sq8", "sim_ivf_scaled",
+                     "sim_ivf_sq8_scaled")) {
+      val p = planOf(name)
+      assert(p.contains("nearest_cells"), s"$name lost the map-only assignment:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$name should shuffle only the rank window:\n$p")
+    }
+    // blocked/knn paths: the bucket equi-join is now genuinely the
+    // ONLY corpus-wide shuffle mechanism — no nested-loop join anywhere
+    for (name <- Seq("sim_knn_graph", "sim_knn_graph_scaled",
+                     "dedup_embedding_blocked", "dedup_embedding_scaled")) {
+      val p = planOf(name)
+      assert(p.contains("nearest_cells"), s"$name lost the map-only assignment:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("knn graph candidates come from a bucket equi-join with a bounded-heap top-k") {
     for (name <- Seq("sim_knn_graph", "sim_knn_graph_scaled")) {
       val p = planOf(name)

@@ -93,18 +93,21 @@ object Mixing {
     * so a quota of B tokens can consume at most B surviving docs) —
     * no source is ever fully sorted. The running sum itself is the
     * TWO-PHASE prefix sum ([[Packing.packTokens]]'s shape): the md5
-    * rank's first two hex chars split each source into 256 uniform
-    * sub-buckets that are a PREFIX of the (rk, doc_id) sort key, the
-    * heavy cumulative window runs per (source, sub-bucket), and only
-    * the 256-per-source sub-bucket subtotals see a wider window — so
-    * no single task ever scans a whole source's quota, even when the
-    * budget (and thus the GroupedTopK bound) is production-sized. */
+    * rank's first [[Packing.hashPrefixLenFor]] hex chars split each
+    * source into ~√(windowed-set) uniform sub-buckets that are a
+    * PREFIX of the (rk, doc_id) sort key, the heavy cumulative window
+    * runs per (source, sub-bucket), and only the per-source sub-bucket
+    * subtotals see a wider window — so no single task ever scans a
+    * whole source's quota, even when the budget (and thus the
+    * GroupedTopK bound) is production-sized. */
   def qTokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
-    tokenBudgetMixFromCounts(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_tok")))
+    tokenBudgetMixFromCounts(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_tok")),
+      totalDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet"))
 
-  private val EpochTargetDocs = 600L
+  private[operators] val EpochTargetDocs = 600L
   // 16^6 — the md5-prefix hash space of [[hash24]]; the integer
   // cross-multiplied threshold compare below needs it as a literal
   private val Hash24Space = 16777216L
@@ -163,7 +166,11 @@ object Mixing {
     docs.select("source", "doc_id", "n_chars")
       .join(broadcast(quotas), "source")
       .withColumn("copies",
-        (col("quota") / col("n_docs")).cast("long") +
+        // integral DIV, matching the oracle's `//`: `/` is double
+        // division, exact only while quotients stay far from an
+        // integer-crossing rounding error — a raised EpochTargetDocs
+        // could silently diverge
+        expr("quota DIV n_docs") +
         when(hash24(col("doc_id")) * col("n_docs") <
              (col("quota") % col("n_docs")) * lit(Hash24Space), 1L)
           .otherwise(0L))
@@ -178,8 +185,15 @@ object Mixing {
     * budget-mix from a caller-supplied (doc_id, source, n_tok) frame —
     * a production pipeline tokenizes once and materializes counts as
     * a column, so the mixer takes counts as data rather than
-    * recomputing the regex stand-in. */
-  def tokenBudgetMixFromCounts(counted: DataFrame): DataFrame = {
+    * recomputing the regex stand-in. `totalDocs` (parquet footer
+    * count at the gate) sizes the internal hash-bucket fan-out: the
+    * windowed set per source is ≤ min(totalDocs, budget) after the
+    * GroupedTopK prune, so the prefix length follows that bound —
+    * omitted, the budget alone sizes it. */
+  def tokenBudgetMixFromCounts(counted: DataFrame,
+                               totalDocs: Long = Long.MaxValue): DataFrame = {
+    val prefixLen =
+      Packing.hashPrefixLenFor(math.min(totalDocs, TokenBudget))
     val docs = counted
       // zero-token docs can't consume budget, but they'd pass the
       // ≤-quota filter forever — and they'd make the docs-per-quota
@@ -203,15 +217,16 @@ object Mixing {
       keys = Seq("source"),
       sort = Seq("rk" -> true, "doc_id" -> true),
       k = TokenBudget.toInt)
-      .withColumn("hb", substring(col("rk"), 1, 2))
+      .withColumn("hb", substring(col("rk"), 1, prefixLen))
     // phase 1: per-(source, hash-bucket) inclusive running sum —
-    // parallel across 256 sub-buckets per source
+    // parallel across the 16^prefixLen sub-buckets per source
     val wIntra = Window.partitionBy("source", "hb").orderBy("rk", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // phase 2: exclusive prefix over each source's ≤256 sub-bucket
-    // subtotals, broadcast back. hb is a prefix of rk, so
+    // phase 2: exclusive prefix over each source's ≤16^prefixLen
+    // sub-bucket subtotals, broadcast back. hb is a prefix of rk, so
     // (hb, rk, doc_id) order IS (rk, doc_id) order and
-    // bucket-prefix + intra-bucket sum equals the per-source cumsum.
+    // bucket-prefix + intra-bucket sum equals the per-source cumsum
+    // at ANY prefix length — the fan-out is internal.
     val wBucket = Window.partitionBy("source").orderBy("hb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = pruned.groupBy("source", "hb").agg(sum("n_tok").as("bt"))

@@ -46,6 +46,25 @@ object Packing {
   private[graft] def bucketWidthFor(n: Long): Long =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** Hex-prefix length of the md5 rank used as the hash-bucket key in
+    * the two-phase prefix sums: the shortest prefix whose 16^len
+    * buckets reach √n, floored at 2 (256 buckets — already wider than
+    * any local parallelism). Per-task window state in BOTH phases is
+    * then ~√n — phase 1 holds ~n/16^len rows per bucket, phase 2 the
+    * ≤16^len non-empty subtotals — the [[bucketWidthFor]] balance.
+    * (A fixed 2-hex prefix left phase 1 at n/256, growing linearly
+    * with the corpus.) `n` is the WINDOWED row count: the corpus for
+    * the global shuffle, the resample target / pruned budget for the
+    * mix and epoch-pack variants whose GroupedTopK prune bounds the
+    * windowed set below the raw corpus. */
+  private[graft] def hashPrefixLenFor(n: Long): Int = {
+    val target = math.sqrt(math.max(1L, n).toDouble)
+    var len = 2
+    var buckets = 256.0
+    while (buckets < target && len < 8) { len += 1; buckets *= 16 }
+    len
+  }
+
   /** The REAL-TOKENIZER hook: pack from a caller-supplied count
     * column instead of the in-engine regex stand-in. A production
     * pipeline tokenizes once (an external tokenizer, counts
@@ -109,19 +128,31 @@ object Packing {
     * reproducible position 0..n−1 by ranking on md5(doc_id). A global
     * rank is the same single-partition-window trap as the prefix sum
     * above, dodged the same way: docs are bucketed by the hash's
-    * first two hex chars (256 uniform buckets — the hash itself is
-    * the balancer, no skew possible), ranked per bucket in parallel,
-    * and only the 256 bucket counts go through a global window before
-    * broadcasting back as offsets. Bucket-prefix + intra-bucket rank
-    * equals the global rank because the bucket key is a PREFIX of the
-    * sort key: ordering by (bucket, rest-of-hash) is ordering by the
-    * hash. md5 is engine-portable (the DuckDB oracle replays it) and
-    * seeding a different epoch's order is just salting the hashed
-    * string. */
+    * first [[hashPrefixLenFor]](n) hex chars (16^len ≈ √n uniform
+    * buckets — the hash itself is the balancer, no skew possible),
+    * ranked per bucket in parallel, and only the ~√n bucket counts go
+    * through a global window before broadcasting back as offsets.
+    * Bucket-prefix + intra-bucket rank equals the global rank because
+    * the bucket key is a PREFIX of the sort key: ordering by (bucket,
+    * rest-of-hash) is ordering by the hash — for ANY prefix length,
+    * which is why the fan-out can follow the parquet footer count
+    * while positions stay bit-identical (PackingSpec pins the
+    * invariance). md5 is engine-portable (the DuckDB oracle replays
+    * it) and seeding a different epoch's order is just salting the
+    * hashed string. */
   def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Tables.documents(spark, dir)
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    globalShuffleRanked(Tables.documents(spark, dir), hashPrefixLenFor(n))
+  }
+
+  /** The rank-by-hash core with the bucket-prefix length exposed —
+    * the spec dial proving positions are invariant to the internal
+    * fan-out. */
+  private[graft] def globalShuffleRanked(docs: DataFrame,
+                                         prefixLen: Int): DataFrame = {
+    val ranked = docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
-      .withColumn("bucket", substring(col("rk"), 1, 2))
+      .withColumn("bucket", substring(col("rk"), 1, prefixLen))
     val wIntra = Window.partitionBy("bucket").orderBy("rk", "doc_id")
     val wBucket = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -226,17 +226,21 @@ object Pipeline {
     *
     * Scale shape, stage by stage: the resample is map-only after its
     * 20-row quota broadcast; the shuffle-order prefix sum is the
-    * (hb = first two hash hex chars) two-phase trick — the hash
-    * bucket is a PREFIX of the sort key, so per-bucket cumsums + 256
-    * broadcast bucket offsets equal the global running sum — and no
-    * task ever windows more than ~n/256 rows. Token counts ride in
-    * from n_chars (the precomputed-count hook): the pipeline never
-    * re-tokenizes. */
+    * hash-prefix two-phase trick — the hash bucket is a PREFIX of the
+    * sort key, so per-bucket cumsums + broadcast bucket offsets equal
+    * the global running sum at any prefix length. The length follows
+    * [[Packing.hashPrefixLenFor]] of the RESAMPLE TARGET (the quota
+    * rule realizes ~EpochTargetDocs copies total, whatever the raw
+    * corpus size — the windowed set is the resampled stream, not the
+    * corpus), so both window phases stay ~√(copies) per task. Token
+    * counts ride in from n_chars (the precomputed-count hook): the
+    * pipeline never re-tokenizes. */
   def qEpochPack(spark: SparkSession, dir: String): DataFrame = {
+    val prefixLen = Packing.hashPrefixLenFor(Mixing.EpochTargetDocs)
     val ranked = Mixing.epochCopies(Tables.documents(spark, dir))
       .withColumn("rk", md5(concat(col("doc_id").cast("string"),
         lit("#"), col("epoch").cast("string"))))
-      .withColumn("hb", substring(col("rk"), 1, 2))
+      .withColumn("hb", substring(col("rk"), 1, prefixLen))
     val wIntra = Window.partitionBy("hb").orderBy("rk", "doc_id", "epoch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBucket = Window.orderBy("hb")

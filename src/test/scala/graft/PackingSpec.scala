@@ -68,6 +68,34 @@ class PackingSpec extends SparkSpec {
     assert(pos.toSeq != (0L until pos.length).toSeq, "order was not shuffled")
   }
 
+  test("hash-prefix fan-out follows √n: fixed at 256 below 64k rows, growing after") {
+    // per-task window state in both phases of the hash-prefix prefix
+    // sums is ~n/16^len and ~16^len — balanced at len ≈ log16 √n.
+    // The round-8 fixed len=2 left phase 1 at n/256, linear in n.
+    assert(Packing.hashPrefixLenFor(1L) == 2)
+    assert(Packing.hashPrefixLenFor(500L) == 2)
+    assert(Packing.hashPrefixLenFor(65536L) == 2)      // √ = 256 = 16²
+    assert(Packing.hashPrefixLenFor(1000L * 1000) == 3)       // √ = 10³ ≤ 16³
+    assert(Packing.hashPrefixLenFor(100L * 1000 * 1000) == 4) // √ = 10⁴ ≤ 16⁴
+    assert(Packing.hashPrefixLenFor(1000L * 1000 * 1000 * 1000) == 5)
+    assert(Packing.hashPrefixLenFor(Long.MaxValue) == 8) // cap holds
+  }
+
+  test("global-shuffle positions are invariant to the internal prefix length") {
+    // the bucket key is a prefix of the sort key at ANY length, so the
+    // two-phase decomposition must produce bit-identical positions —
+    // this is what lets the fan-out follow the footer count while the
+    // oracle stays unchanged
+    val docs = Tables.documents(spark, sf)
+    val ref = Packing.globalShuffleRanked(docs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (len <- Seq(2, 3)) {
+      val got = Packing.globalShuffleRanked(docs, len)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref, s"prefixLen=$len diverged")
+    }
+  }
+
   test("decontamination never flags the eval slice and counts are positive") {
     val out = TextAnalysis.qDecontaminate(spark, sf).collect()
     assert(out.nonEmpty, "fixture has planted near-dups of eval docs")

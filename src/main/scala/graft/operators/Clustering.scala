@@ -242,36 +242,68 @@ object Clustering {
     * table. Distances use the same array-order fold, so assignments
     * (and therefore every centroid) are bit-identical to [[kmeans]]. */
   private[graft] def kmeansJoined(embeddings: DataFrame, k: Int,
-                                  iters: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+                                  iters: Int): DataFrame =
+    kmeansJoinedWithStats(embeddings, k, iters)._1
+
+  /** [[kmeansJoined]]'s core, NO-COLLECT end to end — the large-k
+    * regime's requirement: at k ≈ √n the model is √n·dim rows, too
+    * big to funnel through the driver every iteration (the literal
+    * shape's k·dim collect is fine at k=8, driver-bound at k=10⁶).
+    * Centroids stay a DataFrame throughout: the update is the same
+    * posexplode → per-(cluster, pos) distributed avg, reassembled to
+    * arrays by a sorted collect_list PER CLUSTER (k tasks of dim
+    * elements — never driver-side), rounded with the identical
+    * floor(x·10⁴+0.5)/10⁴ ops, and materialized per iteration via
+    * localCheckpoint (k rows on executors; cuts the iterative-lineage
+    * blowup). The Lloyd fixed-point stop compares consecutive
+    * centroid frames with a k-row full-outer join — array equality on
+    * the ROUNDED coords, the same bitwise contract as the driver-side
+    * [[converged]], at the cost of one k-row job per iteration.
+    * Returns the executed-iteration count for ConvergenceSpec. */
+  private[graft] def kmeansJoinedWithStats(embeddings: DataFrame, k: Int,
+                                           iters: Int): (DataFrame, Int) = {
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val init: Seq[(Int, Array[Double])] = emb
-      .where(col("vec_id") < k)
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Double](1).iterator.map(roundTo).toArray))
-      .sortBy(_._1)
-      .toSeq
-    def assigned(cents: Seq[(Int, Array[Double])]): DataFrame = {
-      val centTable = cents.map { case (id, a) => (id, a.toSeq) }
-        .toDF("c_id", "c_vec")
-      emb.crossJoin(broadcast(centTable))
+    var cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c_id"),
+        transform(col("v"), x => Text.roundPortable(x, Scale)).as("c_vec"))
+      .localCheckpoint()
+    def assigned(c: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(c))
         .withColumn("d", sqDistCols(col("v"), col("c_vec")))
         .groupBy("vec_id")
         // min over structs is lexicographic: min distance first, ties
         // to the lower c_id — the same contract as the literal shape
         .agg(min(struct(col("d"), col("c_id"))).as("best"),
              first("v").as("v"))
+    var ran = 0
+    var done = false
+    while (ran < iters && !done) {
+      val next = assigned(cents)
+        .select(col("best.c_id").as("cluster"),
+          posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("cluster", "pos")
+        .agg(avg("val").as("mv"))
+        .groupBy("cluster")
+        // pos is unique per cluster, so the struct sort is a total
+        // order and the rebuilt array is coordinate-exact
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => Text.roundPortable(s.getField("mv"), Scale)).as("c_vec"))
+        .select(col("cluster").as("c_id"), col("c_vec"))
+        .localCheckpoint()
+      done = cents.select(col("c_id"), col("c_vec").as("p_vec"))
+        .join(next.select(col("c_id"), col("c_vec").as("n_vec")),
+          Seq("c_id"), "full_outer")
+        .where(col("p_vec").isNull || col("n_vec").isNull ||
+               not(col("p_vec") === col("n_vec")))
+        .isEmpty
+      cents = next
+      ran += 1
     }
-    val (finalCents, _) = lloyd(init, iters, cents =>
-      updateCentroids(
-        assigned(cents).select(col("best.c_id").as("cluster"), col("v"))))
-    assigned(finalCents).select(
+    (assigned(cents).select(
         col("vec_id"),
         col("best.c_id").cast("long").as("cluster"),
         Text.roundPortable(col("best.d"), Scale).as("dist"))
-      .orderBy("vec_id")
+      .orderBy("vec_id"), ran)
   }
 }

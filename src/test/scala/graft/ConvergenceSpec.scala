@@ -30,6 +30,30 @@ class ConvergenceSpec extends SparkSpec {
     assert(ran == 2, s"fixture is unconverged at 2 iterations, ran $ran")
   }
 
+  test("no-collect joined path stops at the same fixed point with identical output") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // the distributed (full-outer-join) convergence test must fire on
+    // the pre-converged corpus exactly like the driver-side compare
+    val (res, ran) = Clustering.kmeansJoinedWithStats(emb, k = 2, iters = 100)
+    assert(ran == 1, s"expected early stop after 1 iteration, ran $ran")
+    assert(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("joined and literal paths converge after the same iteration count on the fixture") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (resL, ranL) = Clustering.kmeansWithStats(emb, k = 8, iters = 50)
+    val (resJ, ranJ) = Clustering.kmeansJoinedWithStats(emb, k = 8, iters = 50)
+    // same arithmetic, same rounding, same stop rule — the two shapes
+    // must execute the same number of Lloyd passes and agree bitwise
+    assert(ranJ == ranL, s"literal ran $ranL, joined ran $ranJ")
+    assert(resJ.collect().toSeq == resL.collect().toSeq)
+  }
+
   test("budget beyond the fixed point is a no-op: converged result identical under a larger cap") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val (resA, ranA) = Clustering.kmeansWithStats(emb, k = 8, iters = 50)

@@ -444,6 +444,36 @@ object Similarity {
       .write.bucketBy(IndexFileBuckets, "bucket").sortBy("bucket")
       .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(name)
 
+  /** COMPACTION — the maintenance half of the append story: every
+    * [[appendToIvfIndex]] batch adds a file set (up to one file per
+    * file-bucket per writing task), so daily appends at scale are a
+    * small-files explosion — each probed cell degrades into many tiny
+    * reads. When the average file count per file-bucket passes
+    * `maxFilesPerBucket`, rewrite the index in ONE distributed pass
+    * into a staging table (same bucketing spec) and swap it in via a
+    * catalog rename — rows never touch the driver, and search plans
+    * (bucket pruning included) are unchanged because the table name,
+    * schema, and bucketing spec all survive the swap. Returns whether
+    * a rewrite happened, so maintenance jobs can log/skip cheaply —
+    * the no-op path costs one directory listing, zero Spark jobs.
+    * (A file format with file-level transactions could rewrite one
+    * bucket's files in place; plain parquet bucketed tables make the
+    * staging-swap the atomic option.) IvfIndexSpec pins compacted
+    * search ≡ rebuild search and the file-count collapse. */
+  def compactIvfIndex(spark: SparkSession, name: String,
+                      maxFilesPerBucket: Int = 2): Boolean = {
+    val nFiles = graft.sources.Readers.tableDataFiles(spark, name).size
+    if (nFiles <= IndexFileBuckets.toLong * maxFilesPerBucket) false
+    else {
+      val staging = s"${name}_compacting"
+      graft.sources.Readers.saveBucketedTable(
+        spark.table(name), staging, IndexFileBuckets, "bucket")
+      graft.sources.Readers.dropTableAndDir(spark, name)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+      true
+    }
+  }
+
   /** Search a built index: queries (a tiny slice) rank against the
     * broadcast centroid table, the probed cell ids are collected
     * driver-side (bounded by |queries|·nprobe — query planning, not a

@@ -68,12 +68,66 @@ object Readers {
       .mode("overwrite").saveAsTable(name)
   }
 
-  private def dropTableAndDir(spark: SparkSession, name: String): Unit = {
+  /** Table names reach SQL text and filesystem paths — restrict to
+    * identifier-safe characters before interpolating anywhere. */
+  private def requireIdentifier(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be identifier-safe: '$name'")
+
+  /** A table location string as a local file. Handles the URI forms a
+    * location can legally take (file:/p, file:///p, percent-encoding,
+    * plain paths — including unparseable-as-URI paths with spaces) and
+    * REFUSES non-local schemes and remote authorities rather than
+    * mangling them into a deletable-looking local path. */
+  private def asLocalFile(loc: String): java.io.File = {
+    val uri = try new java.net.URI(loc)
+              catch { case _: java.net.URISyntaxException => null }
+    if (uri == null || uri.getScheme == null) new java.io.File(loc)
+    else {
+      require(uri.getScheme == "file",
+        s"table location scheme '${uri.getScheme}' is not local: $loc")
+      require(uri.getAuthority == null || uri.getAuthority.isEmpty ||
+              uri.getAuthority == "localhost",
+        s"refusing remote authority in table location: $loc")
+      new java.io.File(uri.getPath) // getPath percent-decodes
+    }
+  }
+
+  /** The directory backing a managed table: the CATALOG's registered
+    * location when the table exists (authoritative whatever layout
+    * the catalog chose), else the conventional <warehouse>/<name>
+    * (the stale-directory case an in-memory catalog leaves behind
+    * between JVMs). */
+  private[graft] def tableDir(spark: SparkSession, name: String): java.io.File = {
+    requireIdentifier(name)
+    import org.apache.spark.sql.functions.col
+    val loc =
+      if (spark.catalog.tableExists(name))
+        spark.sql(s"DESCRIBE FORMATTED $name")
+          .where(col("col_name") === "Location")
+          .select("data_type").collect().head.getString(0)
+      else
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + name
+    asLocalFile(loc)
+  }
+
+  /** Data files currently backing a managed table (parquet parts
+    * only) — the small-files observable compaction acts on. */
+  private[graft] def tableDataFiles(spark: SparkSession,
+                                    name: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(tableDir(spark, name)).filter(_.getName.startsWith("part-"))
+  }
+
+  private[graft] def dropTableAndDir(spark: SparkSession, name: String): Unit = {
+    // resolve BEFORE dropping — the catalog's location is the
+    // authoritative one while the table still exists
+    val loc = tableDir(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
       f.delete()
     }
     if (loc.exists()) rm(loc)

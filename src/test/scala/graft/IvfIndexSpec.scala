@@ -17,10 +17,17 @@ class IvfIndexSpec extends SparkSpec {
   private lazy val built: Unit =
     Similarity.buildIvfIndex(spark, sf, IndexName)
 
-  private def searchPlan(nProbes: Int) = {
+  /** Structural scan collection (not raw plan-string matching — a
+    * Spark upgrade that re-renders plans must not fail these tests
+    * while the pruning/pushdown contracts still hold). */
+  private def fileScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+
+  private def search(nProbes: Int) = {
     built
     Similarity.searchIvfIndex(spark, sf, IndexName, nProbes)
-      .queryExecution.executedPlan.toString
   }
 
   test("index build persists codes + coarse quantizer, not vectors") {
@@ -35,23 +42,30 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("search scans only probed cells: bucket pruning fires on the index scan") {
-    val p = searchPlan(nProbes = 1)
-    // the bucketed-table scan must report pruned file buckets
-    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-      .findFirstMatchIn(p)
-      .getOrElse(fail(s"no bucket pruning in search plan:\n$p"))
-    assert(sel.group(1).toInt < sel.group(2).toInt,
-      s"scan reads every file bucket (${sel.group(1)}/${sel.group(2)}):\n$p")
+    val bucketed = fileScans(search(nProbes = 1))
+      .filter(_.relation.bucketSpec.isDefined)
+    assert(bucketed.nonEmpty, "no bucketed-table scan in the search plan")
+    // the scan must carry a pruned bucket set strictly smaller than
+    // the table's bucket count
+    val s = bucketed.head
+    val total = s.relation.bucketSpec.get.numBuckets
+    val selected = s.optionalBucketSet
+      .getOrElse(fail(s"no bucket pruning on the index scan: $s"))
+      .cardinality()
+    assert(selected < total, s"scan reads every file bucket ($selected/$total)")
   }
 
   test("search does not recompute the assignment: one embeddings scan (the query slice), pushed down") {
-    val p = searchPlan(nProbes = 1)
-    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
-    assert(embScans == 1,
-      s"expected exactly 1 embeddings scan (queries), got $embScans:\n$p")
+    val scans = fileScans(search(nProbes = 1))
+    val emb = scans.filter(
+      _.metadata.get("Location").exists(_.contains("embeddings.parquet")))
+    assert(emb.size == 1,
+      s"expected exactly 1 embeddings scan (queries), got ${emb.size}")
     // and that scan is the query slice, not the corpus: the vec_id
-    // predicate reaches the reader
-    assert(p.contains("LessThan(vec_id,10)"), p)
+    // predicate reaches the reader as a pushed filter
+    assert(emb.head.metadata.get("PushedFilters")
+      .exists(f => f.contains("LessThan(vec_id,10)")),
+      s"query-slice predicate not pushed: ${emb.head.metadata.get("PushedFilters")}")
   }
 
   test("indexed search reproduces the recompute path (sim_ivf_sq8) exactly") {
@@ -80,9 +94,47 @@ class IvfIndexSpec extends SparkSpec {
       nProbes = 2).collect().map(_.toSeq).toSeq
     assert(inc == full)
     // and the appended table still prunes
-    val p = Similarity.searchIvfIndex(spark, sf, "ivf_index_spec_inc",
-      nProbes = 1).queryExecution.executedPlan.toString
-    assert(p.contains("SelectedBucketsCount"), p)
+    val pruned = fileScans(Similarity.searchIvfIndex(spark, sf,
+        "ivf_index_spec_inc", nProbes = 1))
+      .filter(_.relation.bucketSpec.isDefined)
+    assert(pruned.exists(_.optionalBucketSet.isDefined),
+      "appended index scan lost bucket pruning")
+  }
+
+  test("compaction collapses append file sets; compacted search equals the pre-compaction index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val col = org.apache.spark.sql.functions.col _
+    val name = "ivf_index_spec_cmp"
+    // build from a slice carrying all 8 quantizer vectors, then three
+    // appends — four file sets on disk
+    Similarity.buildIvfIndexFrom(emb.where(col("vec_id") < 200), name, 8)
+    for (lo <- Seq(200, 300, 400))
+      Similarity.appendToIvfIndex(spark, name,
+        emb.where(col("vec_id") >= lo && col("vec_id") < lo + 100))
+    val before = graft.sources.Readers.tableDataFiles(spark, name).size
+    val want = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    // under the threshold the call is a no-op: false, files untouched
+    assert(!Similarity.compactIvfIndex(spark, name, maxFilesPerBucket = 10000))
+    assert(graft.sources.Readers.tableDataFiles(spark, name).size == before)
+    // over the threshold: one staging rewrite + catalog swap
+    assert(Similarity.compactIvfIndex(spark, name, maxFilesPerBucket = 0))
+    val after = graft.sources.Readers.tableDataFiles(spark, name).size
+    assert(after < before, s"compaction did not shrink files: $before -> $after")
+    // the swap preserves values, bucketing, and pruning: search off
+    // the compacted table is bit-identical and still bucket-pruned
+    val got = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // it also still equals the full-rebuild reference index
+    built
+    val full = Similarity.searchIvfIndex(spark, sf, IndexName, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == full)
+    val pruned = fileScans(Similarity.searchIvfIndex(spark, sf, name, nProbes = 1))
+      .filter(_.relation.bucketSpec.isDefined)
+    assert(pruned.exists(_.optionalBucketSet.isDefined),
+      "compacted index scan lost bucket pruning")
   }
 
   test("nprobe widens the candidate set monotonically") {

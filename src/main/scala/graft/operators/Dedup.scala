@@ -459,6 +459,30 @@ object Dedup {
   def qDedupClustersDist(spark: SparkSession, dir: String): DataFrame =
     qDedupClusters(spark, dir, forceDistributed = true)
 
+  /** Catalog name of the materialized cluster table for a corpus dir
+    * — dir-keyed so two fixtures can't read each other's clusters. */
+  private[graft] def clustersTableName(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"dedup_clusters_$h"
+  }
+
+  /** The verified-pair cluster table with the BUILD-ONCE treatment the
+    * IVF index got: signatures → band join → cosine verify →
+    * connected components run ONCE per (session, corpus) and persist
+    * as a catalog table; every downstream consumer (canonical
+    * selection, corpus filters, audits) reads the table instead of
+    * re-deriving the whole pipeline. At 100 TB the cluster table is
+    * the artifact a curation run actually ships between stages — the
+    * pair derivation is days of work, membership lookups are not.
+    * Drop the table to force a rebuild after the corpus changes. */
+  def clustersTableFor(spark: SparkSession, dir: String): DataFrame = {
+    val name = clustersTableName(dir)
+    if (!spark.catalog.tableExists(name))
+      graft.sources.Readers.replaceTable(qDedupClusters(spark, dir), name)
+    spark.table(name)
+  }
+
   /** Quality-aware canonical selection: production dedup doesn't keep
     * an arbitrary cluster member, it keeps the BEST one (min-id is a
     * tie-break, not a policy — a near-dup cluster usually holds one
@@ -466,15 +490,19 @@ object Dedup {
     * cluster, emit the member with the highest heuristic quality
     * score ([[TextAnalysis.qTextQuality]]; rounded to 4 decimals in
     * both engines BEFORE ranking, ties to the lower doc_id) plus the
-    * cluster size. Plan shape: the member⋈quality join is
-    * AQE-decided; after it, ONE shuffle on cluster_id feeds both the
-    * size window and the [[graft.plans.GroupedTopK]] top-1 heap
-    * (its required distribution is satisfied by the window's output
-    * partitioning, and the heap prune never sorts a whole cluster —
-    * dup-heavy corpora have huge clusters, the exact case a
-    * sort-based rank degrades on). */
+    * cluster size. Members come off the MATERIALIZED
+    * [[clustersTableFor]] table (built on first use this session), so
+    * selection re-runs never pay the signature + band-join + CC
+    * derivation the dedup_clusters gates already check. Plan shape:
+    * the member⋈quality join is AQE-decided; after it, ONE shuffle on
+    * cluster_id feeds both the size window and the
+    * [[graft.plans.GroupedTopK]] top-1 heap (its required
+    * distribution is satisfied by the window's output partitioning,
+    * and the heap prune never sorts a whole cluster — dup-heavy
+    * corpora have huge clusters, the exact case a sort-based rank
+    * degrades on). */
   def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val members = qDedupClusters(spark, dir)
+    val members = clustersTableFor(spark, dir)
       .join(TextAnalysis.qTextQuality(spark, dir), "doc_id")
     val withSize = members.withColumn("n_members",
       count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))

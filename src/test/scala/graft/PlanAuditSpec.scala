@@ -104,6 +104,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("keep-best reads the materialized cluster table, not a re-derived pair pipeline") {
+    // first invocation builds the cluster table as a side effect
+    SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
+    val name = graft.operators.Dedup.clustersTableName(sf)
+    assert(spark.catalog.tableExists(name), "cluster table was not materialized")
+    val scans = SparkEntry.queries("dedup_keep_best")(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    // exactly one documents scan (the quality side) + the cluster
+    // table scan — a signature/band-join recompute would reappear as
+    // additional documents scans here
+    val docScans = scans.count(
+      _.metadata.get("Location").exists(_.contains("documents.parquet")))
+    assert(docScans == 1, s"expected 1 documents scan, got $docScans")
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains(name))),
+      "selection does not read the materialized cluster table")
+  }
+
   test("repetition signals are one scan with no exchange except the output sort") {
     val p = planOf("text_repetition")
     assert(!p.contains("Join"), p)

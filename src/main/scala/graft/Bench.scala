@@ -109,16 +109,18 @@ object Bench {
     // scheduler/GC noise, not a plan property — round-to-round deltas
     // on flagged queries must not be read as regressions (q_area_top3
     // spanned 1.2–3.7 s within a single r7 run on byte-identical plans)
+    // ONE definition of the env-suspect predicate — the per-query flag
+    // and the summary count must come from the same place or a future
+    // threshold change desynchronizes them
+    def envSuspect(r: QueryResult): Boolean =
+      r.reps.nonEmpty && r.reps.min > 0 && r.sec / r.reps.min > 2.0
     val detail = results.map { case (k, r) =>
       val reps = r.reps.mkString("[", ",", "]")
       val err = r.err.map(jstr).getOrElse("null")
       val minV = if (r.reps.isEmpty) -1.0 else r.reps.min
-      val suspect = minV > 0 && r.sec / minV > 2.0
-      s"""${jstr(k)}:{"sec":${r.sec},"min":$minV,"envSuspect":$suspect,"reps":$reps,"rows":${r.rows},"err":$err}"""
+      s"""${jstr(k)}:{"sec":${r.sec},"min":$minV,"envSuspect":${envSuspect(r)},"reps":$reps,"rows":${r.rows},"err":$err}"""
     }.mkString("{", ",", "}")
-    val nSuspect = results.count { case (_, r) =>
-      r.reps.nonEmpty && r.reps.min > 0 && r.sec / r.reps.min > 2.0
-    }
+    val nSuspect = results.count { case (_, r) => envSuspect(r) }
     val total = results.map { case (_, r) => math.max(r.sec, 0.0) }.sum
     val nErr = results.count { case (_, r) => r.err.nonEmpty }
     // detail path is overridable (-Dbench.detail.path=…) and always

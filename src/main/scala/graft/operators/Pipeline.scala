@@ -92,15 +92,20 @@ object Pipeline {
     * construction (curated ⊆ exact ⊆ quality ⊆ docs). */
   def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val flagged = docs
+    val flaggedAll = docs
       .withColumn("is_q",
         Text.roundPortable(heuristicQuality, 4) >= QualityThreshold)
       .withColumn("is_e", col("is_q") &&
         col("doc_id") === min(when(col("is_q"), col("doc_id")))
           .over(Window.partitionBy(md5(col("text")))))
+    // cache only the flag projection — at 100 TB caching the corpus
+    // WITH text is eviction churn for a frame read twice as counts;
+    // the LSH stage below is the only text consumer and reads the
+    // uncached filtered view (one extra flag pass, ~10× less storage)
+    val flagged = flaggedAll.select("doc_id", "source", "is_q", "is_e")
       .cache()
     val drops = Dedup.lshVerifiedPairs(
-        Dedup.signaturesOf(flagged.where(col("is_e"))
+        Dedup.signaturesOf(flaggedAll.where(col("is_e"))
           .select("doc_id", "text")))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("lsh_dropped", lit(true))

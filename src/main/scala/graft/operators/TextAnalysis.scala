@@ -187,16 +187,25 @@ object TextAnalysis {
   /** The eval-store form (the [[decontaminateAgainst]] twin), so
     * [[Pipeline]] can point the Bloom at a raw-eval shingle store
     * while the train side is its curated survivors. */
+  // at most ONE eval-shingle cache lives per session: each invocation
+  // releases the previous one (the result plan holding it has been
+  // acted on by then, or abandoned), so long-lived sessions running
+  // many decontaminations (specs, ad-hoc use) can't accumulate cached
+  // relations — a harness-wide clearCache is a backstop, not the
+  // release mechanism
+  private val lastEvalCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private[graft] def decontaminateBloomAgainst(evalShingles: DataFrame,
                                                trainShingled: DataFrame,
                                                fpp: Double = 0.01): DataFrame = {
     // the eval slice is read three times (sizing count, filter build,
     // verify join) — cached so re-shingling and re-distincting run
-    // once, not per consumer. Same release contract as the pipeline
-    // caches: the harness's clearCache after the terminal action
-    // (Verify/Bench both do) frees it; eval is the small, fixed-size
-    // relation by contract so the footprint is bounded.
+    // once, not per consumer; eval is the small, fixed-size relation
+    // by contract so the footprint is bounded.
     val evalCached = evalShingles.cache()
+    val prev = lastEvalCache.getAndSet(evalCached)
+    if (prev != null && (prev ne evalCached)) prev.unpersist(blocking = false)
     val bloom = evalCached.stat.bloomFilter(
       "sh", math.max(evalCached.count(), 1L), fpp)
     trainShingled

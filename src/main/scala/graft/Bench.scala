@@ -41,6 +41,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration dial: comma-separated query names to bench alone
+    // (unset — the driver's case — means the full declared suite)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +58,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -58,7 +66,7 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    val results: Seq[(String, QueryResult)] = SparkEntry.queries.toSeq.map {
+    val results: Seq[(String, QueryResult)] = selected.toSeq.map {
       case (name, fn) =>
         var rows = -1L
         var err: Option[String] = None

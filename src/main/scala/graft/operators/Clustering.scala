@@ -247,18 +247,48 @@ object Clustering {
 
   /** [[kmeansJoined]]'s core, NO-COLLECT end to end — the large-k
     * regime's requirement: at k ≈ √n the model is √n·dim rows, too
-    * big to funnel through the driver every iteration (the literal
-    * shape's k·dim collect is fine at k=8, driver-bound at k=10⁶).
-    * Centroids stay a DataFrame throughout: the update is the same
-    * posexplode → per-(cluster, pos) distributed avg, reassembled to
-    * arrays by a sorted collect_list PER CLUSTER (k tasks of dim
-    * elements — never driver-side), rounded with the identical
-    * floor(x·10⁴+0.5)/10⁴ ops, and materialized per iteration via
-    * localCheckpoint (k rows on executors; cuts the iterative-lineage
-    * blowup). The Lloyd fixed-point stop compares consecutive
-    * centroid frames with a k-row full-outer join — array equality on
-    * the ROUNDED coords, the same bitwise contract as the driver-side
-    * [[converged]], at the cost of one k-row job per iteration.
+    * big to funnel through the plan every iteration as literals (the
+    * literal shape's projection holds k distance folds and its
+    * analysis cost grows with k; this shape's plan is CONSTANT-size —
+    * the model is broadcast DATA). Centroids stay a DataFrame
+    * throughout; the driver never deserializes the model into Scala
+    * objects (the broadcast exchange ships the same bytes either way).
+    *
+    * Assignment is MAP-ONLY, like the literal shape: the k-row
+    * centroid frame is rolled into ONE array row (`collect_list` of
+    * (c_id, c_vec) structs, sorted for determinism), broadcast, and
+    * the arg-min is an array HOF over that column — `array_min` of
+    * (dist, c_id) structs, lexicographic, so min distance wins and
+    * ties break to the lower c_id: the identical contract, with zero
+    * exchanges between the corpus scan and the cluster id. (The r9
+    * shape expanded n·k candidate rows and re-grouped by vec_id — a
+    * full corpus shuffle per pass that this shape simply doesn't have.)
+    *
+    * The update is the same posexplode → per-(cluster, pos)
+    * distributed avg (fully codegen'd; a typed elementwise-sum
+    * Aggregator was tried and measured SLOWER — per-row Seq[Double]
+    * decoding boxes every element, where posexplode + avg stays in
+    * Tungsten end to end), reassembled to arrays by a sorted
+    * collect_list PER CLUSTER, rounded with the identical
+    * floor(x·10⁴+0.5)/10⁴.
+    * The Lloyd fixed-point test is FUSED into the update job with NO
+    * join: the next-centroid rows crossJoin the SAME one-row broadcast
+    * model the assignment used (ReuseExchange — built once per pass),
+    * and `moved` is an array lookup of the previous coords by c_id —
+    * array equality on the ROUNDED coords, the exact [[converged]]
+    * contract. A cluster that LOST every member leaves no next row to
+    * carry a verdict, so the one driver-read action aggregates
+    * (max(moved), count(*), prev model size) and the stop also
+    * requires count == prev size. (The only case that slips the
+    * row-wise check — next EMPTY while prev wasn't — needs an empty
+    * corpus, where stopping early is itself the fixed point: empty
+    * centroids reproduce empty centroids.) Each Lloyd pass is exactly
+    * one job plus its tiny broadcast build.
+    * The frame is a NON-eager localCheckpoint: lineage truncates at
+    * plan-build time (each iteration's plan embeds its predecessor
+    * twice — assignment and convergence lookup — so without truncation
+    * the tree doubles per pass), while materialization still waits
+    * for the fused action.
     * Returns the executed-iteration count for ConvergenceSpec. */
   private[graft] def kmeansJoinedWithStats(embeddings: DataFrame, k: Int,
                                            iters: Int): (DataFrame, Int) = {
@@ -267,19 +297,31 @@ object Clustering {
     var cents = emb.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"),
         transform(col("v"), x => Text.roundPortable(x, Scale)).as("c_vec"))
-      .localCheckpoint()
-    def assigned(c: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(c))
-        .withColumn("d", sqDistCols(col("v"), col("c_vec")))
-        .groupBy("vec_id")
+      // k rows: collapse to one partition so every later read of the
+      // checkpointed model is a single task, not 32 empty ones
+      .coalesce(1)
+      .localCheckpoint(eager = false)
+    def modelOf(c: DataFrame): DataFrame =
+      c.agg(sort_array(collect_list(struct(col("c_id"),
+        col("c_vec")))).as("cs"))
+    def assigned(model: DataFrame): DataFrame = {
+      emb.crossJoin(broadcast(model))
         // min over structs is lexicographic: min distance first, ties
-        // to the lower c_id — the same contract as the literal shape
-        .agg(min(struct(col("d"), col("c_id"))).as("best"),
-             first("v").as("v"))
+        // to the lower c_id — the same contract as the literal shape.
+        // An empty model yields array_min(null-free empty) = null:
+        // filtered, so an empty centroid set assigns nothing (the
+        // empty-crossJoin semantics of the r9 shape).
+        .withColumn("best", array_min(transform(col("cs"), cEl =>
+          struct(sqDistCols(col("v"), cEl.getField("c_vec")).as("d"),
+                 cEl.getField("c_id").as("c_id")))))
+        .where(col("best").isNotNull)
+        .select(col("vec_id"), col("v"), col("best"))
+    }
     var ran = 0
     var done = false
     while (ran < iters && !done) {
-      val next = assigned(cents)
+      val model = modelOf(cents)
+      val stepped = assigned(model)
         .select(col("best.c_id").as("cluster"),
           posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy("cluster", "pos")
@@ -290,17 +332,30 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => Text.roundPortable(s.getField("mv"), Scale)).as("c_vec"))
         .select(col("cluster").as("c_id"), col("c_vec"))
-        .localCheckpoint()
-      done = cents.select(col("c_id"), col("c_vec").as("p_vec"))
-        .join(next.select(col("c_id"), col("c_vec").as("n_vec")),
-          Seq("c_id"), "full_outer")
-        .where(col("p_vec").isNull || col("n_vec").isNull ||
-               not(col("p_vec") === col("n_vec")))
-        .isEmpty
-      cents = next
+        // convergence lookup against the SAME broadcast model the
+        // assignment used (ReuseExchange): every next c_id came out of
+        // cs, so the element_at of the filtered singleton never nulls
+        .crossJoin(broadcast(model))
+        .select(col("c_id"), col("c_vec"),
+          (col("c_vec") =!= element_at(filter(col("cs"),
+             e => e.getField("c_id") === col("c_id")), 1)
+             .getField("c_vec")).as("moved"),
+          size(col("cs")).as("prev_k"))
+        .coalesce(1)
+        .localCheckpoint(eager = false)
+      // the one action of the iteration: materializes the checkpoint
+      // and reads back the fixed-point verdict (the coalesces cover
+      // the degenerate empty frame — see the empty-corpus note above)
+      val verdict = stepped.agg(
+          coalesce(max(col("moved")), lit(false)).as("any_moved"),
+          count(lit(1)).as("next_k"),
+          coalesce(first(col("prev_k")), lit(0)).cast("long").as("pk"))
+        .head
+      done = !verdict.getBoolean(0) && verdict.getLong(1) == verdict.getLong(2)
+      cents = stepped.select(col("c_id"), col("c_vec"))
       ran += 1
     }
-    (assigned(cents).select(
+    (assigned(modelOf(cents)).select(
         col("vec_id"),
         col("best.c_id").cast("long").as("cluster"),
         Text.roundPortable(col("best.d"), Scale).as("dist"))

@@ -78,14 +78,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
-  test("joined kmeans broadcasts centroids; arg-min is one vec_id aggregation") {
-    // the large-k shape: candidates come from a broadcast nested-loop
-    // against the tiny centroid table (the same legitimate bounded
-    // crossJoin as IVF assignment); the only corpus shuffle is the
-    // arg-min aggregation's vec_id exchange
+  test("joined kmeans broadcasts the rolled-up model; assignment is map-only") {
+    // the large-k shape: the k-row centroid frame collapses to ONE
+    // broadcast array row and the arg-min is an array HOF over it —
+    // no n·k candidate expansion, ZERO corpus hash exchanges (the r9
+    // shape's groupBy-vec_id re-aggregation is the regression this
+    // pins against); the only exchanges are the model roll-up's
+    // SinglePartition and the output sort's range partitioning
     val p = planOf("emb_kmeans_joined")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0, p)
+    assert(p.contains("array_min"), p)
   }
 
   test("temperature mix broadcasts quotas and heap-prunes strata like the stratified sampler") {

@@ -459,17 +459,37 @@ object Similarity {
     * (A file format with file-level transactions could rewrite one
     * bucket's files in place; plain parquet bucketed tables make the
     * staging-swap the atomic option.) IvfIndexSpec pins compacted
-    * search ≡ rebuild search and the file-count collapse. */
+    * search ≡ rebuild search, the file-count collapse, and crash-heal.
+    *
+    * Swap order is crash-safe: the staging rewrite completes BEFORE
+    * any catalog mutation, then live→retired rename, staging→live
+    * rename, drop retired. The index data always exists under some
+    * name; the only no-table instant is between the two renames —
+    * catalog metadata moves, no data delete (the old order deleted
+    * the live table before the replacement was catalogued: a crash
+    * there lost the index). Every crash window heals at next entry:
+    * live missing + staging present can only mean the inter-rename
+    * window (staging is always complete), so staging is promoted;
+    * a staging or retired leftover NEXT TO a live table is stale and
+    * dropped. */
   def compactIvfIndex(spark: SparkSession, name: String,
                       maxFilesPerBucket: Int = 2): Boolean = {
+    val staging = s"${name}_compacting"
+    val retired = s"${name}_retired"
+    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    else if (spark.catalog.tableExists(staging))
+      graft.sources.Readers.dropTableAndDir(spark, staging)
+    if (spark.catalog.tableExists(retired))
+      graft.sources.Readers.dropTableAndDir(spark, retired)
     val nFiles = graft.sources.Readers.tableDataFiles(spark, name).size
     if (nFiles <= IndexFileBuckets.toLong * maxFilesPerBucket) false
     else {
-      val staging = s"${name}_compacting"
       graft.sources.Readers.saveBucketedTable(
         spark.table(name), staging, IndexFileBuckets, "bucket")
-      graft.sources.Readers.dropTableAndDir(spark, name)
+      spark.sql(s"ALTER TABLE $name RENAME TO $retired")
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+      graft.sources.Readers.dropTableAndDir(spark, retired)
       true
     }
   }

@@ -137,6 +137,40 @@ class IvfIndexSpec extends SparkSpec {
       "compacted index scan lost bucket pruning")
   }
 
+  test("compaction heals a crashed swap: orphaned staging promotes, stale staging drops") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val col = org.apache.spark.sql.functions.col _
+    val name = "ivf_index_spec_heal"
+    Similarity.buildIvfIndexFrom(emb.where(col("vec_id") < 300), name, 8)
+    val want = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    // crash window A — between the two renames: the live table is
+    // gone, only the (always complete) staging table remains
+    graft.sources.Readers.saveBucketedTable(
+      spark.table(name), s"${name}_compacting", 16, "bucket")
+    graft.sources.Readers.dropTableAndDir(spark, name)
+    assert(!Similarity.compactIvfIndex(spark, name, maxFilesPerBucket = 10000))
+    assert(spark.catalog.tableExists(name), "staging was not promoted")
+    assert(!spark.catalog.tableExists(s"${name}_compacting"))
+    assert(Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq == want, "healed index lost rows")
+    // crash window B — staging written but no rename happened: the
+    // live table is authoritative, the stale staging must be dropped
+    graft.sources.Readers.saveBucketedTable(
+      spark.table(name).limit(1), s"${name}_compacting", 16, "bucket")
+    assert(!Similarity.compactIvfIndex(spark, name, maxFilesPerBucket = 10000))
+    assert(!spark.catalog.tableExists(s"${name}_compacting"),
+      "stale staging table survived")
+    assert(Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq == want)
+    // crash window C — after promotion, before the retiree drop
+    graft.sources.Readers.saveBucketedTable(
+      spark.table(name).limit(1), s"${name}_retired", 16, "bucket")
+    assert(!Similarity.compactIvfIndex(spark, name, maxFilesPerBucket = 10000))
+    assert(!spark.catalog.tableExists(s"${name}_retired"),
+      "retired table survived")
+  }
+
   test("nprobe widens the candidate set monotonically") {
     built
     // top-k per query can only improve (sim non-decreasing per rank)

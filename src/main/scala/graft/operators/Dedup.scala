@@ -467,6 +467,28 @@ object Dedup {
     s"dedup_clusters_$h"
   }
 
+  /** Key under which the corpus fingerprint persists on the cluster
+    * table; rebuild triggers when the stored value goes stale. */
+  private val FingerprintProp = "graft.corpus.fingerprint"
+
+  /** Content identity of the `documents` table backing `dir`: an MD5
+    * over every data file's (relative name, length, mtime), sorted.
+    * Cheap — a directory listing, no file reads, no Spark job — and
+    * it changes whenever a rewrite, compaction, or incremental batch
+    * lands in the same dir (any of those replaces or adds part
+    * files). */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$dir/documents.parquet")
+    val sig = walk(root).filterNot(_.getName.startsWith("."))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** The verified-pair cluster table with the BUILD-ONCE treatment the
     * IVF index got: signatures → band join → cosine verify →
     * connected components run ONCE per (session, corpus) and persist
@@ -475,11 +497,23 @@ object Dedup {
     * re-deriving the whole pipeline. At 100 TB the cluster table is
     * the artifact a curation run actually ships between stages — the
     * pair derivation is days of work, membership lookups are not.
-    * Drop the table to force a rebuild after the corpus changes. */
+    * Staleness is self-detected: the build stamps the corpus
+    * [[corpusFingerprint]] as a table property, and a corpus
+    * rewritten in-session (fixture regeneration, incremental batches
+    * landing in the same dir) mismatches at next read and triggers a
+    * rebuild — downstream gates never depend on hidden catalog
+    * state. */
   def clustersTableFor(spark: SparkSession, dir: String): DataFrame = {
     val name = clustersTableName(dir)
-    if (!spark.catalog.tableExists(name))
+    val fp = corpusFingerprint(dir)
+    val fresh = spark.catalog.tableExists(name) &&
+      spark.sql(s"SHOW TBLPROPERTIES $name('$FingerprintProp')")
+        .collect().headOption.exists(_.getString(1) == fp)
+    if (!fresh) {
       graft.sources.Readers.replaceTable(qDedupClusters(spark, dir), name)
+      spark.sql(
+        s"ALTER TABLE $name SET TBLPROPERTIES ('$FingerprintProp'='$fp')")
+    }
     spark.table(name)
   }
 

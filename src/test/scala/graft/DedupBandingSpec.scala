@@ -63,4 +63,40 @@ class DedupBandingSpec extends SparkSpec {
     assert(wide.subsetOf(narrow), s"wide-only pairs: ${(wide diff narrow).take(3)}")
     spark.catalog.clearCache()
   }
+
+  test("materialized cluster table rebuilds when the corpus is rewritten in-session") {
+    val col = org.apache.spark.sql.functions.col _
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_fp").toFile
+    val dir = tmp.getAbsolutePath
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+    full.write.parquet(s"$dir/documents.parquet")
+    val before = Dedup.clustersTableFor(spark, dir).count()
+    assert(before > 0)
+    // same dir, new corpus: keep only half the docs — a cached table
+    // keyed on the dir alone would silently serve the old clusters
+    val cutoff = full.agg(org.apache.spark.sql.functions
+      .expr("percentile_approx(doc_id, 0.5)")).head.getLong(0)
+    full.where(col("doc_id") < cutoff).write
+      .mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rebuilt = Dedup.clustersTableFor(spark, dir)
+    assert(rebuilt.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head.getLong(0) < cutoff,
+      "cluster table still holds docs that no longer exist in the corpus")
+    // unchanged corpus → fingerprint match → NOT rebuilt: the backing
+    // part files are byte-identical (a rebuild rewrites them under
+    // fresh names)
+    val name = Dedup.clustersTableName(dir)
+    def partFiles = graft.sources.Readers.tableDataFiles(spark, name)
+      .map(f => s"${f.getName}:${f.lastModified}").sorted
+    val filesBefore = partFiles
+    Dedup.clustersTableFor(spark, dir)
+    assert(partFiles == filesBefore,
+      "fingerprint-fresh table was rebuilt anyway")
+    graft.sources.Readers.dropTableAndDir(spark, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    rm(tmp)
+  }
 }

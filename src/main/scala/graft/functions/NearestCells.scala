@@ -150,11 +150,18 @@ object NearestCells {
 
   /** Column form over a driver-collected quantizer: `(id, vector)`
     * pairs in any order (sorted here — ascending ids are the tie-break
-    * precondition). */
+    * precondition). An EMPTY quantizer (empty corpus slice,
+    * numCentroids = 0) yields an empty-array literal — callers that
+    * explode it get zero rows, the same semantics the old
+    * crossJoin+window formulation had, instead of a plan-build
+    * failure. */
   def nearestCells(vec: Column, cents: Seq[(Long, Array[Double])],
-                   keep: Int): Column = {
-    val sorted = cents.sortBy(_._1)
-    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
-      sorted.map(_._1).toArray, sorted.map(_._2).toArray, keep))
-  }
+                   keep: Int): Column =
+    if (cents.isEmpty)
+      org.apache.spark.sql.functions.lit(Array.empty[Long])
+    else {
+      val sorted = cents.sortBy(_._1)
+      ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray, keep))
+    }
 }

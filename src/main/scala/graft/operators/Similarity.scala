@@ -71,7 +71,12 @@ object Similarity {
     * join, no exchange between the corpus scan and the bucket id.
     * (The crossJoin + per-vec_id window this replaced shuffled
     * n·numCentroids scored rows — an n^1.5-row exchange at the √n
-    * configs — before any candidate generation began.) */
+    * configs — before any candidate generation began.)
+    *
+    * NOTE: the quantizer is collected EAGERLY here — constructing a
+    * query plan through this path runs a small Spark job (k rows)
+    * before any action on the result. An empty quantizer yields an
+    * empty result frame, not an error. */
   private def nearestCentroids(vectors: DataFrame, cent: DataFrame,
                                keep: Int): DataFrame =
     vectors

@@ -140,6 +140,17 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("nearest_cells over an empty quantizer explodes to zero rows, not a plan failure") {
+    // the crossJoin+window formulation returned an empty frame on an
+    // empty centroid set; the expression form must not regress that to
+    // a constructor-time require failure
+    val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDF("v")
+    val out = df.select(org.apache.spark.sql.functions.explode(
+      graft.functions.NearestCells.nearestCells($"v", Seq.empty, 2)).as("b"))
+    assert(out.schema("b").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.count() == 0)
+  }
+
   test("nearest_cells rejects non-float vectors at ANALYSIS time") {
     val df = Seq(Array(1, 2, 3)).toDF("v")
     val e = intercept[org.apache.spark.sql.AnalysisException] {

@@ -187,14 +187,22 @@ object TextAnalysis {
   /** The eval-store form (the [[decontaminateAgainst]] twin), so
     * [[Pipeline]] can point the Bloom at a raw-eval shingle store
     * while the train side is its curated survivors. */
-  // at most ONE eval-shingle cache lives per session: each invocation
-  // releases the previous one (the result plan holding it has been
-  // acted on by then, or abandoned), so long-lived sessions running
-  // many decontaminations (specs, ad-hoc use) can't accumulate cached
-  // relations — a harness-wide clearCache is a backstop, not the
-  // release mechanism
+  // at most ONE eval-shingle cache lives per SparkSession: each
+  // invocation releases that session's previous one (the result plan
+  // holding it has been acted on by then, or abandoned), so
+  // long-lived sessions running many decontaminations (specs, ad-hoc
+  // use) can't accumulate cached relations — a harness-wide
+  // clearCache is a backstop, not the release mechanism. Keyed by
+  // SparkSession so a second session in the same JVM never unpersists
+  // a cache another session's plan still wants (one retained entry
+  // per session — bounded by live session count; keys are the
+  // session objects themselves, identity-compared). A caller that
+  // builds two decontamination frames in ONE session before executing
+  // the first loses the first frame's cache: correctness survives
+  // (the verify join recomputes the eval shingles uncached), the
+  // release heuristic just degrades to recompute for that frame.
   private val lastEvalCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   private[graft] def decontaminateBloomAgainst(evalShingles: DataFrame,
                                                trainShingled: DataFrame,
@@ -204,7 +212,7 @@ object TextAnalysis {
     // once, not per consumer; eval is the small, fixed-size relation
     // by contract so the footprint is bounded.
     val evalCached = evalShingles.cache()
-    val prev = lastEvalCache.getAndSet(evalCached)
+    val prev = lastEvalCache.put(evalCached.sparkSession, evalCached)
     if (prev != null && (prev ne evalCached)) prev.unpersist(blocking = false)
     val bloom = evalCached.stat.bloomFilter(
       "sh", math.max(evalCached.count(), 1L), fpp)

@@ -235,8 +235,16 @@ object Similarity {
     * cluster gates omit unpaired docs. */
   def qSimMutualKnnClusters(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
-    val knn = knnTopK(Tables.embeddings(spark, dir), scaledCentroids(n),
-        NumProbes, KnnK)
+    mutualKnnClusters(Tables.embeddings(spark, dir), scaledCentroids(n),
+      NumProbes, KnnK)
+  }
+
+  /** [[qSimMutualKnnClusters]]'s core over an arbitrary embedding
+    * frame (private[graft]: ScaleProbe runs it over planted corpora
+    * to measure cluster purity/completeness). */
+  private[graft] def mutualKnnClusters(emb: DataFrame, numCentroids: Int,
+                                       nProbes: Int, k: Int): DataFrame = {
+    val knn = knnTopK(emb, numCentroids, nProbes, k)
       .select(col("q_id"), col("neighbor_id"))
     val mutual = knn.as("f")
       .join(knn.as("r"), col("f.q_id") === col("r.neighbor_id") &&

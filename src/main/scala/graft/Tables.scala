@@ -27,17 +27,29 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read it as a raw nanos-since-epoch
-    * long (legacy conf) and derive an epoch-seconds column + a
-    * microsecond-precision timestamp. DuckDB-oracle equivalents:
-    * `epoch_ns(ts)//1000000000` and `ts` itself.
+  /** Normalized events: whatever physical type the fixture
+    * generation wrote `ts` as — INT64 TIMESTAMP(NANOS) (older
+    * fixtures; Spark's vectorized reader only accepts it as a raw
+    * long under the legacy conf) or plain TIMESTAMP/TIMESTAMP_NTZ
+    * micros (current fixtures) — derive the same epoch-seconds
+    * column + a second-precision timestamp, so every downstream
+    * operator is schema-generation-agnostic. DuckDB-oracle
+    * equivalent either way: `epoch_ns(ts)//1000000000` (epoch_ns
+    * accepts both timestamps and reads back the stored instant).
     */
   def eventsNorm(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    // harmless when ts is already micros; required to read nanos files
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    val tsSec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      // NTZ→LTZ cast is a no-op under the pinned UTC session zone;
+      // unix_micros then reads the exact instant, integral DIV floors
+      // (all fixture instants are positive)
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    }
+    raw.withColumn("ts_sec", tsSec)
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

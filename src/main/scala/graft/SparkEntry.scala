@@ -58,6 +58,7 @@ object SparkEntry {
     "sim_ivf"              -> (Similarity.qSimIvf _),
     "sim_ivf_sq8"          -> (Similarity.qSimIvfSq8 _),
     "sim_ivf_scaled"       -> (Similarity.qSimIvfScaled _),
+    "sim_ivf_2level_scaled" -> (Similarity.qSimIvfTwoLevelScaled _),
     "sim_ivf_sq8_scaled"   -> (Similarity.qSimIvfSq8Scaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
@@ -787,6 +788,46 @@ object SparkEntry {
          rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
          assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1),
          q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
+               WHERE vec_id < 10 AND rn <= 2),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+             FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // TWO-LEVEL coarse assignment (sim_ivf_2level_scaled): same √n
+    // cells and nprobe=2 as sim_ivf_scaled, but each vector first
+    // ranks the ⌈√c⌉ super-centroids (the first ⌈√c⌉ centroids; every
+    // centroid belongs to its nearest super) and scores ONLY the
+    // member cells of its max(2, ⌈c^¼⌉) nearest supers. The oracle
+    // unrolls exactly that algorithm — supers, membership, probing,
+    // candidate rank — so the gate hashes the APPROXIMATION's own
+    // contract (it deviates from the flat argmax by design; a shared
+    // oracle would be red).
+    "sim_ivf_2level_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         ps AS (SELECT greatest(2, CAST(ceil(pow(c, 0.25)) AS BIGINT)) AS p,
+                       CAST(ceil(sqrt(c)) AS BIGINT) AS ns FROM nc),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec,
+                         row_number() OVER (ORDER BY vec_id) AS cpos
+                  FROM embeddings WHERE vec_id < (SELECT c FROM nc)),
+         sup AS (SELECT c_id AS s_id, c_vec AS s_vec FROM cent
+                 WHERE cpos <= (SELECT ns FROM ps)),
+         mem AS (SELECT c_id, c_vec, s_id, row_number() OVER (PARTITION BY c_id ORDER BY
+                   list_cosine_similarity(CAST(c_vec AS DOUBLE[]), CAST(s_vec AS DOUBLE[])) DESC, s_id) AS rn
+                 FROM cent CROSS JOIN sup),
+         memb AS (SELECT c_id, c_vec, s_id FROM mem WHERE rn = 1),
+         vsup AS (SELECT e.vec_id, s.s_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.s_vec AS DOUBLE[])) DESC, s.s_id) AS srn
+                  FROM embeddings e CROSS JOIN sup s),
+         probed AS (SELECT vec_id, s_id FROM vsup WHERE srn <= (SELECT p FROM ps)),
+         cand AS (SELECT e.vec_id, e.embedding, m.c_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(m.c_vec AS DOUBLE[])) AS c_sim
+                  FROM embeddings e JOIN probed pr ON e.vec_id = pr.vec_id
+                  JOIN memb m ON m.s_id = pr.s_id),
+         crnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM cand),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM crnk WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM crnk
                WHERE vec_id < 10 AND rn <= 2),
          scored AS (SELECT q_id, a.vec_id AS neighbor_id,
              list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim

@@ -27,6 +27,42 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
 
+  /** Whether the events fixture under `dir` stores `ts` as INT64
+    * TIMESTAMP(NANOS) — read once from the parquet FOOTER (driver-side
+    * metadata, no Spark job) and cached per path, so deciding the
+    * legacy-conf question below never costs a repeated file open. */
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean = {
+    val path = s"$dir/events.parquet"
+    tsNanosCache.computeIfAbsent(path, { _ =>
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val st =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).find(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }).getOrElse(throw new IllegalStateException(s"no data files in $path"))
+        else fs.getFileStatus(p)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import scala.jdk.CollectionConverters._
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.getFields.asScala.find(_.getName == "ts").exists { f =>
+          f.isPrimitive && (f.asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+        }
+      } finally reader.close()
+    })
+  }
+
   /** Normalized events: whatever physical type the fixture
     * generation wrote `ts` as — INT64 TIMESTAMP(NANOS) (older
     * fixtures; Spark's vectorized reader only accepts it as a raw
@@ -36,17 +72,34 @@ object Tables {
     * operator is schema-generation-agnostic. DuckDB-oracle
     * equivalent either way: `epoch_ns(ts)//1000000000` (epoch_ns
     * accepts both timestamps and reads back the stored instant).
+    *
+    * The legacy conf is set ONLY when the footer actually declares
+    * TIMESTAMP(NANOS) — a micros fixture never touches session conf.
+    * When set it is session-wide and stays set (the scan re-reads it
+    * at execution time, so a set/restore around `load` would break
+    * the read): any later reader of OTHER nanos-timestamp parquet in
+    * that session will see raw longs too. Acceptable here because the
+    * fixture set has exactly one nanos-suspect column.
     */
   def eventsNorm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // harmless when ts is already micros; required to read nanos files
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanos = eventsTsIsNanos(s, d)
+    if (nanos) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     val tsSec = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      // LongType can only mean the footer-confirmed NANOS encoding
+      // (a plain INT64-micros column with no logical type would also
+      // surface as LongType, but then `nanos` is false and we fail
+      // loudly instead of silently dividing by the wrong unit)
+      case org.apache.spark.sql.types.LongType =>
+        require(nanos, s"events.ts in $d is INT64 without a TIMESTAMP(NANOS) " +
+          "logical type; cannot infer its unit — regenerate the fixture with " +
+          "an annotated timestamp")
+        expr("ts div 1000000000")
       // NTZ→LTZ cast is a no-op under the pinned UTC session zone;
-      // unix_micros then reads the exact instant, integral DIV floors
-      // (all fixture instants are positive)
+      // unix_micros then reads the exact instant; div truncates toward
+      // zero (equivalent to DuckDB's flooring // for the positive
+      // fixture instants)
       case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
     }
     raw.withColumn("ts_sec", tsSec)

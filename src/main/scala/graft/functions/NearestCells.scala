@@ -145,8 +145,239 @@ case class NearestCells(child: Expression, cIds: Array[Long],
     copy(child = newChild)
 }
 
+/** Two-level coarse-quantizer assignment — the hierarchical twin of
+  * [[NearestCells]] for LARGE quantizers. A flat argmax is
+  * O(c·dim)/row; with c = √n cells that is O(√n·dim)/row — fine at
+  * thousands of cells, a per-row scan of ~10⁵ centroids at a 10¹⁰
+  * corpus. Here the c centroids are grouped under ⌈√c⌉ SUPER-cells
+  * (the first ⌈√c⌉ centroids, each centroid assigned to its nearest —
+  * the same deterministic "first vectors are the model" convention the
+  * quantizer itself uses); a row scores the ⌈√c⌉ super-centroids,
+  * keeps its `pSuper` nearest, and scores ONLY their member cells:
+  * ~(√c + pSuper·√c)·dim ≈ O(n^¼·dim)/row instead of O(√n·dim).
+  *
+  * `pSuper` is the exactness dial (the assignment-level analogue of
+  * the search-level nprobe): a row whose true nearest cell sits in an
+  * unprobed super-cell gets its second-best cell instead.
+  * NearestCellsSpec pins EXACT row-for-row equality with the flat
+  * expression on every fixture scale plus replicated corpora at the
+  * shipped `pSuperFor` setting — the oracle gates then re-prove it
+  * end-to-end (same cells ⇒ same candidate sets ⇒ same rows).
+  *
+  * Member lists are visited in globally ascending centroid-id order
+  * (a pSuper-way merge on the per-super ascending lists), so the
+  * strict-`>` insertion keeps the lower id on similarity ties —
+  * bit-identical tie semantics to the flat scan, independent of which
+  * supers were probed. Per-pair arithmetic is the same dot/na/nb loop
+  * as [[NearestCells]] / [[CosineSimilarity]].
+  */
+case class NearestCellsTwoLevel(child: Expression,
+                                superVecs: Array[Array[Double]],
+                                memberIds: Array[Array[Long]],
+                                memberVecs: Array[Array[Array[Double]]],
+                                pSuper: Int, keep: Int)
+    extends UnaryExpression {
+
+  require(superVecs.nonEmpty && superVecs.length == memberIds.length &&
+    memberIds.length == memberVecs.length,
+    s"super-cells (${superVecs.length}) and member lists must align")
+  require(pSuper >= 1 && keep >= 1, s"pSuper/keep must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells_2level"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> vector, got ${t.catalogString}")
+  }
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    def simTo(cv: Array[Double]): Double = {
+      val n = math.min(nv, cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    // level 1: top-pSuper super-cells (strict > keeps lower index on
+    // ties — supers are in index order)
+    val nS = superVecs.length
+    val pS = math.min(pSuper, nS)
+    val sSims = new Array[Double](pS)
+    val sIdx = new Array[Int](pS)
+    var mS = 0
+    var s = 0
+    while (s < nS) {
+      val sim = simTo(superVecs(s))
+      var pos = mS
+      while (pos > 0 && sim > sSims(pos - 1)) pos -= 1
+      if (pos < pS) {
+        val end = math.min(mS, pS - 1)
+        var t = end
+        while (t > pos) { sSims(t) = sSims(t - 1); sIdx(t) = sIdx(t - 1); t -= 1 }
+        sSims(pos) = sim; sIdx(pos) = s
+        if (mS < pS) mS += 1
+      }
+      s += 1
+    }
+    // level 2: pS-way merge over the selected supers' ascending member
+    // lists, scoring in globally ascending id order
+    val k = keep
+    val sims = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var m = 0
+    val ptr = new Array[Int](mS)
+    var remaining = 0
+    var t0 = 0
+    while (t0 < mS) { remaining += memberIds(sIdx(t0)).length; t0 += 1 }
+    while (remaining > 0) {
+      var best = -1
+      var bestId = Long.MaxValue
+      var t = 0
+      while (t < mS) {
+        val li = sIdx(t)
+        if (ptr(t) < memberIds(li).length && memberIds(li)(ptr(t)) < bestId) {
+          bestId = memberIds(li)(ptr(t)); best = t
+        }
+        t += 1
+      }
+      val li = sIdx(best)
+      val sim = simTo(memberVecs(li)(ptr(best)))
+      ptr(best) += 1; remaining -= 1
+      var pos = m
+      while (pos > 0 && sim > sims(pos - 1)) pos -= 1
+      if (pos < k) {
+        val end = math.min(m, k - 1)
+        var u = end
+        while (u > pos) { sims(u) = sims(u - 1); ids(u) = ids(u - 1); u -= 1 }
+        sims(pos) = sim; ids(pos) = bestId
+        if (m < k) m += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ids, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sVecsRef = ctx.addReferenceObj("superVecs", superVecs, "double[][]")
+    val mIdsRef = ctx.addReferenceObj("memberIds", memberIds, "long[][]")
+    val mVecsRef = ctx.addReferenceObj("memberVecs", memberVecs, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val nS = superVecs.length
+      val pS = math.min(pSuper, nS)
+      // one shared scoring routine via a private method on the
+      // generated class keeps the two loops from duplicating the
+      // cosine kernel; addNewFunction may qualify the name (inner
+      // class spill) — call through the returned reference
+      val simFnName = ctx.freshName("simTo")
+      val simFn = ctx.addNewFunction(simFnName,
+        s"""
+           |private double $simFnName(org.apache.spark.sql.catalyst.util.ArrayData v, double[] cv, int nv) {
+           |  int n = java.lang.Math.min(nv, cv.length);
+           |  double dot = 0.0; double na = 0.0; double nb = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    double x = ${if (isDouble) "v.getDouble(i)" else "(double) v.getFloat(i)"};
+           |    double y = cv[i];
+           |    dot += x * y; na += x * x; nb += y * y;
+           |  }
+           |  double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+           |  return (denom == 0.0) ? 0.0 : dot / denom;
+           |}
+         """.stripMargin)
+      val nvv = ctx.freshName("nvv")
+      val sSims = ctx.freshName("sSims"); val sIdx = ctx.freshName("sIdx")
+      val mS = ctx.freshName("mS"); val sim = ctx.freshName("sim")
+      val pos = ctx.freshName("pos"); val end = ctx.freshName("end")
+      val sims = ctx.freshName("sims"); val ids = ctx.freshName("ids")
+      val m = ctx.freshName("m"); val ptr = ctx.freshName("ptr")
+      val remaining = ctx.freshName("remaining")
+      val best = ctx.freshName("best"); val bestId = ctx.freshName("bestId")
+      val li = ctx.freshName("li")
+      s"""
+         |int $nvv = $v.numElements();
+         |double[] $sSims = new double[$pS];
+         |int[] $sIdx = new int[$pS];
+         |int $mS = 0;
+         |for (int s = 0; s < $nS; s++) {
+         |  double $sim = $simFn($v, $sVecsRef[s], $nvv);
+         |  int $pos = $mS;
+         |  while ($pos > 0 && $sim > $sSims[$pos - 1]) $pos--;
+         |  if ($pos < $pS) {
+         |    int $end = java.lang.Math.min($mS, $pS - 1);
+         |    for (int t = $end; t > $pos; t--) {
+         |      $sSims[t] = $sSims[t - 1]; $sIdx[t] = $sIdx[t - 1];
+         |    }
+         |    $sSims[$pos] = $sim; $sIdx[$pos] = s;
+         |    if ($mS < $pS) $mS++;
+         |  }
+         |}
+         |double[] $sims = new double[$keep];
+         |long[] $ids = new long[$keep];
+         |int $m = 0;
+         |int[] $ptr = new int[$mS];
+         |int $remaining = 0;
+         |for (int t = 0; t < $mS; t++) $remaining += $mIdsRef[$sIdx[t]].length;
+         |while ($remaining > 0) {
+         |  int $best = -1;
+         |  long $bestId = Long.MAX_VALUE;
+         |  for (int t = 0; t < $mS; t++) {
+         |    int $li = $sIdx[t];
+         |    if ($ptr[t] < $mIdsRef[$li].length && $mIdsRef[$li][$ptr[t]] < $bestId) {
+         |      $bestId = $mIdsRef[$li][$ptr[t]]; $best = t;
+         |    }
+         |  }
+         |  double $sim = $simFn($v, $mVecsRef[$sIdx[$best]][$ptr[$best]], $nvv);
+         |  $ptr[$best]++; $remaining--;
+         |  int $pos = $m;
+         |  while ($pos > 0 && $sim > $sims[$pos - 1]) $pos--;
+         |  if ($pos < $keep) {
+         |    int $end = java.lang.Math.min($m, $keep - 1);
+         |    for (int u = $end; u > $pos; u--) {
+         |      $sims[u] = $sims[u - 1]; $ids[u] = $ids[u - 1];
+         |    }
+         |    $sims[$pos] = $sim; $ids[$pos] = $bestId;
+         |    if ($m < $keep) $m++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($ids, $m));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NearestCells {
   import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Probed super-cells for the two-level variant: max(2, ⌈c^¼⌉) —
+    * grows as the fourth root, so the probed fraction of the space
+    * keeps SHRINKING (at c = 10⁵ cells: 18 of 317 supers ≈ 6 % of
+    * centroids scored per row) while the absolute probe count rises.
+    * NOTE the two-level assignment is an approximation of the flat
+    * argmax, and with the deterministic first-k "quantizer" (arbitrary
+    * corpus vectors — untrained, so members are DIFFUSE around their
+    * super) it deviates materially: measured 97/500 changed cells at
+    * c=23, pSuper=3 on the sf0.001 fixtures. That is why the flat and
+    * two-level paths are SEPARATE gated queries with separate oracles
+    * (each oracle unrolls its own algorithm), not one silently
+    * dispatched path — a dispatch would have flipped every existing
+    * IVF gate's hashes. */
+  def pSuperFor(numCells: Int): Int =
+    math.max(2, math.ceil(math.pow(numCells.toDouble, 0.25)).toInt)
 
   /** Column form over a driver-collected quantizer: `(id, vector)`
     * pairs in any order (sorted here — ascending ids are the tie-break
@@ -154,14 +385,69 @@ object NearestCells {
     * numCentroids = 0) yields an empty-array literal — callers that
     * explode it get zero rows, the same semantics the old
     * crossJoin+window formulation had, instead of a plan-build
-    * failure. */
+    * failure. Always the flat exact scan — the two-level
+    * approximation is opted into per query ([[nearestCellsTwoLevel]]),
+    * never silently. */
   def nearestCells(vec: Column, cents: Seq[(Long, Array[Double])],
                    keep: Int): Column =
     if (cents.isEmpty)
       org.apache.spark.sql.functions.lit(Array.empty[Long])
-    else {
-      val sorted = cents.sortBy(_._1)
-      ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
-        sorted.map(_._1).toArray, sorted.map(_._2).toArray, keep))
+    else nearestCellsFlat(vec, cents, keep)
+
+  /** The flat O(cells·dim)/row scan, callable directly (specs compare
+    * the two paths row for row). */
+  def nearestCellsFlat(vec: Column, cents: Seq[(Long, Array[Double])],
+                       keep: Int): Column = {
+    val sorted = cents.sortBy(_._1)
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, keep))
+  }
+
+  /** The hierarchical path at an explicit `pSuper` (specs sweep it). */
+  def nearestCellsTwoLevel(vec: Column, cents: Seq[(Long, Array[Double])],
+                           keep: Int, pSuper: Int): Column = {
+    val (superVecs, memberIds, memberVecs) = twoLevelModel(cents)
+    ColumnBridge.column(NearestCellsTwoLevel(ColumnBridge.expression(vec),
+      superVecs, memberIds, memberVecs, pSuper, keep))
+  }
+
+  /** Driver-side super-cell construction: the first ⌈√c⌉ centroids
+    * (by id) are the super-centroids; every centroid joins its
+    * nearest super-centroid (cosine, ties to the lower super index —
+    * the same arithmetic and tie rule as the expressions). Member
+    * lists keep ascending id order, the merge precondition. Cost:
+    * c·√c·dim driver flops — at c = 10⁵ and dim 64 ≈ 2·10⁹ flops
+    * once per quantizer, driver-side model prep of the same order as
+    * collecting the centroids themselves. */
+  private[graft] def twoLevelModel(cents: Seq[(Long, Array[Double])])
+      : (Array[Array[Double]], Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val sorted = cents.sortBy(_._1).toArray
+    val c = sorted.length
+    val nSuper = math.ceil(math.sqrt(c.toDouble)).toInt
+    val supers = sorted.take(nSuper).map(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
     }
+    val members = Array.fill(nSuper)(Vector.newBuilder[Int])
+    var j = 0
+    while (j < c) {
+      var bestS = 0; var bestSim = Double.NegativeInfinity
+      var s = 0
+      while (s < nSuper) {
+        val sim = cos(sorted(j)._2, supers(s))
+        if (sim > bestSim) { bestSim = sim; bestS = s }
+        s += 1
+      }
+      members(bestS) += j
+      j += 1
+    }
+    val memberIdx = members.map(_.result())
+    val memberIds = memberIdx.map(_.map(i => sorted(i)._1).toArray)
+    val memberVecs = memberIdx.map(_.map(i => sorted(i)._2).toArray)
+    (supers, memberIds, memberVecs)
+  }
 }

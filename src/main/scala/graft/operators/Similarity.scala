@@ -109,13 +109,16 @@ object Similarity {
     * corpus is scanned once and never shuffled; scoring runs in the
     * codegen'd [[graft.functions.CosineSimilarity]] loop. */
   private[graft] def ivfSearch(emb: DataFrame, numCentroids: Int,
-                               nProbes: Int, sq8: Boolean): DataFrame = {
+                               nProbes: Int, sq8: Boolean,
+                               twoLevel: Boolean = false): DataFrame = {
     val cent = centroidsOf(emb, numCentroids)
-    val assigned = nearestCentroids(emb, cent, keep = 1)
+    val assign: (DataFrame, DataFrame, Int) => DataFrame =
+      if (twoLevel) nearestCentroidsTwoLevel else nearestCentroids
+    val assigned = assign(emb, cent, 1)
     val corpus = if (sq8) withSq8Recon(assigned) else assigned
     val scoreVec = if (sq8) col("recon") else col("embedding")
-    val q = nearestCentroids(
-        emb.where(col("vec_id") < NumQueries), cent, keep = nProbes)
+    val q = assign(
+        emb.where(col("vec_id") < NumQueries), cent, nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
               col("bucket").as("q_bucket"))
     val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
@@ -170,6 +173,42 @@ object Similarity {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     ivfSearch(Tables.embeddings(spark, dir), scaledCentroids(n), NumProbes,
       sq8 = true)
+  }
+
+  /** Two-level coarse assignment: the corpus/query argmax runs
+    * through [[graft.functions.NearestCellsTwoLevel]] — score the
+    * ⌈√c⌉ super-centroids, then only the member cells of the
+    * `pSuperFor(c)` nearest supers — ~O(n^¼·dim)/row instead of the
+    * flat scan's O(√n·dim)/row. Still MAP-ONLY: a projection +
+    * generate, no exchange before the bucket equi-join. */
+  private def nearestCentroidsTwoLevel(vectors: DataFrame, cent: DataFrame,
+                                       keep: Int): DataFrame = {
+    val cents = collectCentroids(cent)
+    val assignCol =
+      if (cents.isEmpty) lit(Array.empty[Long])
+      else graft.functions.NearestCells.nearestCellsTwoLevel(
+        col("embedding"), cents, keep,
+        graft.functions.NearestCells.pSuperFor(cents.size))
+    vectors.select(col("vec_id"), col("embedding"),
+      explode(assignCol).as("bucket"))
+  }
+
+  /** The TWO-LEVEL-quantizer scale config of IVF search: same √n cell
+    * count and nprobe as [[qSimIvfScaled]], but per-row assignment is
+    * hierarchical (super-cells → member cells). At the 10¹⁰-vector
+    * corpus the flat assignment scan is itself the bottleneck
+    * (O(√n·dim) = ~10⁵·dim flops per row); this path cuts it to
+    * ~O(n^¼·dim) at an assignment-recall cost — a row whose true
+    * nearest cell sits in an unprobed super lands in its second-best
+    * cell. That approximation CHANGES cell membership (measured: ~1/5
+    * of fixture vectors at c=23, pSuper=3 — the untrained first-k
+    * quantizer gives diffuse supers), which is why this is its own
+    * gated query with an oracle that unrolls the two-level algorithm,
+    * rather than a silent dispatch under the flat gates' hashes. */
+  def qSimIvfTwoLevelScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    ivfSearch(Tables.embeddings(spark, dir), scaledCentroids(n), NumProbes,
+      sq8 = false, twoLevel = true)
   }
 
   private val KnnK = 3

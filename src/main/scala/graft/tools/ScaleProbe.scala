@@ -169,6 +169,10 @@ object ScaleProbe {
         // timed figure still includes the one-off corpus assignment
         // pass, which the materialized index amortizes away
         "sim_ivf_scaled", "sim_ivf_sq8_scaled",
+        // two-level coarse assignment: same cells/nprobe as the flat
+        // scaled config but ~O(n^¼·dim)/row assignment — the flat
+        // row's direct contrast (assignment cost is the only delta)
+        "sim_ivf_2level_scaled",
         // build-once bucketed index + pruned-cell search round trip
         // (gate config pins 8 cells for the oracle; the build pass
         // dominates and should track corpus size ~linearly)
@@ -200,7 +204,7 @@ object ScaleProbe {
     // "recall" / "plant" are pseudo-names selecting the nprobe-recall
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
-    val pseudo = Set("recall", "plant", "searchrecall")
+    val pseudo = Set("recall", "plant", "searchrecall", "clusterquality")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -350,6 +354,49 @@ object ScaleProbe {
     if (only.forall(_("searchrecall"))) {
       searchRecallTable(src, "1x")
       searchRecallTable(dst, s"${factor}x")
+    }
+
+    // Cluster purity/completeness of mutual-k-NN clustering over a
+    // planted corpus (every 50th vector + 2 near-copies at cosine
+    // ≈0.96 — ground-truth classes; see ClusterQuality's scaladoc for
+    // the metric definitions). The quality twin of the recall tables:
+    // sim_mutual_knn_clusters is the one ANN-family operator whose
+    // OUTPUT quality the oracle gate can't grade.
+    def clusterQualityTable(dir: String, label: String): Unit = {
+      val every = 50
+      val copies = 2
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val corpus = ClusterQuality.plantedCorpus(emb, every, copies).cache()
+      val n = corpus.count()
+      val truth = ClusterQuality.plantedTruth(emb, every, copies).cache()
+      val nClasses = truth.select("cls").distinct().count()
+      val cents = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      // k sweep around the gate config (√n cells, nprobe=2, k=3):
+      // k is the purity/completeness dial — each planted member's
+      // top-2 slots go to its 2 siblings, so k−2 SPARE slots per
+      // member are where background mutual edges (→ intruders, →
+      // cross-group chains) come from. k=2 leaves no spare slot.
+      Seq(2, 3, 5).foreach { k =>
+        val t0 = System.nanoTime()
+        val clusters = graft.operators.Similarity
+          .mutualKnnClusters(corpus, cents, 2, k).cache()
+        val nClustered = clusters.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val pur = ClusterQuality.purity(clusters)
+        val ppur = ClusterQuality.plantedClusterPurity(clusters, truth)
+        val comp = ClusterQuality.completeness(clusters, truth)
+        val intact = ClusterQuality.intactFraction(clusters, truth)
+        println(f"[quality] $label%-6s n=$n%-7d classes=$nClasses%-5d " +
+          f"centroids=$cents%-4d k=$k nprobe=2 clustered=$nClustered%-6d " +
+          f"purity=$pur%5.3f plantedPurity=$ppur%5.3f " +
+          f"completeness=$comp%5.3f intact=$intact%5.3f $sec%7.2f s")
+        clusters.unpersist()
+      }
+      corpus.unpersist(); truth.unpersist()
+    }
+    if (only.forall(_("clusterquality"))) {
+      clusterQualityTable(src, "1x")
+      clusterQualityTable(dst, s"${factor}x")
     }
     spark.stop()
   }

@@ -127,9 +127,12 @@ class ExpressionSpec extends SparkSpec {
     // always outrank 9
     val tied = cents.map { case (id, c) => if (id == 9L) (id, cents(3)._2) else (id, c) }
     val rows = Seq.fill(40)(fvec())
-    for (keep <- Seq(1, 2, 5, 25)) { // 25 > |centroids| exercises truncation
+    // the FLAT kernel is pinned here (the two-level expression's
+    // contract lives in NearestCellsSpec); 25 > |centroids| exercises
+    // truncation
+    for (keep <- Seq(1, 2, 5, 25)) {
       val got = rows.toDF("v")
-        .select(graft.functions.NearestCells.nearestCells($"v", tied, keep).as("b"))
+        .select(graft.functions.NearestCells.nearestCellsFlat($"v", tied, keep).as("b"))
         .as[Seq[Long]].collect()
       val want = rows.map(nearestRef(_, tied, keep))
       assert(got.toSeq == want, s"keep=$keep")

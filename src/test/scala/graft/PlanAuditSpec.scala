@@ -208,6 +208,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), p)
   }
 
+  test("two-level search keeps the flat path's plan shape: map-only assignment, same exchanges") {
+    val p2 = planOf("sim_ivf_2level_scaled")
+    val p1 = planOf("sim_ivf_scaled")
+    // hierarchical assignment is still a projection (the expression
+    // rides in the scan's project list) — no join, no exchange added
+    // between scan and bucket id
+    assert(p2.contains("nearest_cells_2level"), p2)
+    val ex = "Exchange hashpartitioning".r
+    assert(ex.findAllIn(p2).size == ex.findAllIn(p1).size,
+      s"two-level added a hash exchange:\n$p2")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+    assert(joins.findAllIn(p2).size == joins.findAllIn(p1).size,
+      s"two-level added a join:\n$p2")
+  }
+
   test("epoch mix is map-only on the corpus: broadcast quota join, one hash exchange total") {
     val p = planOf("q_mix_epochs")
     // the ONE hash exchange is the per-source quota aggregate (20

@@ -86,6 +86,11 @@ object SparkEntry {
     "q_mix_epochs"         -> (Mixing.qMixEpochs _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
+    // SQL-driven twins of the LLM operators (spark.sql entry points
+    // over registered views + injected graft functions)
+    "pack_sequences_sql"   -> (SqlSurface.qPackSequencesSql _),
+    "dedup_exact_sql"      -> (SqlSurface.qDedupExactSql _),
+    "q_temperature_mix_sql" -> (SqlSurface.qTemperatureMixSql _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
@@ -332,6 +337,12 @@ object SparkEntry {
     // batch twins — one oracle each, two execution shapes
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
+    // the SQL-surface twins (SqlSurface.scala) must land on exactly
+    // the rows of their DataFrame twins — one oracle each, two entry
+    // surfaces
+    "pack_sequences_sql" -> OracleSqlBase("pack_sequences"),
+    "dedup_exact_sql" -> OracleSqlBase("dedup_exact"),
+    "q_temperature_mix_sql" -> OracleSqlBase("q_temperature_mix"),
     // Bloom prefilter is one-sided and exact-verified, so its output
     // must be EXACTLY the unfiltered operator's rows
     "text_decontaminate_bloom" -> OracleSqlBase("text_decontaminate"))

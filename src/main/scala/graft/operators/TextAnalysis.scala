@@ -76,10 +76,10 @@ object TextAnalysis {
     * encoder would then merge. Whitespace token counts are in
     * [[qTextStats]]; this is the tokenizer-shaped count an LLM data
     * pipeline budgets by (and the unit [[Packing]] packs by). */
-  private[graft] def bpeTokenCount(text: Column): Column = {
-    val pattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
-  }
+  private[graft] val BpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+  private[graft] def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
 
   def qTextTokensBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -58,22 +58,44 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifySelfCosine)
-    e.injectFunction((
-      new FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-    e.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    e.injectFunction((
-      new FunctionIdentifier("squared_distance"),
-      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
-      (args: Seq[Expression]) => SquaredDistance(args(0), args(1))))
+    GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
   }
 }
 
 object GraftExtensions {
+
+  /** ONE name→builder table for both injection paths (builder-time
+    * extensions and live-session install), so the SQL surface can't
+    * drift between them. Covers the custom Catalyst kernels AND the
+    * LLM-pipeline scalar recipes (token counting, shingling) the SQL
+    * entry points build on. Builders return CATALYST trees directly —
+    * round-tripping through the Column API here leaves unresolved
+    * column nodes the registry path never analyzes (observed: a
+    * NullType function result). */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, RegExpExtractAll, Size}
+    import org.apache.spark.sql.types.LongType
+    Seq(
+      "cosine_similarity" -> ((args: Seq[Expression]) =>
+        CosineSimilarity(args(0), args(1))),
+      "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
+      "squared_distance" -> ((args: Seq[Expression]) =>
+        SquaredDistance(args(0), args(1))),
+      "shingles3" -> ((args: Seq[Expression]) =>
+        graft.functions.Shingles3(args.head)),
+      // same pattern constant as the Column twin
+      // (TextAnalysis.bpeTokenCount) — one tokenizer definition
+      "bpe_token_count" -> ((args: Seq[Expression]) =>
+        Cast(Size(RegExpExtractAll(args.head,
+          Literal(graft.operators.TextAnalysis.BpePattern), Literal(0))),
+          LongType)))
+  }
+
   /** Install into an already-built session (builder extensions only
     * bind at construction — getOrCreate on a live session silently
     * ignores `withExtensions`). */
@@ -81,11 +103,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(SimplifySelfCosine))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifySelfCosine
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", args => CosineSimilarity(args(0), args(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", args => SimHash64(args.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "squared_distance", args => SquaredDistance(args(0), args(1)), "scala_udf")
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
   }
 }

@@ -204,7 +204,8 @@ object ScaleProbe {
     // "recall" / "plant" are pseudo-names selecting the nprobe-recall
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
-    val pseudo = Set("recall", "plant", "searchrecall", "clusterquality")
+    val pseudo = Set("recall", "plant", "searchrecall", "clusterquality",
+      "packlen")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -397,6 +398,34 @@ object ScaleProbe {
     if (only.forall(_("clusterquality"))) {
       clusterQualityTable(src, "1x")
       clusterQualityTable(dst, s"${factor}x")
+    }
+
+    // Adaptive-prefix execution check: at ≥30× the documents corpus
+    // passes 65 536 rows, so hashPrefixLenFor returns 3 — a 4 096-way
+    // bucket fan-out the gate corpora (≤ sf0.1) can never reach. Run
+    // the REAL len-for-n path on the replicated corpus and prove the
+    // positions equal the len=2 formulation on the same data (the
+    // prefix-key invariance PackingSpec pins at gate scale, now
+    // executed at the scale where the rule actually switches).
+    def packPrefixCheck(dir: String, label: String): Unit = {
+      val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+      val len = graft.operators.Packing.hashPrefixLenFor(n)
+      val docs = Tables.load(spark, dir, "documents")
+      val t0 = System.nanoTime()
+      val viaLen = graft.operators.Packing.globalShuffleRanked(docs, len)
+        .select(col("doc_id"), col("position").as("p_adaptive"))
+      val rows = viaLen.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val viaTwo = graft.operators.Packing.globalShuffleRanked(docs, 2)
+        .select(col("doc_id"), col("position").as("p_len2"))
+      val diff = viaLen.join(viaTwo, "doc_id")
+        .where(col("p_adaptive") =!= col("p_len2")).count()
+      println(f"[packlen] $label%-6s n=$n%-8d prefixLen=$len " +
+        f"rows=$rows%-8d posDiffVsLen2=$diff $sec%7.2f s")
+    }
+    if (only.forall(_("packlen"))) {
+      packPrefixCheck(src, "1x")
+      packPrefixCheck(dst, s"${factor}x")
     }
     spark.stop()
   }

@@ -27,6 +27,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(2) == 25.0)
   }
 
+  test("LLM scalar recipes are callable from SQL and typed like their Column twins") {
+    val df = extSpark.sql(
+      """SELECT bpe_token_count("it's 42 tokens, maybe") AS n,
+                shingles3('a b c d') AS sh""")
+    val schema = df.schema
+    assert(schema("n").dataType == org.apache.spark.sql.types.LongType,
+      s"bpe_token_count must return BIGINT from SQL, got ${schema("n").dataType}")
+    val row = df.collect().head
+    assert(row.getLong(0) > 0)
+    assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
   test("self-cosine rewrite is element-type-aware (double arrays too)") {
     import extSpark.implicits._
     // parquet round-trip: a literal Seq is folded into a LocalRelation

@@ -223,6 +223,21 @@ class PlanAuditSpec extends SparkSpec {
       s"two-level added a join:\n$p2")
   }
 
+  test("SQL-driven pack keeps the two-phase shape: no corpus-wide single-partition window") {
+    val pSql = planOf("pack_sequences_sql")
+    val pDf = planOf("pack_sequences")
+    // the corpus-side window must be hash-partitioned on bucket; the
+    // only SinglePartition exchange feeds the ~√n bucket-subtotal
+    // window — exactly as many as the DataFrame twin has
+    val sp = "Exchange SinglePartition".r
+    assert(sp.findAllIn(pSql).size == sp.findAllIn(pDf).size,
+      s"SQL pack gained a single-partition stage:\n$pSql")
+    assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(pSql).isDefined,
+      s"per-bucket phase lost its hash partitioning:\n$pSql")
+    assert(pSql.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle the corpus:\n$pSql")
+  }
+
   test("epoch mix is map-only on the corpus: broadcast quota join, one hash exchange total") {
     val p = planOf("q_mix_epochs")
     // the ONE hash exchange is the per-source quota aggregate (20

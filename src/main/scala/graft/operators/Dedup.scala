@@ -355,7 +355,7 @@ object Dedup {
     * ~10 extra driver-synchronized jobs at depth-10 convergence).
     * `label < prev` is exact, not a heuristic: min-label propagation
     * only ever lowers a label. */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -373,13 +373,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "lid")
                     .withColumnRenamed("label", "label2"), "lid")
         .select(col("id"), col("label2").as("label"))
-      val next = labels.withColumn("is_prev", lit(true))
+      // stats-BARRIER checkpoint, not the built-in one: the built-in
+      // lazy localCheckpoint carries the optimized plan's size stats
+      // onto the LogicalRDD, and the viaShortcut self-join MULTIPLIES
+      // them — the carried figure squares per round, so by round ~25
+      // plan-stats estimation is doing million-digit BigInteger
+      // arithmetic and at ~31 rounds Spark throws `BigInteger would
+      // overflow supported range` (hit for real by the k=5
+      // mutual-kNN quality probe; gate configs converge in fewer
+      // rounds and only paid a growing planning tax)
+      val next = org.apache.spark.sql.graft.ColumnBridge.localCheckpointNoStats(
+        labels.withColumn("is_prev", lit(true))
         .union(viaNeighbor.withColumn("is_prev", lit(false)))
         .union(viaShortcut.withColumn("is_prev", lit(false)))
         .groupBy("id")
         .agg(min("label").as("label"),
-             min(when(col("is_prev"), col("label"))).as("prev"))
-        .localCheckpoint(eager = false)
+             min(when(col("is_prev"), col("label"))).as("prev")))
       val changed = next.agg(
         coalesce(sum(when(col("label") < col("prev"), 1L).otherwise(0L)),
                  lit(0L)).as("changed")).head.getLong(0)

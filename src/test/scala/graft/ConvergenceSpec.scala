@@ -11,6 +11,41 @@ import graft.operators.Clustering
   */
 class ConvergenceSpec extends SparkSpec {
 
+  test("localCheckpointNoStats is a stats barrier: join-product sizes do not compound across rounds") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val s = spark; import s.implicits._
+    var df = ColumnBridge.localCheckpointNoStats(
+      spark.range(64).toDF("id"))
+    val baseline = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the built-in lazy localCheckpoint carries origin stats, so a
+    // checkpoint-in-a-self-join-loop SQUARES the carried size each
+    // round (digits double per round; Spark's stats visitor overflows
+    // BigInteger past ~31 rounds — hit for real by the k=5 mutual-kNN
+    // quality probe). Ten barriered rounds must stay at the baseline.
+    for (_ <- 1 to 10) {
+      val joined = df.as("a").join(df.as("b"),
+          $"a.id" === $"b.id").select($"a.id".as("id"))
+      df = ColumnBridge.localCheckpointNoStats(joined)
+      assert(df.count() == 64)
+      val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sz == baseline,
+        s"stats leaked through the barrier: $sz vs baseline $baseline")
+    }
+  }
+
+  test("connected components converge on a chain that needs several propagation rounds") {
+    val s = spark; import s.implicits._
+    // a 512-node chain: min-label propagation with pointer
+    // shortcutting needs ~log2(n) rounds — the multi-round regime the
+    // stats barrier exists for (single-round gates would mask a
+    // planning-time regression)
+    val edges = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(edges)
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 512)
+    assert(labels.values.forall(_ == 0L), "chain must collapse to one component")
+  }
+
   test("pre-converged corpus stops after one iteration of a 100-budget") {
     val s = spark; import s.implicits._
     // two exact point-masses whose first-2 init IS the fixed point

@@ -205,7 +205,7 @@ object ScaleProbe {
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
     val pseudo = Set("recall", "plant", "searchrecall", "clusterquality",
-      "packlen")
+      "packlen", "twolevel")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -398,6 +398,52 @@ object ScaleProbe {
     if (only.forall(_("clusterquality"))) {
       clusterQualityTable(src, "1x")
       clusterQualityTable(dst, s"${factor}x")
+    }
+
+    // Two-level coarse quantizer: (a) agreement rate of the
+    // hierarchical assignment with the flat argmax (cell-level — how
+    // often the pSuper probe finds the true nearest cell), (b) search
+    // recall@5 of the two-level IVF search against brute force, (c)
+    // wall time vs the flat scaled search on the same corpus. The
+    // cost side shrinks as ~c^¾/c of the flat scan; these rows price
+    // the recall that buys.
+    def twoLevelTable(dir: String, label: String): Unit = {
+      import graft.functions.NearestCells
+      val emb = Tables.embeddings(spark, dir).cache()
+      val n = emb.count()
+      val cents = emb.where(col("vec_id") <
+          math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val c = cents.size
+      val pS = NearestCells.pSuperFor(c)
+      val agree = emb.select(
+          (NearestCells.nearestCellsTwoLevel(col("embedding"), cents, 1, pS) ===
+           NearestCells.nearestCellsFlat(col("embedding"), cents, 1))
+            .cast("long").as("same"))
+        .agg(avg("same")).head.getDouble(0)
+      val truth = SparkEntry.queries("sim_brute_force")(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallAndTime(fn: => DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = fn.select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        (100.0 * got.count(truth) / math.max(truth.size, 1), sec)
+      }
+      val (recFlat, secFlat) = recallAndTime(
+        SparkEntry.queries("sim_ivf_scaled")(spark, dir))
+      val (rec2, sec2) = recallAndTime(
+        SparkEntry.queries("sim_ivf_2level_scaled")(spark, dir))
+      println(f"[twolevel] $label%-6s n=$n%-7d cells=$c%-4d pSuper=$pS " +
+        f"cellAgree=${100 * agree}%5.1f%% recall@5 flat=$recFlat%5.1f%% " +
+        f"2level=$rec2%5.1f%% time flat=$secFlat%5.2f s 2level=$sec2%5.2f s")
+      emb.unpersist()
+    }
+    if (only.forall(_("twolevel"))) {
+      twoLevelTable(src, "1x")
+      twoLevelTable(dst, s"${factor}x")
     }
 
     // Adaptive-prefix execution check: at ≥30× the documents corpus

@@ -271,7 +271,16 @@ object Similarity {
     * min-label propagation — one job per round, lazily checkpointed.
     * Output: (vec_id, cluster_id = min member id) for vectors with at
     * least one mutual edge; singletons are omitted like the text
-    * cluster gates omit unpaired docs. */
+    * cluster gates omit unpaired docs.
+    *
+    * k is the CLEANLINESS dial (measured over planted near-copy
+    * groups, SCALING.md round-11 k-sweep): completeness — true copies
+    * co-clustering — is 0.93–0.98 at every k, but every neighbor slot
+    * beyond the expected duplicate-group size admits background
+    * mutual edges whose components chain: at k = group−1 planted
+    * clusters stay 90–97 % clean, at k=5 the graph PERCOLATES
+    * (planted purity 0.01). Size k to the duplicate multiplicity you
+    * expect, not to "more neighbors is safer". */
   def qSimMutualKnnClusters(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     mutualKnnClusters(Tables.embeddings(spark, dir), scaledCentroids(n),

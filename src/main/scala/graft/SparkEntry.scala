@@ -60,6 +60,8 @@ object SparkEntry {
     "sim_ivf_scaled"       -> (Similarity.qSimIvfScaled _),
     "sim_ivf_2level_scaled" -> (Similarity.qSimIvfTwoLevelScaled _),
     "sim_ivf_sq8_scaled"   -> (Similarity.qSimIvfSq8Scaled _),
+    "sim_ivf_pq"           -> (Similarity.qSimIvfPq _),
+    "sim_ivf_pq_scaled"    -> (Similarity.qSimIvfPqScaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
@@ -73,6 +75,7 @@ object SparkEntry {
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
+    "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
@@ -84,6 +87,7 @@ object SparkEntry {
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
     "q_mix_epochs"         -> (Mixing.qMixEpochs _),
+    "q_hash_split"         -> (Mixing.qHashSplit _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     // SQL-driven twins of the LLM operators (spark.sql entry points
@@ -159,6 +163,39 @@ object SparkEntry {
        scored AS (SELECT q_id, a.vec_id AS neighbor_id,
            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
            FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+       SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+       WHERE "rank" <= 5 ORDER BY q_id, "rank" """
+
+  /** IVF+PQ CTE chain, parameterized on the coarse-quantizer CTE(s)
+    * (fixed 8 cells vs the √n derivation) and the query probe filter
+    * (nprobe 1 vs 2) — the two sim_ivf_pq* gates. Unrolls
+    * [[graft.functions.PqRecon]]'s algorithm: 8 subspaces of 8 dims,
+    * codebook = the first 16 corpus vectors' slices, each corpus
+    * subvector replaced by its nearest codeword (list_distance ranks
+    * identically to squared L2 — sqrt is monotone — with ties to the
+    * lower codebook id), queries full precision. */
+  private def pqOracleSql(centCtes: String, qRn: String): String =
+    s"""WITH $centCtes,
+       asg AS (SELECT vec_id, embedding, c_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+           FROM embeddings CROSS JOIN cent),
+       rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+       assigned AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, c_id AS bucket FROM rnk WHERE rn = 1),
+       cb AS (SELECT vec_id AS cb_id, CAST(embedding AS DOUBLE[]) AS cb_vec FROM embeddings WHERE vec_id < 16),
+       sub AS (SELECT a.vec_id, t.m, cb.cb_id,
+           list_distance(a.v[t.m*8+1 : t.m*8+8], cb.cb_vec[t.m*8+1 : t.m*8+8]) AS dist
+           FROM assigned a CROSS JOIN (SELECT unnest(range(0,8)) AS m) t CROSS JOIN cb),
+       bsub AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cb_id) AS srn FROM sub),
+       chos AS (SELECT b.vec_id, b.m, c.cb_vec[b.m*8+1 : b.m*8+8] AS piece
+           FROM bsub b JOIN cb c ON b.cb_id = c.cb_id WHERE b.srn = 1),
+       rec AS (SELECT vec_id, flatten(list(piece ORDER BY m)) AS recon FROM chos GROUP BY vec_id),
+       q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
+             WHERE vec_id < 10 AND $qRn),
+       scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q_vec AS DOUBLE[]), pr.recon) AS sim
+           FROM assigned a JOIN rec pr ON a.vec_id = pr.vec_id
+           JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
        SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
        WHERE "rank" <= 5 ORDER BY q_id, "rank" """
@@ -853,6 +890,17 @@ object SparkEntry {
     // input, so build→prune→search must land on these exact rows.
     "sim_ivf_sq8_scaled" -> SimIvfSq8ScaledOracleSql,
     "sim_ivf_indexed_scaled" -> SimIvfSq8ScaledOracleSql,
+    // IVF + product quantization: same coarse bucketing as the sq8
+    // twins, corpus scored on its PQ (8x8-dim, 16-codeword)
+    // reconstruction — the ADC scan of a 4-byte/vector index
+    "sim_ivf_pq" -> pqOracleSql(
+      "cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8)",
+      "rn = 1"),
+    "sim_ivf_pq_scaled" -> pqOracleSql(
+      """nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+       cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                WHERE vec_id < (SELECT c FROM nc))""",
+      "rn <= 2"),
     // k-NN graph: every vector's top-3 neighbors within its 2 probed
     // IVF cells — the blocked-candidate recipe of dedup_embedding_*
     // with a per-query top-k instead of a threshold. The fixed gate
@@ -952,6 +1000,29 @@ object SparkEntry {
          SELECT doc_id, "rank", token, tf,
                 floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
          FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank" """,
+    // corpus-trained unigram LM scoring: vocab = top-16 tokens by
+    // (count desc, token), one shared OOV mass for the rest; per-doc
+    // mean ln p(token). The ORDER-INDEPENDENT sum here matches
+    // Spark's in-document-order fold to well under the 4-decimal
+    // rounding (values ~1e3, double error ~1e-12)
+    "text_unigram_logprob" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         cnt AS (SELECT token, count(*) AS c FROM e GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM cnt),
+         topv AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 16),
+         iv AS (SELECT sum(c) AS inv FROM topv),
+         oov AS (SELECT CASE WHEN n > inv THEN ln(CAST(n - inv AS DOUBLE) / n)
+                        ELSE ln(1.0 / n) END AS oov_lp FROM n CROSS JOIN iv),
+         lm AS (SELECT token, ln(CAST(c AS DOUBLE) / n) AS lp FROM topv CROSS JOIN n),
+         scored AS (SELECT e.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN lm.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             sum(coalesce(lm.lp, (SELECT oov_lp FROM oov))) / count(*) AS alp
+           FROM e LEFT JOIN lm ON e.token = lm.token GROUP BY e.doc_id)
+         SELECT d.doc_id, coalesce(CAST(s.n_tokens AS BIGINT), 0) AS n_tokens,
+           coalesce(s.n_oov, 0) AS n_oov,
+           floor(coalesce(s.alp, 0.0) * 10000 + 0.5) / 10000 AS avg_logprob
+         FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
     "text_tokens_bpe" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,
@@ -1060,6 +1131,14 @@ object SparkEntry {
     // ⌊quota/n⌋ epochs plus one more iff its 24-bit md5 hash clears
     // the exact integer threshold h·n < (quota mod n)·2^24 — the
     // map-only membership test the Spark side runs (Mixing.qMixEpochs)
+    // deterministic content-hash split: bucket = first 24 md5 bits
+    // mod 100 (Spark computes it via conv(hex,16,10) — same integer)
+    "q_hash_split" ->
+      """WITH h AS (SELECT doc_id, ('0x' || substr(md5(text),1,6))::BIGINT % 100 AS bucket FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
     "q_mix_epochs" ->
       """WITH g AS (SELECT source, sum(n_chars) AS mass, count(*) AS n_docs FROM documents GROUP BY 1),
          gw AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM g),

@@ -240,4 +240,36 @@ object Mixing {
       .select(col("source"), col("doc_id"), col("n_tok").as("n_bpe_tokens"))
       .orderBy("source", "doc_id")
   }
+
+  // train/val/test boundaries over the 100 content-hash buckets
+  private val ValBucket = 90  // buckets 0-89 train (90 %)
+  private val TestBucket = 95 // 90-94 val, 95-99 test (5 % each)
+
+  /** Deterministic content-hash train/val/test split — the
+    * reproducible-held-out-set primitive every training pipeline
+    * needs: membership is a pure function of the document TEXT
+    * (bucket = first 24 bits of md5(text) mod 100), so the same doc
+    * lands in the same split across re-shards, re-ingests, engine
+    * versions, and cluster sizes — properties a `rand()`-based or
+    * row-number-based split all lack. Content (not doc_id) keying
+    * also means exact duplicates land in the SAME split, so a dup
+    * surviving upstream dedup can never straddle the train/test
+    * boundary and leak.
+    *
+    * Scale shape: a pure per-row projection — ZERO shuffles, no
+    * model state, no driver participation; the one plan in this
+    * library that is trivially 100 TB-safe by construction. Spark
+    * evaluates the bucket via codegen'd md5+conv; the oracle mirrors
+    * it as DuckDB's hex cast (('0x' || substr(md5(text),1,6))::BIGINT)
+    * — same 24-bit integer, engine-independently. */
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < ValBucket, "train")
+          .when(col("bucket") < TestBucket, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
 }

@@ -19,6 +19,8 @@ object Similarity {
   private val TopK = 5
   private val NumCentroids = 8  // IVF "training": first 8 vectors
   private val NearDupThreshold = 0.45
+  private val PqNumSub = 8       // PQ subspaces (dim 64 -> 8-dim slices)
+  private val PqNumCodewords = 16 // per-subspace codebook size (4-bit codes)
 
   /** Exact top-k nearest neighbors for each query vector.
     * Broadcast the (tiny) query set against the corpus — one scan,
@@ -110,13 +112,20 @@ object Similarity {
     * codegen'd [[graft.functions.CosineSimilarity]] loop. */
   private[graft] def ivfSearch(emb: DataFrame, numCentroids: Int,
                                nProbes: Int, sq8: Boolean,
-                               twoLevel: Boolean = false): DataFrame = {
+                               twoLevel: Boolean = false,
+                               pqCodebook: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
+    require(!(sq8 && pqCodebook.nonEmpty),
+      "sq8 and pq are alternative corpus compressions — pick one")
     val cent = centroidsOf(emb, numCentroids)
     val assign: (DataFrame, DataFrame, Int) => DataFrame =
       if (twoLevel) nearestCentroidsTwoLevel else nearestCentroids
     val assigned = assign(emb, cent, 1)
-    val corpus = if (sq8) withSq8Recon(assigned) else assigned
-    val scoreVec = if (sq8) col("recon") else col("embedding")
+    val corpus = pqCodebook match {
+      case Some(cb) => assigned.withColumn("recon",
+        graft.functions.PqRecon.pqRecon(col("embedding"), cb, PqNumSub))
+      case None => if (sq8) withSq8Recon(assigned) else assigned
+    }
+    val scoreVec = if (sq8 || pqCodebook.nonEmpty) col("recon") else col("embedding")
     val q = assign(
         emb.where(col("vec_id") < NumQueries), cent, nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
@@ -151,6 +160,36 @@ object Similarity {
   def qSimIvfSq8(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(Tables.embeddings(spark, dir), NumCentroids, nProbes = 1,
       sq8 = true)
+
+  /** The deterministic "trained" PQ codebook: the corpus's first
+    * `PqNumCodewords` vectors, collected as driver-held MODEL state
+    * (the coarse-quantizer convention, [[collectCentroids]]) — each
+    * subspace's codebook is that matrix's column slice. */
+  private def pqCodebookOf(emb: DataFrame): Seq[(Long, Array[Double])] =
+    collectCentroids(centroidsOf(emb, PqNumCodewords))
+
+  /** IVF + PQ: same coarse bucketing as [[qSimIvf]], corpus scored on
+    * its PRODUCT-QUANTIZED reconstruction ([[graft.functions.PqRecon]])
+    * while queries stay full precision — the ADC scan of a
+    * code-compressed index. Against SQ8's 4x, PQ at 8 subspaces x 16
+    * codewords stores 4 BYTES per 256-byte vector (64x) — the memory
+    * contract that keeps a 10^10-vector index in executor memory.
+    * Reconstruction is a map-only projection; the search plan is
+    * byte-identical in shape to sim_ivf_sq8's. */
+  def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfSearch(emb, NumCentroids, nProbes = 1, sq8 = false,
+      pqCodebook = Some(pqCodebookOf(emb)))
+  }
+
+  /** √n-centroid IVF + PQ — the compressed-index scale recipe with
+    * the PQ memory contract; the PQ twin of [[qSimIvfSq8Scaled]]. */
+  def qSimIvfPqScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    ivfSearch(emb, scaledCentroids(n), NumProbes, sq8 = false,
+      pqCodebook = Some(pqCodebookOf(emb)))
+  }
 
   /** The SCALE config of IVF search — the search twin of
     * [[qDedupEmbeddingScaled]]: centroid count grows as √n (from

@@ -392,4 +392,61 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("token"))
       .limit(20)
+
+  // Unigram-LM vocabulary: top-V tokens by (count desc, token). 16 on
+  // the 31-token fixture vocabulary so the OOV path is genuinely
+  // exercised (15 token types score as out-of-vocabulary); the real
+  // dial at corpus scale is ~10^5.
+  private val LmVocab = 16
+
+  /** Model-based quality scoring with a corpus-TRAINED unigram LM —
+    * the step up from [[qTextQuality]]'s fixed heuristics and
+    * [[qTextQualityClassifier]]'s fixed weights: the model itself is
+    * fit on the data. Per-doc score = mean ln p(token), p from corpus
+    * counts for the top-`LmVocab` tokens and one shared OOV mass
+    * (1 - in-vocab mass) for everything else — the
+    * perplexity-filtering signal of CCNet-style curation.
+    *
+    * Scale shape: TRAIN is the corpus's one token-count shuffle
+    * (map-side partial aggs), cached so its two bounded reads (top-V
+    * rank via TakeOrdered, total via sum) don't re-tokenize the
+    * corpus; the fitted LM is V+1 doubles of driver MODEL state (the
+    * quantizer-collect convention). SCORE is MAP-ONLY: the LM rides
+    * into the projection as a literal map, each doc folds
+    * `ln p(t)` over its token array in one codegen'd
+    * transform+aggregate — zero joins, zero exchanges, no per-token
+    * row explosion on the scoring side. Token order of the fold is
+    * document order in both engines; the 4-decimal portable rounding
+    * absorbs sub-ulp libm/summation differences.
+    *
+    * Degenerate corpora: V ≥ vocabulary means zero OOV mass — the
+    * OOV logprob then falls back to ln(1/N) (a floor, never ln 0);
+    * an empty doc scores 0.0 with n_tokens = 0 rather than NaN. */
+  def qTextUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .cache()
+    val top = counts.orderBy(desc("c"), col("token")).limit(LmVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalN = counts.agg(sum("c")).collect()(0).getLong(0)
+    counts.unpersist()
+    val inVocab = top.map(_._2).sum
+    val oovLp =
+      if (totalN > inVocab) math.log((totalN - inVocab).toDouble / totalN)
+      else math.log(1.0 / totalN)
+    val lm = typedLit(top.map { case (t, c) =>
+      t -> math.log(c.toDouble / totalN) }.toMap)
+    val nTok = size(col("toks"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => element_at(lm, t).isNull))
+          .cast("long").as("n_oov"),
+        when(nTok === 0, lit(0.0)).otherwise(Text.roundPortable(
+          aggregate(transform(col("toks"),
+              t => coalesce(element_at(lm, t), lit(oovLp))),
+            lit(0.0), (acc, x) => acc + x) / nTok, 4)).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Mixing, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Edge contracts of the content-hash split and the unigram-LM scorer
+  * that the sf0.01 oracle gates can't reach: duplicate texts
+  * co-splitting (the leak-prevention property the content keying
+  * exists for), the zero-OOV-mass log floor, and empty-document
+  * scoring. Synthetic corpora are written as documents.parquet into a
+  * temp dir so the operators run their REAL load path. */
+class HashSplitUnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("hash split partitions the fixture corpus with in-range buckets") {
+    val out = Mixing.qHashSplit(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == total)
+    assert(out.forall { r =>
+      val b = r.getLong(1); b >= 0 && b < 100 })
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // 90/5/5 in expectation; at 200 docs just pin train majority
+    assert(bySplit("train") > total / 2)
+  }
+
+  test("exact-duplicate texts land in the same split — content keying prevents boundary leaks") {
+    // 40 distinct payloads, each present twice under different ids
+    val texts = Seq.tabulate(40)(i => s"payload $i " + ("x " * i))
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t), ((i + 1000).toLong, t)) }
+    val dir = corpusDir(rows)
+    val out = Mixing.qHashSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    texts.zipWithIndex.foreach { case (_, i) =>
+      assert(out(i.toLong) == out((i + 1000).toLong), s"payload $i straddles splits")
+    }
+  }
+
+  test("unigram LM: fixture scoring is negative, OOV genuinely exercised, in-vocab mass dominates") {
+    val out = TextAnalysis.qTextUnigramLogprob(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(3) < 0.0))
+    // the V=16 dial against the 31-token fixture vocabulary must
+    // leave real OOV hits — if a fixture regen shrinks the
+    // vocabulary under V, the OOV path silently stops being tested
+    assert(out.map(_.getLong(2)).sum > 0, "no OOV tokens scored — raise the dial's bite")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("zero OOV mass falls back to the ln(1/N) floor instead of ln(0)") {
+    // 3 token types <= V=16: every token is in-vocab, OOV mass is 0
+    val dir = corpusDir(Seq((0L, "aa bb aa"), (1L, "bb cc"), (2L, "aa")))
+    val out = TextAnalysis.qTextUnigramLogprob(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall { case (_, _, oov, alp) =>
+      oov == 0L && !alp.isNaN && !alp.isInfinite && alp < 0.0 })
+    // doc 2 is pure "aa" (3 of 6 tokens): avg = ln(3/6) exactly
+    val d2 = out.find(_._1 == 2L).get._4
+    assert(math.abs(d2 - math.floor(math.log(0.5) * 1e4 + 0.5) / 1e4) < 1e-12)
+  }
+
+  test("an empty document scores 0.0 with zero tokens, not NaN") {
+    val dir = corpusDir(Seq((0L, "some normal text here"), (1L, "")))
+    val rows = TextAnalysis.qTextUnigramLogprob(spark, dir).collect()
+    val empty = rows.find(_.getLong(0) == 1L).get
+    assert(empty.getLong(1) == 0L && empty.getDouble(3) == 0.0)
+    assert(rows.find(_.getLong(0) == 0L).get.getDouble(3) < 0.0)
+  }
+}

@@ -174,8 +174,12 @@ object SparkEntry {
     * codebook = the first 16 corpus vectors' slices, each corpus
     * subvector replaced by its nearest codeword (list_distance ranks
     * identically to squared L2 — sqrt is monotone — with ties to the
-    * lower codebook id), queries full precision. */
-  private def pqOracleSql(centCtes: String, qRn: String): String =
+    * lower codebook id); then the production IVFPQ two-stage search:
+    * ADC shortlist (`refineExpr` — 25 fixed, max(25, ⌈√n⌉) scaled)
+    * on the reconstruction, exact full-precision re-rank of the
+    * shortlist, top-5. */
+  private def pqOracleSql(centCtes: String, qRn: String,
+                          refineExpr: String): String =
     s"""WITH $centCtes,
        asg AS (SELECT vec_id, embedding, c_id,
            list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
@@ -192,11 +196,15 @@ object SparkEntry {
        rec AS (SELECT vec_id, flatten(list(piece ORDER BY m)) AS recon FROM chos GROUP BY vec_id),
        q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM rnk
              WHERE vec_id < 10 AND $qRn),
-       scored AS (SELECT q_id, a.vec_id AS neighbor_id,
-           list_cosine_similarity(CAST(q_vec AS DOUBLE[]), pr.recon) AS sim
+       scored AS (SELECT q_id, a.vec_id AS neighbor_id, a.v AS n_vec, q_vec,
+           list_cosine_similarity(CAST(q_vec AS DOUBLE[]), pr.recon) AS sim_adc
            FROM assigned a JOIN rec pr ON a.vec_id = pr.vec_id
            JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
-       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+       short AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_adc DESC, neighbor_id) AS sr FROM scored),
+       refined AS (SELECT q_id, neighbor_id,
+           list_cosine_similarity(CAST(q_vec AS DOUBLE[]), n_vec) AS sim
+           FROM short WHERE sr <= ($refineExpr)),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM refined)
        SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
        WHERE "rank" <= 5 ORDER BY q_id, "rank" """
 
@@ -895,12 +903,13 @@ object SparkEntry {
     // reconstruction — the ADC scan of a 4-byte/vector index
     "sim_ivf_pq" -> pqOracleSql(
       "cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8)",
-      "rn = 1"),
+      "rn = 1", "25"),
     "sim_ivf_pq_scaled" -> pqOracleSql(
       """nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
        cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
                 WHERE vec_id < (SELECT c FROM nc))""",
-      "rn <= 2"),
+      "rn <= 2",
+      "SELECT greatest(25, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings"),
     // k-NN graph: every vector's top-3 neighbors within its 2 probed
     // IVF cells — the blocked-candidate recipe of dedup_embedding_*
     // with a per-query top-k instead of a threshold. The fixed gate

@@ -205,7 +205,7 @@ object ScaleProbe {
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
     val pseudo = Set("recall", "plant", "searchrecall", "clusterquality",
-      "packlen", "twolevel")
+      "packlen", "twolevel", "pq")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -444,6 +444,33 @@ object ScaleProbe {
     if (only.forall(_("twolevel"))) {
       twoLevelTable(src, "1x")
       twoLevelTable(dst, s"${factor}x")
+    }
+
+    // PQ compression: search recall@5 of the scaled IVF+PQ search
+    // (4 bytes/vector) against brute force, next to the SQ8 recipe
+    // (64 bytes/vector) on the same corpus — prices the recall the
+    // extra 16x memory cut costs, and times both.
+    def pqTable(dir: String, label: String): Unit = {
+      val truth = SparkEntry.queries("sim_brute_force")(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallAndTime(fn: => DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = fn.select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        (100.0 * got.count(truth) / math.max(truth.size, 1), sec)
+      }
+      val (recSq8, secSq8) = recallAndTime(
+        SparkEntry.queries("sim_ivf_sq8_scaled")(spark, dir))
+      val (recPq, secPq) = recallAndTime(
+        SparkEntry.queries("sim_ivf_pq_scaled")(spark, dir))
+      println(f"[pq] $label%-6s recall@5 sq8=$recSq8%5.1f%% pq=$recPq%5.1f%% " +
+        f"time sq8=$secSq8%5.2f s pq=$secPq%5.2f s")
+    }
+    if (only.forall(_("pq"))) {
+      pqTable(src, "1x")
+      pqTable(dst, s"${factor}x")
     }
 
     // Adaptive-prefix execution check: at ≥30× the documents corpus

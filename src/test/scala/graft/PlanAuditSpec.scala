@@ -208,6 +208,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), p)
   }
 
+  test("PQ search keeps the SQ8 plan shape: recon is a projection, no codebook join or extra exchange") {
+    val pPq = planOf("sim_ivf_pq")
+    val pSq = planOf("sim_ivf_sq8")
+    // the codebook is a codegen reference object inside pq_recon, so
+    // encoding+reconstruction must not materialize as a join or add
+    // an exchange over the sq8 formulation it replaces
+    assert(pPq.contains("pq_recon"), pPq)
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+    assert(joins.findAllIn(pPq).size == joins.findAllIn(pSq).size,
+      s"PQ added a join:\n$pPq")
+    val ex = "Exchange hashpartitioning".r
+    assert(ex.findAllIn(pPq).size == ex.findAllIn(pSq).size,
+      s"PQ added a hash exchange:\n$pPq")
+  }
+
+  test("hash split is a pure projection: no join, no aggregate, no hash exchange") {
+    val p = planOf("q_hash_split")
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|HashAggregate".r
+      .findFirstIn(p).isEmpty, p)
+  }
+
+  test("unigram-LM scoring side is map-only: the literal-map fold adds no join or hash exchange") {
+    // the returned frame is the SCORING plan (training ran eagerly at
+    // construction); an explode+join formulation of the lookup would
+    // appear here as a join + per-token row explosion
+    val p = planOf("text_unigram_logprob")
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|Generate".r
+      .findFirstIn(p).isEmpty, p)
+  }
+
   test("two-level search keeps the flat path's plan shape: map-only assignment, same exchanges") {
     val p2 = planOf("sim_ivf_2level_scaled")
     val p1 = planOf("sim_ivf_scaled")

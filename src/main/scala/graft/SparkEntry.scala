@@ -62,6 +62,8 @@ object SparkEntry {
     "sim_ivf_sq8_scaled"   -> (Similarity.qSimIvfSq8Scaled _),
     "sim_ivf_pq"           -> (Similarity.qSimIvfPq _),
     "sim_ivf_pq_scaled"    -> (Similarity.qSimIvfPqScaled _),
+    "sim_ivf_pq_indexed"   -> (Similarity.qSimIvfPqIndexed _),
+    "sim_ivf_pq_indexed_scaled" -> (Similarity.qSimIvfPqIndexedScaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
@@ -905,6 +907,19 @@ object SparkEntry {
       "cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8)",
       "rn = 1", "25"),
     "sim_ivf_pq_scaled" -> pqOracleSql(
+      """nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+       cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                WHERE vec_id < (SELECT c FROM nc))""",
+      "rn <= 2",
+      "SELECT greatest(25, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings"),
+    // the persisted-codes round trips: stored codes decode to the
+    // identical ADC input and the join-back re-rank scores the same
+    // exact cosines, so each shares its recompute twin's oracle — the
+    // gates add the build→persist→prune→decode→join-back path
+    "sim_ivf_pq_indexed" -> pqOracleSql(
+      "cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8)",
+      "rn = 1", "25"),
+    "sim_ivf_pq_indexed_scaled" -> pqOracleSql(
       """nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
        cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
                 WHERE vec_id < (SELECT c FROM nc))""",

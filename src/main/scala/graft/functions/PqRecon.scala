@@ -137,6 +137,110 @@ case class PqRecon(child: Expression, codewords: Array[Array[Array[Double]]],
     copy(child = newChild)
 }
 
+/** Product-quantization ENCODE alone: the per-subspace argmin
+  * codeword POSITIONS (0-based, in ascending-codebook-id order) as an
+  * `array<int>` — what a persisted PQ index actually stores (4 bits
+  * each at 16 codewords; int here, the storage layer packs). Same
+  * distance loop and tie rule as [[PqRecon]] — PqReconSpec pins that
+  * decoding these codes through the codebook reproduces PqRecon's
+  * reconstruction exactly, which is what lets the indexed gates share
+  * the recompute gates' oracles. */
+case class PqCodes(child: Expression, codewords: Array[Array[Array[Double]]],
+                   dSub: Int) extends UnaryExpression {
+
+  require(codewords.nonEmpty && codewords.forall(_.nonEmpty),
+    "every subspace needs at least one codeword")
+  require(dSub >= 1, s"dSub must be >= 1, got $dSub")
+
+  private def numSub: Int = codewords.length
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> vector, got ${t.catalogString}")
+  }
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    val out = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      val base = m * dSub
+      val cb = codewords(m)
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var d = 0.0
+        var i = 0
+        val n = math.min(dSub, math.max(0, nv - base))
+        while (i < n) {
+          val x = (if (isDouble) v.getDouble(base + i)
+                   else v.getFloat(base + i).toDouble) - cw(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j }
+        j += 1
+      }
+      out(m) = bestJ
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodewords", codewords, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val nv = ctx.freshName("nv"); val out = ctx.freshName("out")
+      val m = ctx.freshName("m"); val base = ctx.freshName("base")
+      val cb = ctx.freshName("cb"); val bestJ = ctx.freshName("bestJ")
+      val bestD = ctx.freshName("bestD"); val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val get = if (isDouble) s"$v.getDouble($base + $i)"
+                else s"(double) $v.getFloat($base + $i)"
+      s"""
+         |int $nv = $v.numElements();
+         |int[] $out = new int[$numSub];
+         |for (int $m = 0; $m < $numSub; $m++) {
+         |  int $base = $m * $dSub;
+         |  double[][] $cb = $cbRef[$m];
+         |  int $bestJ = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $cb.length; $j++) {
+         |    double[] $cw = $cb[$j];
+         |    double $d = 0.0;
+         |    int $n = java.lang.Math.min($dSub, java.lang.Math.max(0, $nv - $base));
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = $get - $cw[$i];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $bestJ = $j; }
+         |  }
+         |  $out[$m] = $bestJ;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PqRecon {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -148,7 +252,35 @@ object PqRecon {
     * refused at plan build. */
   def pqRecon(vec: Column, codebook: Seq[(Long, Array[Double])],
               numSub: Int): Column = {
-    require(codebook.nonEmpty, "pq_recon needs a non-empty codebook")
+    val (sliced, dSub) = slicedCodebook(codebook, numSub)
+    ColumnBridge.column(PqRecon(ColumnBridge.expression(vec), sliced, dSub))
+  }
+
+  /** Encode only — the `array<int>` codeword positions a persisted
+    * index stores ([[PqCodes]]). */
+  def pqCodes(vec: Column, codebook: Seq[(Long, Array[Double])],
+              numSub: Int): Column = {
+    val (sliced, dSub) = slicedCodebook(codebook, numSub)
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), sliced, dSub))
+  }
+
+  /** Decode stored codes back to the reconstruction — NO custom
+    * expression: the codebook rides in as a nested array literal and
+    * the lookup is a builtin codegen'd flatten∘transform∘element_at
+    * (1-based), so `pqDecode(pqCodes(v)) ≡ pqRecon(v)` element for
+    * element (same double objects looked up; PqReconSpec pins it). */
+  def pqDecode(codes: Column, codebook: Seq[(Long, Array[Double])],
+               numSub: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val (sliced, _) = slicedCodebook(codebook, numSub)
+    val cbLit = typedLit(sliced.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(zip_with(codes, typedLit(List.range(0, numSub)),
+      (c, m) => element_at(element_at(cbLit, m + 1), c + 1)))
+  }
+
+  private def slicedCodebook(codebook: Seq[(Long, Array[Double])],
+                             numSub: Int): (Array[Array[Array[Double]]], Int) = {
+    require(codebook.nonEmpty, "pq needs a non-empty codebook")
     val sorted = codebook.sortBy(_._1)
     val dim = sorted.head._2.length
     require(dim % numSub == 0,
@@ -160,6 +292,6 @@ object PqRecon {
           java.util.Arrays.copyOfRange(cw, m * dSub, (m + 1) * dSub)
         }.toArray
       }
-    ColumnBridge.column(PqRecon(ColumnBridge.expression(vec), sliced, dSub))
+    (sliced, dSub)
   }
 }

@@ -681,4 +681,102 @@ object Similarity {
     buildIvfIndex(spark, dir, "ivf_sq8_index_scaled", scaledCentroids(n))
     searchIvfIndex(spark, dir, "ivf_sq8_index_scaled", NumProbes)
   }
+
+  // --- Materialized PQ-code index ---------------------------------
+  // The PQ twin of the SQ8 index above, with the honest deployment
+  // split the recompute gates can't show: the persisted table holds
+  // ONLY (vec_id, bucket, codes) — 8 codeword positions per vector,
+  // 4 bits each at 16 codewords — plus two tiny model tables (coarse
+  // quantizer, codebook). Raw vectors are NOT in the index; the exact
+  // re-rank stage therefore has to go BACK to the corpus, which here
+  // is a broadcast join of the shortlist (|q|·refine rows) against
+  // the raw table — one streamed corpus scan, no shuffle. A serving
+  // deployment upgrades that to point lookups; the semantics (and the
+  // gate hashes) don't change.
+
+  /** One-pass PQ index build: coarse assignment + PQ encoding,
+    * persisted bucketed by cell id (same pruning story as the SQ8
+    * index); quantizer and codebook saved alongside as model tables —
+    * search must never re-derive a model from the corpus, or index
+    * and corpus could silently disagree. */
+  def buildPqIndex(spark: SparkSession, dir: String, name: String,
+                   numCentroids: Int): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = centroidsOf(emb, numCentroids)
+    val cb = pqCodebookOf(emb)
+    val rows = nearestCentroids(emb, cent, keep = 1)
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.PqRecon.pqCodes(col("embedding"), cb, PqNumSub)
+          .as("codes"))
+    graft.sources.Readers.saveBucketedTable(rows, name,
+      buckets = IndexFileBuckets, bucketCol = "bucket")
+    graft.sources.Readers.replaceTable(cent, s"${name}_centroids")
+    graft.sources.Readers.replaceTable(
+      emb.where(col("vec_id") < PqNumCodewords)
+        .select(col("vec_id").as("cb_id"), col("embedding").as("cb_vec")),
+      s"${name}_codebook")
+  }
+
+  /** Search a PQ index: probed cells pruned off the bucketed table,
+    * codes decoded through the broadcast codebook (a builtin
+    * flatten∘element_at lookup — [[graft.functions.PqRecon.pqDecode]]
+    * reproduces the recompute path's reconstruction exactly), ADC
+    * shortlist, then the exact re-rank as a broadcast join back to
+    * the RAW corpus — the only stage that touches full vectors. */
+  def searchPqIndex(spark: SparkSession, dir: String, name: String,
+                    nProbes: Int, refine: Int): DataFrame = {
+    val cent = spark.table(s"${name}_centroids")
+    val cb = spark.table(s"${name}_codebook")
+      .select(col("cb_id"), col("cb_vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val q = nearestCentroids(
+        Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries),
+        cent, keep = nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("bucket").as("q_bucket"))
+    val probed: Array[Long] =
+      q.select("q_bucket").distinct().collect().map(_.getLong(0))
+    val cells = spark.table(name)
+      .where(col("bucket").isin(probed: _*))
+      .withColumn("recon",
+        graft.functions.PqRecon.pqDecode(col("codes"), cb, PqNumSub))
+    val wAdc = Window.partitionBy("q_id").orderBy(desc("sim_adc"), col("vec_id"))
+    val shortlist = cells
+      .join(broadcast(q), col("bucket") === col("q_bucket") &&
+               col("vec_id") =!= col("q_id"))
+      .withColumn("sim_adc", cosine(col("q_vec"), col("recon")))
+      .withColumn("rank_adc", row_number().over(wAdc))
+      .where(col("rank_adc") <= refine)
+      .select(col("q_id"), col("q_vec"), col("vec_id"))
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("n_vec"))
+    val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    raw.join(broadcast(shortlist), "vec_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** PQ index round trip — SAME oracle as sim_ivf_pq: stored codes
+    * decode to the identical ADC scoring input, the shortlist is the
+    * same set, and the corpus join-back re-ranks it with the same
+    * exact cosine. What the gate adds over the recompute twin is the
+    * full build→persist→prune→decode→join-back path. */
+  def qSimIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    buildPqIndex(spark, dir, "ivf_pq_index", NumCentroids)
+    searchPqIndex(spark, dir, "ivf_pq_index", nProbes = 1, PqRefine)
+  }
+
+  /** The SCALED PQ index round trip (√n cells, nprobe 2, √n
+    * shortlist) — same oracle as sim_ivf_pq_scaled. */
+  def qSimIvfPqIndexedScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    buildPqIndex(spark, dir, "ivf_pq_index_scaled", scaledCentroids(n))
+    searchPqIndex(spark, dir, "ivf_pq_index_scaled", NumProbes, scaledRefine(n))
+  }
 }

@@ -183,6 +183,37 @@ class IvfIndexSpec extends SparkSpec {
       "retired table survived")
   }
 
+  test("PQ index stores only codes; search prunes buckets and joins back to the corpus for the re-rank") {
+    val name = "ivf_pq_index_spec"
+    Similarity.buildPqIndex(spark, sf, name, numCentroids = 8)
+    val idx = spark.table(name)
+    // 4-bytes-per-vector contract: codes + keys, NO raw vectors, no
+    // per-vector scalars (PQ needs none — the codebook is the model)
+    assert(idx.columns.sorted.toSeq == Seq("bucket", "codes", "vec_id"),
+      idx.columns.mkString(","))
+    assert(spark.table(s"${name}_codebook").count() == 16)
+    val plan = Similarity.searchPqIndex(spark, sf, name, nProbes = 1, refine = 25)
+    val scans = fileScans(plan)
+    val bucketed = scans.filter(_.relation.bucketSpec.isDefined)
+    assert(bucketed.nonEmpty, "no bucketed-table scan in the PQ search plan")
+    val s = bucketed.head
+    assert(s.optionalBucketSet.exists(
+        _.cardinality() < s.relation.bucketSpec.get.numBuckets),
+      "PQ index scan reads every file bucket")
+    // the raw corpus appears exactly twice: the query slice (vec_id
+    // pushdown) and the re-rank join-back — the index scan itself
+    // never touches embeddings
+    val emb = scans.filterNot(_.relation.bucketSpec.isDefined)
+      .filter(_.schema.fieldNames.exists(Set("embedding", "n_vec")))
+    assert(emb.size == 2, s"expected query-slice + join-back corpus scans, got ${emb.size}")
+    // and the values equal the recompute twin's (the oracle proves
+    // this at sf0.01; re-prove at this spec's sf for free)
+    val got = plan.collect().map(_.toSeq).toSeq
+    val want = graft.SparkEntry.queries("sim_ivf_pq")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("nprobe widens the candidate set monotonically") {
     built
     // top-k per query can only improve (sim non-decreasing per rank)

@@ -78,6 +78,25 @@ class PqReconSpec extends SparkSpec {
       r != v.map(_.toDouble).toSeq } > 40)
   }
 
+  test("pqDecode(pqCodes(v)) reproduces pqRecon(v) exactly — the stored-index contract") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = emb.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val mism = emb.select(
+        PqRecon.pqRecon(col("embedding"), cb, 8).as("direct"),
+        PqRecon.pqDecode(PqRecon.pqCodes(col("embedding"), cb, 8), cb, 8)
+          .as("roundtrip"))
+      .where(col("direct") =!= col("roundtrip"))
+      .count()
+    assert(mism == 0)
+    // codes themselves are valid positions for a 16-codeword book
+    val codes = emb.select(PqRecon.pqCodes(col("embedding"), cb, 8).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
   test("an uneven subspace cut is refused at plan build") {
     val cb = Seq((0L, Array.fill(10)(0.5)))
     val e = intercept[IllegalArgumentException] {

@@ -78,6 +78,7 @@ object SparkEntry {
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
+    "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
@@ -1047,6 +1048,19 @@ object SparkEntry {
            coalesce(s.n_oov, 0) AS n_oov,
            floor(coalesce(s.alp, 0.0) * 10000 + 0.5) / 10000 AS avg_logprob
          FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
+    // context-window chunking: 32-token windows on a 24-token stride,
+    // chunk count max(1, ceil((n-32)/24)+1) so short docs yield one
+    // chunk and the tail window survives (possibly short)
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         c AS (SELECT doc_id, toks, greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1) AS n_chunks FROM d),
+         e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+         s AS (SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+                      toks[chunk_id*24 + 1 : chunk_id*24 + 32] AS chunk FROM e)
+         SELECT doc_id, chunk_id, start_tok,
+                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_id""",
     "text_tokens_bpe" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

@@ -393,6 +393,45 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("token"))
       .limit(20)
 
+  // Context-window chunking: 32-token chunks on a 24-token stride
+  // (8-token overlap). Fixture docs run 10-99 tokens, so the rule's
+  // whole range executes: single-chunk short docs, multi-chunk with
+  // overlap, and short tail chunks.
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Context-window document chunking — the step that turns curated
+    * documents into model-sized training rows: overlapping
+    * `ChunkSize`-token windows every `ChunkStride` tokens, the last
+    * window keeping the (possibly short) tail. Chunk count is
+    * max(1, ⌈(n−size)/stride⌉+1): a doc at or under the window is one
+    * chunk, never zero — losing short docs in a chunker is a silent
+    * corpus cut.
+    *
+    * Scale shape: MAP-ONLY — token split, a `sequence` of window
+    * starts, one generate (explode), and a slice+join projection per
+    * chunk; no shuffle, no model state, and output growth is bounded
+    * by ~n_tokens/stride per doc. Feeds [[graft.operators.Packing]]
+    * (chunks are what actually gets packed at a real pipeline's end). */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    val nChunks = greatest(lit(1L),
+      ceil((n - lit(ChunkSize)).cast("double") / lit(ChunkStride)).cast("long")
+        + lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkStride)
+      .withColumn("chunk",
+        slice(col("toks"), col("start_tok").cast("int") + 1, lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // Unigram-LM vocabulary: top-V tokens by (count desc, token). 16 on
   // the 31-token fixture vocabulary so the OOV path is genuinely
   // exercised (15 token types score as out-of-vocabulary); the real

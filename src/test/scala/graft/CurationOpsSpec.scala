@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * exists for), the zero-OOV-mass log floor, and empty-document
   * scoring. Synthetic corpora are written as documents.parquet into a
   * temp dir so the operators run their REAL load path. */
-class HashSplitUnigramSpec extends SparkSpec {
+class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private def corpusDir(rows: Seq[(Long, String)]): String = {
@@ -69,6 +69,43 @@ class HashSplitUnigramSpec extends SparkSpec {
     // doc 2 is pure "aa" (3 of 6 tokens): avg = ln(3/6) exactly
     val d2 = out.find(_._1 == 2L).get._4
     assert(math.abs(d2 - math.floor(math.log(0.5) * 1e4 + 0.5) / 1e4) < 1e-12)
+  }
+
+  test("chunking covers every token: tail survives, overlap is the stride gap, short docs are one chunk") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+      .toMap
+    val chunks = TextAnalysis.qTextChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id).length
+      val sorted = cs.sortBy(_._2)
+      // chunk 0 starts at 0; starts advance by exactly the stride
+      assert(sorted.head._3 == 0L)
+      sorted.zipWithIndex.foreach { case ((_, _, start, len, text), i) =>
+        assert(start == i * 24L)
+        // chunk text IS the token slice it claims
+        assert(text == docs(id).slice(start.toInt, start.toInt + len.toInt)
+          .mkString(" "))
+      }
+      // tail coverage: the last chunk ends at n — no token is dropped
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      assert(lastStart + lastLen == n, s"doc $id tail lost")
+      // short docs are exactly one chunk
+      if (n <= 32) assert(sorted.length == 1, s"doc $id n=$n split needlessly")
+      else assert(sorted.length == 1 + math.ceil((n - 32) / 24.0).toInt)
+    }
+  }
+
+  test("an empty document chunks to one empty chunk, not zero rows") {
+    val dir = corpusDir(Seq((0L, "a b c"), (1L, "")))
+    val out = TextAnalysis.qTextChunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(out.toSet == Set((0L, 3L, "a b c"), (1L, 0L, "")))
   }
 
   test("an empty document scores 0.0 with zero tokens, not NaN") {

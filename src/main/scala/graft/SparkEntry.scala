@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
     "dedup_keep_best"      -> (Dedup.qDedupKeepBest _),
     "dedup_verbatim"       -> (Dedup.qVerbatimCoverage _),
+    "dedup_verbatim_rewrite" -> (Dedup.qVerbatimRewrite _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
     "dedup_embedding_scaled"  -> (Similarity.qDedupEmbeddingScaled _),
@@ -748,6 +749,28 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens,
                 floor((CAST(sum(len) AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS dup_frac
          FROM c4 GROUP BY doc_id, n ORDER BY doc_id""",
+    // span REMOVAL: each shared 8-token window is kept by its lowest
+    // doc_id and cut from every other holder; text rebuilt from the
+    // surviving tokens (whitespace normalized). Every doc returns.
+    "dedup_verbatim_rewrite" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         t AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         wins AS (SELECT doc_id, p, md5(array_to_string(toks[p:p+7], ' ')) AS h
+                  FROM (SELECT doc_id, toks, CAST(unnest(range(1, n - 6)) AS BIGINT) AS p
+                        FROM t WHERE n >= 8)),
+         own AS (SELECT h, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h),
+         cut AS (SELECT wins.doc_id, wins.p FROM wins JOIN own ON wins.h = own.h
+                 WHERE own.nd >= 2 AND wins.doc_id != own.owner),
+         ivl AS (SELECT doc_id, list({'s': p, 'e': p + 7}) AS ivs FROM cut GROUP BY doc_id),
+         clean AS (SELECT t.doc_id, t.n, t.toks, coalesce(i.ivs, []) AS ivs
+                   FROM t LEFT JOIN ivl i USING (doc_id)),
+         outp AS (SELECT doc_id, n,
+             list_transform(list_filter(range(1, n + 1),
+                 i -> len(list_filter(ivs, iv -> i >= iv.s AND i <= iv.e)) = 0),
+               i -> toks[i]) AS kept FROM clean)
+         SELECT doc_id, CAST(n - len(kept) AS BIGINT) AS n_removed,
+                coalesce(array_to_string(kept, ' '), '') AS clean_text
+         FROM outp ORDER BY doc_id""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS sim

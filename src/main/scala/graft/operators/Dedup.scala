@@ -612,4 +612,56 @@ object Dedup {
           .as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** Verbatim span REMOVAL — the rewrite half of ExactSubstr dedup
+    * ([[qVerbatimCoverage]] measures; this cuts): each shared
+    * w-token window has an OWNER (the lowest doc_id holding it — a
+    * deterministic, engine-free rule), the owner keeps its copy, and
+    * every other holder has the window's token span removed; a doc's
+    * text is rebuilt from its surviving tokens. One copy of every
+    * duplicated span survives somewhere — removal never destroys
+    * content, only repetition. Reconstruction normalizes whitespace
+    * to single spaces (the tokenizer's inverse).
+    *
+    * Scale shape: the window index is the same single hash-shuffle as
+    * the coverage operator; cut intervals roll up per doc (bounded by
+    * n/1 rows, usually tiny) and join back DOC-level — the corpus is
+    * never position-exploded on the rewrite side; the span test runs
+    * as a codegen'd filter-with-index HOF over each doc's token array
+    * against its own interval list. Every doc comes back (n_removed=0
+    * rows included): a rewrite operator that silently drops clean
+    * docs would be a corpus cut, not a cleanup. */
+  def qVerbatimRewrite(spark: SparkSession, dir: String): DataFrame =
+    verbatimRewrite(Tables.documents(spark, dir))
+
+  private[graft] def verbatimRewrite(documents: DataFrame): DataFrame = {
+    val w = VerbatimWindow
+    val toksDf = documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val wins = toksDf.where(col("n") >= w)
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(1), col("n") - (w - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("toks"), col("p"), lit(w)))).as("h"))
+    val owners = wins.groupBy("h")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("h", "owner")
+    val ivs = wins.join(owners, "h")
+      .where(col("doc_id") =!= col("owner"))
+      .groupBy("doc_id")
+      .agg(collect_list(
+        struct(col("p").as("s"), (col("p") + (w - 1)).as("e"))).as("ivs"))
+    toksDf.join(ivs, Seq("doc_id"), "left")
+      .withColumn("ivs",
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("toks"),
+        (t, i) => !exists(col("ivs"),
+          iv => (i + 1) >= iv("s") && (i + 1) <= iv("e"))))
+      .select(col("doc_id"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
     "q_mix_epochs"         -> (Mixing.qMixEpochs _),
     "q_hash_split"         -> (Mixing.qHashSplit _),
+    "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     // SQL-driven twins of the LLM operators (spark.sql entry points
@@ -1192,6 +1193,40 @@ object SparkEntry {
     // ⌊quota/n⌋ epochs plus one more iff its 24-bit md5 hash clears
     // the exact integer threshold h·n < (quota mod n)·2^24 — the
     // map-only membership test the Spark side runs (Mixing.qMixEpochs)
+    // the chunk-level pretraining assembly: train split → verbatim
+    // span removal within train → context-window chunking of the
+    // cleaned text → prefix-sum packing of the chunks in
+    // (doc_id·256 + chunk_id) order; empty chunks dropped
+    "pipeline_chunked_pretrain" ->
+      """WITH tr AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+            FROM documents WHERE ('0x' || substr(md5(text),1,6))::BIGINT % 100 < 90),
+         t AS (SELECT doc_id, toks, len(toks) AS n FROM tr),
+         wins AS (SELECT doc_id, p, md5(array_to_string(toks[p:p+7], ' ')) AS h
+                  FROM (SELECT doc_id, toks, CAST(unnest(range(1, n - 6)) AS BIGINT) AS p
+                        FROM t WHERE n >= 8)),
+         own AS (SELECT h, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h),
+         cut AS (SELECT wins.doc_id, wins.p FROM wins JOIN own ON wins.h = own.h
+                 WHERE own.nd >= 2 AND wins.doc_id != own.owner),
+         ivl AS (SELECT doc_id, list({'s': p, 'e': p + 7}) AS ivs FROM cut GROUP BY doc_id),
+         kept AS (SELECT t.doc_id,
+             list_transform(list_filter(range(1, t.n + 1),
+                 i -> len(list_filter(coalesce(i2.ivs, []), iv -> i >= iv.s AND i <= iv.e)) = 0),
+               i -> t.toks[i]) AS ktoks
+           FROM t LEFT JOIN ivl i2 USING (doc_id)),
+         ck AS (SELECT doc_id, ktoks AS toks, len(ktoks) AS n FROM kept),
+         nch AS (SELECT doc_id, toks, n,
+                 greatest(1, CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1) AS n_chunks FROM ck),
+         ch AS (SELECT doc_id, chunk_id,
+                CAST(len(toks[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT) AS n_chunk_tokens
+                FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM nch)),
+         chk AS (SELECT doc_id, chunk_id, n_chunk_tokens, doc_id * 256 + chunk_id AS pk
+                 FROM ch WHERE n_chunk_tokens > 0),
+         po AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+                CAST(sum(n_chunk_tokens) OVER (ORDER BY pk ROWS UNBOUNDED PRECEDING)
+                     - n_chunk_tokens AS BIGINT) AS so FROM chk)
+         SELECT doc_id, chunk_id, n_chunk_tokens,
+                so // 256 AS seq_id, so % 256 AS seq_offset
+         FROM po ORDER BY doc_id, chunk_id""",
     // deterministic content-hash split: bucket = first 24 md5 bits
     // mod 100 (Spark computes it via conv(hex,16,10) — same integer)
     "q_hash_split" ->

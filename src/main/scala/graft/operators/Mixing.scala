@@ -262,10 +262,15 @@ object Mixing {
     * evaluates the bucket via codegen'd md5+conv; the oracle mirrors
     * it as DuckDB's hex cast (('0x' || substr(md5(text),1,6))::BIGINT)
     * — same 24-bit integer, engine-independently. */
+  /** The content-hash bucket (0-99) of a text column — the one
+    * definition [[qHashSplit]] and every pipeline split filter share
+    * (two spellings of the hash would silently disagree on membership). */
+  private[operators] def hashBucket(text: Column): Column =
+    conv(substring(md5(text), 1, 6), 16, 10).cast("long") % 100
+
   def qHashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") % 100)
+      .withColumn("bucket", hashBucket(col("text")))
       .withColumn("split",
         when(col("bucket") < ValBucket, "train")
           .when(col("bucket") < TestBucket, "val")

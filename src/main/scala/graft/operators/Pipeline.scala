@@ -264,4 +264,51 @@ object Pipeline {
               col("seq_id"), col("seq_offset"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** Max chunks per document the packing key encodes — the key is
+    * doc_id·256 + chunk_id, so a doc may span at most 256 chunks
+    * (32 + 255·24 ≈ 6.1k tokens at the shipped window/stride). A
+    * longer doc needs a wider stride here; the oracle encodes the
+    * same rule, so an overflow would hash-mismatch loudly rather
+    * than corrupt silently. */
+  private val ChunkKeyStride = 256L
+
+  /** The CHUNK-level pretraining assembly — the round-11 operators
+    * composed into the shape a context-window training run actually
+    * consumes: content-hash TRAIN split (held-out buckets never seen:
+    * [[Mixing.qHashSplit]]'s rule) → verbatim span REMOVAL within the
+    * train corpus ([[Dedup.verbatimRewrite]] — owners keep, repeats
+    * cut) → context-window chunking of the cleaned text
+    * ([[TextAnalysis.chunkDocs]]) → two-phase prefix-sum packing of
+    * the chunks ([[Packing.packFromCounts]]). Empty chunks (docs
+    * fully consumed by dedup) are dropped — a zero-token training row
+    * is padding, not data.
+    *
+    * Composition is frame-level: each stage consumes the previous
+    * frame's columns, so the corpus is scanned once at the head; the
+    * shuffles are the rewrite's window index, the chunk explode's
+    * output (map-side), and the pack's two window phases — nothing
+    * new is introduced by composing. The pack key is
+    * doc_id·[[ChunkKeyStride]]+chunk_id, decomposed back in the
+    * output, so packing order is (doc, chunk) order. */
+  def qChunkedPretrain(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val train = Tables.documents(spark, dir)
+      .where(Mixing.hashBucket(col("text")) < 90)
+    val clean = Dedup.verbatimRewrite(train)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val chunks = TextAnalysis.chunkDocs(clean)
+      .where(col("n_chunk_tokens") > 0)
+      .select((col("doc_id") * ChunkKeyStride + col("chunk_id")).as("pack_key"),
+              col("n_chunk_tokens"))
+    val packed = Packing.packFromCounts(
+      chunks.select(col("pack_key").as("doc_id"), col("n_chunk_tokens")),
+      "n_chunk_tokens", nDocs)
+    packed
+      .select(expr(s"doc_id DIV $ChunkKeyStride").as("doc_id"),
+              pmod(col("doc_id"), lit(ChunkKeyStride)).cast("long").as("chunk_id"),
+              col("n_bpe_tokens").as("n_chunk_tokens"),
+              col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

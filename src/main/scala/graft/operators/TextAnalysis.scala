@@ -413,12 +413,17 @@ object TextAnalysis {
     * chunk; no shuffle, no model state, and output growth is bounded
     * by ~n_tokens/stride per doc. Feeds [[graft.operators.Packing]]
     * (chunks are what actually gets packed at a real pipeline's end). */
-  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir)).orderBy("doc_id", "chunk_id")
+
+  /** [[qTextChunk]] over any (doc_id, text) frame — the composable
+    * surface pipelines chunk through (extra columns are dropped). */
+  private[graft] def chunkDocs(documents: DataFrame): DataFrame = {
     val n = size(col("toks"))
     val nChunks = greatest(lit(1L),
       ceil((n - lit(ChunkSize)).cast("double") / lit(ChunkStride)).cast("long")
         + lit(1L))
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
@@ -429,7 +434,6 @@ object TextAnalysis {
         col("start_tok"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   // Unigram-LM vocabulary: top-V tokens by (count desc, token). 16 on

@@ -189,7 +189,21 @@ object ScaleProbe {
         // mutual edges + min-label components over the √n-cell graph
         "sim_mutual_knn_clusters",
         // epoch resample → per-copy hash order → two-phase pack
-        "pipeline_epoch_pack")
+        "pipeline_epoch_pack",
+        // pure per-row projection — the zero-shuffle baseline: any
+        // super-linear growth here is environment, not plan
+        "q_hash_split",
+        // one token-count shuffle to train + map-only scoring
+        "text_unigram_logprob",
+        // map-only window explode: rows grow ~n_tokens/stride
+        "text_chunk",
+        // window-index shuffle + doc-level interval join-back; the
+        // rewrite side must NOT inherit the index's n·w row growth
+        "dedup_verbatim_rewrite",
+        // two-stage PQ: ADC scan + √n-shortlist exact re-rank
+        "sim_ivf_pq_scaled",
+        // persisted PQ codes round trip (build dominates, ~linear)
+        "sim_ivf_pq_indexed")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -108,6 +108,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.toSet == Set((0L, 3L, "a b c"), (1L, 0L, "")))
   }
 
+  test("chunked pretrain composes the stages: held-out docs absent, offsets contiguous, chunk tokens account exactly") {
+    import graft.operators.{Dedup, Pipeline}
+    val out = Pipeline.qChunkedPretrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // held-out buckets never leak into the packed stream
+    val splits = Mixing.qHashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.forall { case (id, _, _, _, _) => splits(id) == "train" })
+    // (seq_id, seq_offset) is one contiguous token prefix over the
+    // (doc, chunk) pack order — the packing contract end to end
+    var run = 0L
+    out.sortBy(t => (t._1, t._2)).foreach { case (d, c, n, sid, soff) =>
+      assert(sid == run / 256 && soff == run % 256,
+        s"doc $d chunk $c: offset break at $run")
+      run += n
+    }
+    // per-doc accounting: Σ chunk tokens = clean length + 8·(chunks−1)
+    // (the deliberate 8-token overlap, tail chunk short) — any drift
+    // means chunking and rewrite disagree about the text
+    val cleanLen = Dedup.qVerbatimRewrite(spark, sf).collect()
+      .filter(r => splits(r.getLong(0)) == "train")
+      .map(r => r.getLong(0) ->
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong).toMap
+    out.groupBy(_._1).foreach { case (id, cs) =>
+      val total = cs.map(_._3).sum
+      assert(total == cleanLen(id) + 8L * (cs.length - 1),
+        s"doc $id: chunk tokens $total vs clean ${cleanLen(id)} over ${cs.length} chunks")
+    }
+    // docs fully consumed by dedup produce no packed rows at all
+    val packedIds = out.map(_._1).toSet
+    cleanLen.filter(_._2 == 0L).keys.foreach(id =>
+      assert(!packedIds(id), s"empty doc $id packed"))
+  }
+
   test("an empty document scores 0.0 with zero tokens, not NaN") {
     val dir = corpusDir(Seq((0L, "some normal text here"), (1L, "")))
     val rows = TextAnalysis.qTextUnigramLogprob(spark, dir).collect()

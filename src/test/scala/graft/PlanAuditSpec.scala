@@ -240,6 +240,26 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isEmpty, p)
   }
 
+  test("chunking is map-only: one generate, no join, no hash exchange") {
+    val p = planOf("text_chunk")
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(p).isEmpty, p)
+    assert("Generate".r.findAllIn(p).size == 1, p)
+  }
+
+  test("verbatim rewrite joins intervals back doc-level — every generate is the window index, never a position explode") {
+    val p = planOf("dedup_verbatim_rewrite")
+    // the window-index explode (sequence(1, n-7)) legitimately appears
+    // on both sides of the owner aggregate; what must NOT appear is
+    // any OTHER explode — a token/position generate would be the n·w
+    // row growth the interval-array join exists to avoid
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty, p)
+    assert(gens.forall(_.contains("sequence(1")),
+      s"non-window-index generate in the rewrite plan:\n${gens.mkString("\n")}")
+  }
+
   test("two-level search keeps the flat path's plan shape: map-only assignment, same exchanges") {
     val p2 = planOf("sim_ivf_2level_scaled")
     val p1 = planOf("sim_ivf_scaled")

@@ -109,6 +109,7 @@ object SparkEntry {
     "stream_sessions"      -> (graft.streaming.StatefulSessions.qStreamSessions _),
     "stream_decontaminate" -> (graft.streaming.StreamReplays.qStreamDecontaminate _),
     "stream_dedup_incremental" -> (graft.streaming.StreamReplays.qStreamIncrementalDedup _),
+    "stream_chunk_pack"    -> (graft.streaming.StreamReplays.qStreamChunkPack _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "q_running_total"      -> (Analytic.qRunningTotal _),
@@ -1193,6 +1194,26 @@ object SparkEntry {
     // ⌊quota/n⌋ epochs plus one more iff its 24-bit md5 hash clears
     // the exact integer threshold h·n < (quota mod n)·2^24 — the
     // map-only membership test the Spark side runs (Mixing.qMixEpochs)
+    // continuous assembly: train split → chunk → pack, micro-batched
+    // with the token prefix continued across batches — must equal the
+    // one-shot pack of the same chain
+    "stream_chunk_pack" ->
+      """WITH tr AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+            FROM documents WHERE ('0x' || substr(md5(text),1,6))::BIGINT % 100 < 90),
+         t AS (SELECT doc_id, toks, len(toks) AS n FROM tr),
+         nch AS (SELECT doc_id, toks, n,
+                 greatest(1, CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1) AS n_chunks FROM t),
+         ch AS (SELECT doc_id, chunk_id,
+                CAST(len(toks[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT) AS n_chunk_tokens
+                FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM nch)),
+         chk AS (SELECT doc_id, chunk_id, n_chunk_tokens, doc_id * 256 + chunk_id AS pk
+                 FROM ch WHERE n_chunk_tokens > 0),
+         po AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+                CAST(sum(n_chunk_tokens) OVER (ORDER BY pk ROWS UNBOUNDED PRECEDING)
+                     - n_chunk_tokens AS BIGINT) AS so FROM chk)
+         SELECT doc_id, chunk_id, n_chunk_tokens,
+                so // 256 AS seq_id, so % 256 AS seq_offset
+         FROM po ORDER BY doc_id, chunk_id""",
     // the chunk-level pretraining assembly: train split → verbatim
     // span removal within train → context-window chunking of the
     // cleaned text → prefix-sum packing of the chunks in

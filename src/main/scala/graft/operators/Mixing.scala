@@ -265,7 +265,7 @@ object Mixing {
   /** The content-hash bucket (0-99) of a text column — the one
     * definition [[qHashSplit]] and every pipeline split filter share
     * (two spellings of the hash would silently disagree on membership). */
-  private[operators] def hashBucket(text: Column): Column =
+  private[graft] def hashBucket(text: Column): Column =
     conv(substring(md5(text), 1, 6), 16, 10).cast("long") % 100
 
   def qHashSplit(spark: SparkSession, dir: String): DataFrame =

@@ -75,10 +75,10 @@ object Packing {
     * Gated as pack_sequences_precounted over the fixture's n_chars
     * column (a genuine precomputed per-doc count). */
   def packFromCounts(docs: DataFrame, countCol: String,
-                     totalDocs: Long): DataFrame =
+                     totalDocs: Long, baseOffset: Long = 0L): DataFrame =
     packTokens(
       docs.select(col("doc_id"), col(countCol).as("n_bpe_tokens")),
-      bucketWidthFor(totalDocs))
+      bucketWidthFor(totalDocs), baseOffset)
 
   /** [[packFromCounts]] over the fixture's precomputed n_chars —
     * same oracle recipe as pack_sequences with the count column
@@ -96,8 +96,14 @@ object Packing {
     * sums in parallel, a global window over only the ~√n bucket
     * subtotals, broadcast back. Sparse/filtered doc_ids just mean
     * emptier buckets — ordering, and thus the packing, is unchanged. */
+  /** `baseOffset` shifts the whole token prefix — the CONTINUATION
+    * hook for incremental assembly: a caller packing batch k passes
+    * the total token count of batches 0..k−1, and the concatenated
+    * outputs equal one pack of the concatenated input (the
+    * stream_chunk_pack gate proves it against the batch oracle). */
   private[graft] def packTokens(toks: DataFrame,
-                                bucketWidth: Long): DataFrame = {
+                                bucketWidth: Long,
+                                baseOffset: Long = 0L): DataFrame = {
     val bucketed = toks.withColumn("bucket",
       (col("doc_id") / bucketWidth).cast("long"))
     // phase 1: per-bucket exclusive running sum — parallel across buckets
@@ -114,7 +120,8 @@ object Packing {
       .withColumn("bucket_excl", sum("btot").over(wBucket) - col("btot"))
       .select("bucket", "bucket_excl")
     intra.join(broadcast(prefixes), "bucket")
-      .withColumn("start_offset", col("bucket_excl") + col("intra_excl"))
+      .withColumn("start_offset",
+        lit(baseOffset) + col("bucket_excl") + col("intra_excl"))
       // integer DIV, not `/`: double division loses exactness once
       // corpus-wide token offsets pass 2^53
       .withColumn("seq_id", expr(s"start_offset DIV $SeqTokens"))

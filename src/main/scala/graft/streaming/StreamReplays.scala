@@ -96,4 +96,54 @@ object StreamReplays {
     rows.toDF("doc_id", "dup_of", "n_matches", "best_jaccard")
       .orderBy("doc_id")
   }
+
+  /** CONTINUOUS training-data assembly: the train-split corpus
+    * streams in doc_id order; each micro-batch is chunked
+    * ([[graft.operators.TextAnalysis.chunkDocs]], map-only) and
+    * packed CONTINUING the global token prefix — the only
+    * cross-batch state is ONE LONG (the running token total, the
+    * `baseOffset` hook of [[graft.operators.Packing.packTokens]]),
+    * which is what makes the operator a real incremental pipeline
+    * rather than a re-pack: sequences already emitted are never
+    * revisited, and batch k's first token lands exactly where batch
+    * k−1 stopped, mid-sequence included. Oracle = the batch
+    * split→chunk→pack chain, so the gate proves the micro-batch
+    * outputs CONCATENATE to the one-shot pack. (No verbatim rewrite
+    * here — its owner rule needs the whole corpus; the incremental
+    * dedup gates cover standing-store semantics.) */
+  def qStreamChunkPack(spark: SparkSession, dir: String): DataFrame =
+    streamChunkPack(spark, dir, nChunks = 3)
+
+  /** [[qStreamChunkPack]] at an explicit batch count — the spec
+    * sweeps it to prove the output is split-invariant. */
+  private[graft] def streamChunkPack(spark: SparkSession, dir: String,
+                                     nChunks: Int): DataFrame = {
+    import spark.implicits._
+    val nDocs = graft.Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val stream = graft.Tables.documents(spark, dir)
+      .where(graft.operators.Mixing.hashBucket(col("text")) < 90)
+      .select("doc_id", "text").orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String)].collect().toSeq
+    var base = 0L
+    val rows = replay(spark, stream, nChunks) { batch =>
+      val packed = graft.operators.Packing.packFromCounts(
+        graft.operators.TextAnalysis.chunkDocs(batch)
+          .where(col("n_chunk_tokens") > 0)
+          .select((col("doc_id") * 256 + col("chunk_id")).as("doc_id"),
+                  col("n_chunk_tokens")),
+        "n_chunk_tokens", nDocs, base)
+        .select(expr("doc_id DIV 256").as("doc_id"),
+                pmod(col("doc_id"), lit(256L)).cast("long").as("chunk_id"),
+                col("n_bpe_tokens"), col("seq_id"), col("seq_offset"))
+        // harness-side collect: draining one micro-batch's OUTPUT rows
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4))).toSeq
+      base += packed.map(_._3).sum
+      packed
+    }
+    rows.toDF("doc_id", "chunk_id", "n_chunk_tokens", "seq_id", "seq_offset")
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -143,6 +143,34 @@ class CurationOpsSpec extends SparkSpec {
       assert(!packedIds(id), s"empty doc $id packed"))
   }
 
+  test("streamed chunk-pack is split-invariant: 1-batch, 5-batch, and the batch chain all agree") {
+    import graft.streaming.StreamReplays
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val one = rows(StreamReplays.streamChunkPack(spark, sf, nChunks = 1))
+    val five = rows(StreamReplays.streamChunkPack(spark, sf, nChunks = 5))
+    assert(one == five, "micro-batch split changed the packed stream")
+    // and the single-batch replay IS the batch chain (split → chunk →
+    // pack) — the token prefix carried across batches reconstructs
+    // the one-shot pack exactly
+    import graft.operators.{Mixing, Packing, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val nDocs = graft.Tables.parquetRowCount(spark, s"$sf/documents.parquet")
+    val batch = rows(Packing.packFromCounts(
+        TextAnalysis.chunkDocs(
+            spark.read.parquet(s"$sf/documents.parquet")
+              .where(Mixing.hashBucket(col("text")) < 90))
+          .where(col("n_chunk_tokens") > 0)
+          .select((col("doc_id") * 256 + col("chunk_id")).as("doc_id"),
+                  col("n_chunk_tokens")),
+        "n_chunk_tokens", nDocs)
+      .select(expr("doc_id DIV 256"), pmod(col("doc_id"), lit(256L)).cast("long"),
+              col("n_bpe_tokens"), col("seq_id"), col("seq_offset"))
+      .orderBy(col("doc_id")))
+    assert(one.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      == batch.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])))
+  }
+
   test("an empty document scores 0.0 with zero tokens, not NaN") {
     val dir = corpusDir(Seq((0L, "some normal text here"), (1L, "")))
     val rows = TextAnalysis.qTextUnigramLogprob(spark, dir).collect()

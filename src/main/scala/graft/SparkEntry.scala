@@ -67,11 +67,14 @@ object SparkEntry {
     "sim_ivf_pq_indexed_scaled" -> (Similarity.qSimIvfPqIndexedScaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
+    "sim_hard_negatives"   -> (Similarity.qSimHardNegatives _),
+    "sim_hard_negatives_scaled" -> (Similarity.qSimHardNegativesScaled _),
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
     "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
     "sim_mutual_knn_clusters" -> (Similarity.qSimMutualKnnClusters _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
+    "text_gopher_rules"    -> (TextAnalysis.qTextGopherRules _),
     "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
     "text_langid"          -> (TextAnalysis.qTextLangid _),
     "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
@@ -820,6 +823,34 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // hard negatives: brute-force ranking restricted to label-mismatch
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q_id, vec_id AS neighbor_id, label AS neg_label,
+            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sim
+            FROM embeddings CROSS JOIN q WHERE vec_id != q_id AND label != q_label),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, neg_label, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // the sim_ivf_scaled recipe with the label-mismatch predicate in
+    // the probe join — negatives come only from probed cells
+    "sim_hard_negatives_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                  WHERE vec_id < (SELECT c FROM nc)),
+         asg AS (SELECT vec_id, embedding, label, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, label, c_id AS bucket FROM rnk WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label, c_id AS q_bucket FROM rnk
+               WHERE vec_id < 10 AND rn <= 2),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id, a.label AS neg_label,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+             FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id AND a.label != q.q_label),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, neg_label, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "sim_ivf" ->
       """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
          asg AS (SELECT vec_id, embedding, c_id,
@@ -1000,6 +1031,26 @@ object SparkEntry {
            + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality_score
          FROM d ORDER BY doc_id""",
+    // Gopher rule flags: one CTE of per-doc measures, thresholds in
+    // the projection — booleans compare exactly, and the measures are
+    // the same IEEE arithmetic both engines run
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n,
+                 CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_len,
+                 CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+                 len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS stop_cnt,
+                 CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks) AS top_frac
+               FROM d)
+         SELECT doc_id,
+           n BETWEEN 50 AND 100000 AS r_word_count,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_word_len,
+           alpha_frac >= 0.8 AS r_alpha,
+           stop_cnt >= 2 AS r_stopwords,
+           top_frac <= 0.15 AS r_repetition,
+           (n BETWEEN 50 AND 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND alpha_frac >= 0.8 AND stop_cnt >= 2 AND top_frac <= 0.15 AS keep
+         FROM m ORDER BY doc_id""",
     // hashing-trick classifier: six md5 hex digits → integer weight,
     // mean token weight through a logistic link — digit-for-digit
     "text_quality_classifier" ->

@@ -378,6 +378,70 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining — the embedding-training companion of
+    * top-k search: for each query vector, the k most-SIMILAR corpus
+    * vectors whose `label` DIFFERS from the query's (contrastive /
+    * triplet training wants exactly these — negatives the current
+    * model already confuses with the anchor; random negatives are
+    * too easy to carry gradient). Reference has no labeled-negative
+    * op; this extends the sim_brute_force recipe with the label
+    * constraint. Exact baseline: one corpus scan against the
+    * broadcast query set with the label-mismatch predicate fused
+    * into the join filter — the corpus is never shuffled, and rows
+    * sharing the anchor's label are dropped BEFORE scoring reaches
+    * the window. [[qSimHardNegativesScaled]] is the √n-cell path. */
+  def qSimHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              col("label").as("neg_label"),
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hard-negative mining at scale: the [[qSimIvfScaled]] probe
+    * recipe (√n cells from footer metadata, map-only
+    * [[graft.functions.NearestCells]] assignment, nprobe=2) with the
+    * label-mismatch predicate fused into the bucket equi-join — so
+    * mining negatives for a batch of anchors costs one corpus scan
+    * plus one broadcast, the same plan shape as search. Negatives
+    * come only from probed cells: a label-sparse cell can yield
+    * fewer than k (the oracle unrolls the same rule — approximate BY
+    * DESIGN, like every sim_ivf_* gate). */
+  def qSimHardNegativesScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    val cents = collectCentroids(centroidsOf(emb, scaledCentroids(n)))
+    val assigned = emb.select(col("vec_id"), col("embedding"), col("label"),
+      explode(graft.functions.NearestCells.nearestCells(
+        col("embedding"), cents, 1)).as("bucket"))
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("label").as("q_label"),
+        explode(graft.functions.NearestCells.nearestCells(
+          col("embedding"), cents, NumProbes)).as("q_bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    assigned.join(broadcast(q),
+        col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              col("label").as("neg_label"),
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** The fixed-config k-NN-graph gate (8 cells, nprobe 2, k=3) the
     * oracle unrolls step for step. */
   def qSimKnnGraph(spark: SparkSession, dir: String): DataFrame =

@@ -44,6 +44,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, table A1 adapted):
+    * per-document boolean flags for the classic pretraining quality
+    * rules plus the conjunction `keep`. Flags, not a filtered subset —
+    * downstream curation wants to ablate rules independently, and
+    * dropping rows here would hide WHICH rule fired. All five rules
+    * are per-row HOF arithmetic over the token array: a map-only
+    * projection, zero shuffles, and the one quadratic piece (the
+    * top-token count, O(distinct·len) per row) is bounded by document
+    * length — never by corpus size — so the per-row cost is a
+    * constant at any corpus scale.
+    *
+    *  - r_word_count:   50 ≤ tokens ≤ 100 000
+    *  - r_mean_word_len: mean token length in [3, 10]
+    *  - r_alpha:        ≥ 80 % of tokens contain an alphabetic char
+    *  - r_stopwords:    ≥ 2 stopword occurrences
+    *  - r_repetition:   most-frequent token ≤ 15 % of tokens
+    */
+  def qTextGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / n
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val topFrac = array_max(transform(array_distinct(toks),
+      d => size(filter(toks, x => x === d)))).cast("double") / n
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (size(toks) >= 50 && size(toks) <= 100000).as("r_word_count"),
+        (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_word_len"),
+        (alphaFrac >= 0.8).as("r_alpha"),
+        (stopCnt >= 2).as("r_stopwords"),
+        (topFrac <= 0.15).as("r_repetition"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha") &&
+        col("r_stopwords") && col("r_repetition"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (CJK codepoint share, then stopword votes
     * per candidate language) → confusion matrix against the labeled
     * `lang` column. */

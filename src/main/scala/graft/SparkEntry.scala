@@ -68,6 +68,7 @@ object SparkEntry {
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
     "sim_hard_negatives"   -> (Similarity.qSimHardNegatives _),
+    "sim_triplets"         -> (Similarity.qSimTriplets _),
     "sim_hard_negatives_scaled" -> (Similarity.qSimHardNegativesScaled _),
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
     "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
@@ -832,6 +833,24 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, neg_label, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // triplets: one scored frame, rank-1 per (anchor, same-label?),
+    // folded by conditional aggregation; margin rounds the RAW diff
+    "sim_triplets" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q_id, vec_id, label = q_label AS is_pos,
+            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sim
+            FROM embeddings CROSS JOIN q WHERE vec_id != q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id, is_pos ORDER BY sim DESC, vec_id) AS rn FROM scored),
+         t AS (SELECT q_id,
+            max(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+            max(CASE WHEN is_pos THEN sim END) AS pos_sim_raw,
+            max(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+            max(CASE WHEN NOT is_pos THEN sim END) AS neg_sim_raw
+          FROM r WHERE rn = 1 GROUP BY q_id)
+         SELECT q_id, pos_id, floor(pos_sim_raw * 10000 + 0.5) / 10000 AS pos_sim,
+            neg_id, floor(neg_sim_raw * 10000 + 0.5) / 10000 AS neg_sim,
+            floor((pos_sim_raw - neg_sim_raw) * 10000 + 0.5) / 10000 AS margin
+         FROM t ORDER BY q_id""",
     // the sim_ivf_scaled recipe with the label-mismatch predicate in
     // the probe join — negatives come only from probed cells
     "sim_hard_negatives_scaled" ->

@@ -442,6 +442,54 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Triplet mining — one pass producing what contrastive training
+    * consumes per anchor: the nearest SAME-label vector (positive),
+    * the nearest DIFFERENT-label vector (hard negative,
+    * [[qSimHardNegatives]]'s top-1), and the margin between them
+    * (margin ≤ 0 flags anchors the labeling itself confuses — the
+    * rows a curation pass should inspect). ONE corpus scan: pairs
+    * rank in a single window partitioned by (anchor, same-label?),
+    * and the two rank-1 rows per anchor fold together via
+    * conditional aggregation — no self-join of the scored frame, so
+    * the corpus is read once and never shuffled (the window + agg
+    * operate on 2·|anchors| rows after the rank filter). Margin is
+    * computed on UNROUNDED sims, then rounded once — rounding the
+    * operands first would make margin disagree with pos−neg at the
+    * 4th decimal. At corpus scale the negative side swaps in the
+    * [[qSimHardNegativesScaled]] probe recipe; the positive side
+    * joins on the label column itself (labels partition the corpus,
+    * so same-label candidate generation is an equi-join, not a
+    * probe). */
+  def qSimTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+      .withColumn("is_pos", col("label") === col("q_label"))
+    val w = Window.partitionBy("q_id", "is_pos")
+      .orderBy(desc("sim"), col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("is_pos"), col("vec_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("sim"))).as("pos_sim_raw"),
+        max(when(!col("is_pos"), col("vec_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("sim"))).as("neg_sim_raw"))
+      .select(col("q_id"),
+        col("pos_id"),
+        graft.functions.Text.roundPortable(col("pos_sim_raw"), 4).as("pos_sim"),
+        col("neg_id"),
+        graft.functions.Text.roundPortable(col("neg_sim_raw"), 4).as("neg_sim"),
+        graft.functions.Text.roundPortable(
+          col("pos_sim_raw") - col("neg_sim_raw"), 4).as("margin"))
+      .orderBy("q_id")
+  }
+
   /** The fixed-config k-NN-graph gate (8 cells, nprobe 2, k=3) the
     * oracle unrolls step for step. */
   def qSimKnnGraph(spark: SparkSession, dir: String): DataFrame =

@@ -182,6 +182,12 @@ object ScaleProbe {
         // map-only epoch resampling: broadcast quota join + hash
         // threshold + explode — should be row-linear like the scans
         "q_mix_epochs",
+        // label-constrained search: the sim_ivf_scaled plan with the
+        // label-mismatch predicate in the probe join — should track
+        // sim_ivf_scaled (the filter only DROPS candidate rows)
+        "sim_hard_negatives_scaled",
+        // map-only per-row rule arithmetic — scan-linear like q_hash_split
+        "text_gopher_rules",
         // n·k neighbor graph from IVF-cell candidates: fixed 8 cells
         // is the contrast row (cell ≈ n/8 → candidate pairs ~n²/8);
         // √n cells keeps total candidate scores ~nprobe·n^1.5

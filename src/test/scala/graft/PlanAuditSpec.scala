@@ -327,6 +327,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hard-negative mining keeps the search plan shape: label filter fused, one hash exchange") {
+    // scaled config: map-only nearest_cells assignment, label-mismatch
+    // predicate inside the bucket equi-join (never a post-join filter
+    // stage of its own), and exactly one hash exchange — the per-anchor
+    // rank window over pruned candidates — like every sim_ivf_* plan
+    val p = planOf("sim_hard_negatives_scaled")
+    assert(p.contains("nearest_cells"), s"lost the map-only assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"should shuffle only the rank window:\n$p")
+    // exact config: the corpus never shuffles — broadcast anchors, one
+    // rank-window exchange, and the label predicate in the join filter
+    val pb = planOf("sim_hard_negatives")
+    assert("Exchange hashpartitioning".r.findAllIn(pb).size == 1, pb)
+    assert(pb.contains("BroadcastNestedLoopJoin") ||
+           pb.contains("CartesianProduct"),
+      s"exact path is the broadcast corpus×anchors scan by design:\n$pb")
+  }
+
   test("knn graph candidates come from a bucket equi-join with a bounded-heap top-k") {
     for (name <- Seq("sim_knn_graph", "sim_knn_graph_scaled")) {
       val p = planOf(name)

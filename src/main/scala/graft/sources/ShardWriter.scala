@@ -50,9 +50,19 @@ object ShardWriter {
       .repartition(col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
 
-    // the partition column comes back type-inferred (int for small
-    // ids) — pin it to the long the manifest declares
-    val stats = spark.read.parquet(outDir)
+    val stats = statsOf(spark.read.parquet(outDir))
+    val m = Manifest(stats.map(_.nDocs).sum, stats.map(_.nSeqs).sum,
+      stats.map(_.nTokens).sum, stats)
+    writeManifestJson(m, outDir)
+    m
+  }
+
+  /** Per-shard stats of a read-back shard frame, collected (one row
+    * per shard — bounded). The partition column comes back
+    * type-inferred (int for small ids), so it is pinned to the long
+    * the manifest declares. */
+  private def statsOf(onDisk: DataFrame): Seq[ShardStat] =
+    onDisk
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -70,18 +80,59 @@ object ShardWriter {
       .map(r => ShardStat(r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
       .toSeq
-    val m = Manifest(stats.map(_.nDocs).sum, stats.map(_.nSeqs).sum,
-      stats.map(_.nTokens).sum, stats)
-    val json = {
-      def shardJson(s: ShardStat) =
-        s"""{"shard_id":${s.shardId},"n_docs":${s.nDocs},"n_seqs":${s.nSeqs},""" +
-        s""""n_tokens":${s.nTokens},"content_hash":${s.contentHash}}"""
+
+  /** Continuous export: append one micro-batch of packed rows to an
+    * existing shard layout and return the merged manifest. The
+    * companion of the streaming chunk-and-pack assembly
+    * ([[graft.streaming.StreamReplays]]): batches arrive with
+    * strictly growing seq_ids (the running-token-prefix contract), so
+    * a batch touches only the tail shards — the boundary shard it
+    * extends plus the new ones it opens. Stats recompute reads ONLY
+    * those shards back (the `shard IN (...)` predicate prunes
+    * partition directories, so the scan is bounded by the batch's
+    * span, never the corpus); untouched entries carry over from
+    * `prior` verbatim.
+    *
+    * Cross-batch state is the prior [[Manifest]], held by the caller
+    * across batches exactly like the replay harness holds the running
+    * token total — there is no hidden driver-side catalog, and a
+    * crashed exporter rebuilds the manifest with [[writeShards]]-style
+    * full read-back. Appending a batch that REWRITES rows already
+    * exported is the caller's bug; this sink only ever adds files. */
+  def appendShards(batch: DataFrame, outDir: String, seqsPerShard: Long,
+                   prior: Manifest): Manifest = {
+    require(seqsPerShard > 0, s"seqsPerShard must be positive: $seqsPerShard")
+    val spark = batch.sparkSession
+    val withShard = batch
+      .withColumn("shard", expr(s"seq_id DIV ${seqsPerShard}L"))
+    withShard
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(outDir)
+
+    // bounded collect: distinct shard ids in ONE batch (~batch tokens
+    // / shard tokens rows), not the corpus's shard count
+    val touched = withShard.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val recomputed = statsOf(spark.read.parquet(outDir)
+      .where(col("shard").cast("long").isin(touched: _*)))
+    val touchedSet = touched.toSet
+    val merged = (prior.shards.filterNot(s => touchedSet(s.shardId)) ++
+      recomputed).sortBy(_.shardId)
+    val m = Manifest(merged.map(_.nDocs).sum, merged.map(_.nSeqs).sum,
+      merged.map(_.nTokens).sum, merged)
+    writeManifestJson(m, outDir)
+    m
+  }
+
+  private def writeManifestJson(m: Manifest, outDir: String): Unit = {
+    def shardJson(s: ShardStat) =
+      s"""{"shard_id":${s.shardId},"n_docs":${s.nDocs},"n_seqs":${s.nSeqs},""" +
+      s""""n_tokens":${s.nTokens},"content_hash":${s.contentHash}}"""
+    val json =
       s"""{"total_docs":${m.totalDocs},"total_seqs":${m.totalSeqs},""" +
       s""""total_tokens":${m.totalTokens},"shards":[""" +
-      stats.map(shardJson).mkString(",") + "]}"
-    }
+      m.shards.map(shardJson).mkString(",") + "]}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "_manifest.json"), json)
-    m
   }
 }

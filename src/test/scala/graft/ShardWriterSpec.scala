@@ -49,6 +49,43 @@ class ShardWriterSpec extends SparkSpec {
     assert(json.contains(s""""total_tokens":${m.totalTokens}"""))
   }
 
+  test("batch appends merge to the one-shot manifest, untouched shards carry over") {
+    val outInc = java.nio.file.Files.createTempDirectory("shards_inc").toString
+    val outOne = java.nio.file.Files.createTempDirectory("shards_one").toString
+    val packed = packedFixture().cache()
+    try {
+      val oneShot = ShardWriter.writeShards(packed, outOne, seqsPerShard = 4)
+
+      // split at a seq boundary that leaves a PARTIAL final shard in
+      // batch 1, so batch 2 must extend the boundary shard (the hard
+      // case) as well as open new ones
+      val b1 = packed.where(col("seq_id") < 6)
+      val b2 = packed.where(col("seq_id") >= 6)
+      assert(b1.count() > 0 && b2.count() > 0, "fixture must span seq_id 6")
+      val m1 = ShardWriter.writeShards(b1, outInc, seqsPerShard = 4)
+      val m2 = ShardWriter.appendShards(b2, outInc, seqsPerShard = 4, m1)
+
+      // merged manifest is EXACTLY the one-shot export's
+      assert(m2.totalDocs === oneShot.totalDocs)
+      assert(m2.totalSeqs === oneShot.totalSeqs)
+      assert(m2.totalTokens === oneShot.totalTokens)
+      assert(m2.shards.map(s => (s.shardId, s.nDocs, s.nSeqs, s.nTokens,
+        s.contentHash)) === oneShot.shards.map(s => (s.shardId, s.nDocs,
+        s.nSeqs, s.nTokens, s.contentHash)))
+
+      // shard 0 was untouched by batch 2: its entry carried over from
+      // m1 without recompute changing it
+      assert(m2.shards.find(_.shardId == 0).map(_.contentHash) ===
+             m1.shards.find(_.shardId == 0).map(_.contentHash))
+
+      // and the data on disk round-trips
+      val back = spark.read.parquet(outInc)
+        .select("doc_id", "n_bpe_tokens", "seq_id", "seq_offset")
+      assert(back.exceptAll(packed).count() === 0L)
+      assert(packed.exceptAll(back).count() === 0L)
+    } finally packed.unpersist()
+  }
+
   test("re-export of identical data yields identical per-shard hashes") {
     val out1 = java.nio.file.Files.createTempDirectory("shards1").toString
     val out2 = java.nio.file.Files.createTempDirectory("shards2").toString

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -447,12 +447,11 @@ object Similarity {
     * the nearest DIFFERENT-label vector (hard negative,
     * [[qSimHardNegatives]]'s top-1), and the margin between them
     * (margin ≤ 0 flags anchors the labeling itself confuses — the
-    * rows a curation pass should inspect). ONE corpus scan: pairs
-    * rank in a single window partitioned by (anchor, same-label?),
-    * and the two rank-1 rows per anchor fold together via
-    * conditional aggregation — no self-join of the scored frame, so
-    * the corpus is read once and never shuffled (the window + agg
-    * operate on 2·|anchors| rows after the rank filter). Margin is
+    * rows a curation pass should inspect). ONE corpus scan: the
+    * scored candidates reduce through a single conditional-max_by
+    * aggregate — no self-join of the scored frame and no rank
+    * window, so the corpus is read once, never shuffled, and the one
+    * exchange carries only per-task partial maxima. Margin is
     * computed on UNROUNDED sims, then rounded once — rounding the
     * operands first would make margin disagree with pos−neg at the
     * 4th decimal. At corpus scale the negative side swaps in the
@@ -469,16 +468,22 @@ object Similarity {
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("embedding")))
       .withColumn("is_pos", col("label") === col("q_label"))
-    val w = Window.partitionBy("q_id", "is_pos")
-      .orderBy(desc("sim"), col("vec_id"))
+    // per-anchor argmax as conditional max_by AGGREGATION, not a rank
+    // window: the aggregate combines map-side (each task reduces its
+    // candidate slice to 4 values per anchor before the exchange), so
+    // the one shuffle carries ~|anchors|·partitions rows — a window
+    // would shuffle every scored candidate row to sort it. Ordering
+    // key (sim, −vec_id): highest sim wins, ties to the LOWER id (the
+    // qSimHardNegatives contract); max_by skips NULL keys, which is
+    // how the is_pos split rides inside one aggregate.
+    def bestKey(flag: Column) =
+      when(flag, struct(col("sim"), (-col("vec_id")).as("nv")))
     scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
       .groupBy(col("q_id"))
       .agg(
-        max(when(col("is_pos"), col("vec_id"))).as("pos_id"),
+        max_by(col("vec_id"), bestKey(col("is_pos"))).as("pos_id"),
         max(when(col("is_pos"), col("sim"))).as("pos_sim_raw"),
-        max(when(!col("is_pos"), col("vec_id"))).as("neg_id"),
+        max_by(col("vec_id"), bestKey(!col("is_pos"))).as("neg_id"),
         max(when(!col("is_pos"), col("sim"))).as("neg_sim_raw"))
       .select(col("q_id"),
         col("pos_id"),

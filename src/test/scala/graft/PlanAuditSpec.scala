@@ -347,6 +347,26 @@ class PlanAuditSpec extends SparkSpec {
       s"exact path is the broadcast corpus×anchors scan by design:\n$pb")
   }
 
+  test("triplet mining reads the corpus once: one scored join, no pos/neg self-join") {
+    // one broadcast corpus×anchors join feeds BOTH the positive and
+    // negative argmax (conditional max_by in one aggregate), so the
+    // corpus parquet scans once — a pos⋈neg formulation would scan
+    // and score it twice — and the only exchange is the partial→final
+    // aggregate boundary (no rank window: nothing sorts candidates)
+    val p = planOf("sim_triplets")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, // corpus + anchor slice
+      s"expected exactly corpus + anchor scans:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the aggregate boundary should shuffle:\n$p")
+    assert(!p.contains("Window"), s"no rank window expected:\n$p")
+    // the struct-keyed max_by buffer is not hash-aggregable, so this
+    // plans as SortAggregate — still partial+final with map-side
+    // combine, which is the property that matters (the exchange
+    // carries per-task partial maxima, not scored candidate rows)
+    assert("SortAggregate".r.findAllIn(p).size == 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
   test("knn graph candidates come from a bucket equi-join with a bounded-heap top-k") {
     for (name <- Seq("sim_knn_graph", "sim_knn_graph_scaled")) {
       val p = planOf(name)

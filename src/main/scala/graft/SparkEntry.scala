@@ -98,6 +98,7 @@ object SparkEntry {
     "q_hash_split"         -> (Mixing.qHashSplit _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "pack_sequences"       -> (Packing.qPackSequences _),
+    "pack_boundaries"      -> (Packing.qPackBoundaries _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     // SQL-driven twins of the LLM operators (spark.sql entry points
     // over registered views + injected graft functions)
@@ -1382,6 +1383,23 @@ object SparkEntry {
          SELECT doc_id, n_bpe_tokens, start_offset // 256 AS seq_id,
                 start_offset % 256 AS seq_offset
          FROM c ORDER BY doc_id""",
+    // per-sequence doc-start offsets (attention-mask boundaries):
+    // the pack assignment re-grouped by sequence; boundaries as a
+    // sorted comma-joined string for engine-portable comparison
+    "pack_boundaries" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_bpe_tokens,
+           CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_bpe_tokens AS BIGINT) AS start_offset FROM t),
+         p AS (SELECT doc_id, n_bpe_tokens, start_offset // 256 AS seq_id,
+                start_offset % 256 AS seq_offset FROM c)
+         SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           string_agg(CAST(seq_offset AS VARCHAR), ',' ORDER BY seq_offset) AS boundaries,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS started_tokens
+         FROM p GROUP BY seq_id ORDER BY seq_id""",
     // the tokenizer hook: same packing, counts read from the
     // fixture's precomputed n_chars column instead of the regex
     // stand-in — an external tokenizer's materialized output

@@ -43,6 +43,33 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Per-sequence document boundaries — what the training loader
+    * needs beside the packed tokens: cross-document attention masking
+    * resets attention at each document start, so every sequence ships
+    * the offsets where its member documents begin. One hash shuffle
+    * on seq_id over the packed assignment (groups bounded by docs per
+    * sequence — at most SeqTokens for nonempty docs); boundaries
+    * serialize as a comma-joined sorted string, which is both
+    * loader-friendly and engine-portable (no array-hash semantics in
+    * the oracle compare). `started_tokens` sums the tokens of the
+    * docs STARTING in the sequence (a long doc's tail spills into
+    * later sequences it is not listed in) — Σ over all sequences
+    * equals the corpus token count, the conservation check. */
+  def qPackBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    packTokens(toks, bucketWidthFor(n))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("seq_offset"))),
+          x => x.cast("string")), ",").as("boundaries"),
+        sum(col("n_bpe_tokens")).as("started_tokens"))
+      .orderBy("seq_id")
+  }
+
   private[graft] def bucketWidthFor(n: Long): Long =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
 

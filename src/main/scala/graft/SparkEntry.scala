@@ -67,6 +67,7 @@ object SparkEntry {
     "sim_ivf_pq_indexed_scaled" -> (Similarity.qSimIvfPqIndexedScaled _),
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
+    "sim_ivf_2level_indexed_scaled" -> (Similarity.qSimIvfTwoLevelIndexedScaled _),
     "sim_hard_negatives"   -> (Similarity.qSimHardNegatives _),
     "sim_triplets"         -> (Similarity.qSimTriplets _),
     "sim_hard_negatives_scaled" -> (Similarity.qSimHardNegativesScaled _),
@@ -1013,6 +1014,47 @@ object SparkEntry {
     // thresholdless graph clustering: mutual k-NN edges + connected
     // components (the scaled knn CTEs feed the text-cluster closure)
     "sim_mutual_knn_clusters" -> MutualKnnClustersOracleSql,
+    // persisted two-level index: the sim_ivf_2level_scaled assignment
+    // algebra + the SQ8 reconstruct-and-score step (corpus side scored
+    // on its stored-code reconstruction, queries full-precision)
+    "sim_ivf_2level_indexed_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         ps AS (SELECT greatest(2, CAST(ceil(pow(c, 0.25)) AS BIGINT)) AS p,
+                       CAST(ceil(sqrt(c)) AS BIGINT) AS ns FROM nc),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec,
+                         row_number() OVER (ORDER BY vec_id) AS cpos
+                  FROM embeddings WHERE vec_id < (SELECT c FROM nc)),
+         sup AS (SELECT c_id AS s_id, c_vec AS s_vec FROM cent
+                 WHERE cpos <= (SELECT ns FROM ps)),
+         mem AS (SELECT c_id, c_vec, s_id, row_number() OVER (PARTITION BY c_id ORDER BY
+                   list_cosine_similarity(CAST(c_vec AS DOUBLE[]), CAST(s_vec AS DOUBLE[])) DESC, s_id) AS rn
+                 FROM cent CROSS JOIN sup),
+         memb AS (SELECT c_id, c_vec, s_id FROM mem WHERE rn = 1),
+         vsup AS (SELECT e.vec_id, s.s_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.s_vec AS DOUBLE[])) DESC, s.s_id) AS srn
+                  FROM embeddings e CROSS JOIN sup s),
+         probed AS (SELECT vec_id, s_id FROM vsup WHERE srn <= (SELECT p FROM ps)),
+         cand AS (SELECT e.vec_id, e.embedding, m.c_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(m.c_vec AS DOUBLE[])) AS c_sim
+                  FROM embeddings e JOIN probed pr ON e.vec_id = pr.vec_id
+                  JOIN memb m ON m.s_id = pr.s_id),
+         crnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM cand),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM crnk WHERE rn = 1),
+         rec AS (SELECT vec_id, bucket,
+             CASE WHEN list_max(v) > list_min(v)
+               THEN list_transform(v, x -> list_min(v) +
+                 CAST(least(255.0, greatest(0.0, floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5))) AS BIGINT)
+                   * ((list_max(v) - list_min(v)) / 255.0))
+               ELSE list_transform(v, x -> list_min(v)) END AS recon
+             FROM (SELECT vec_id, bucket, CAST(embedding AS DOUBLE[]) AS v FROM assigned)),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_bucket FROM crnk
+               WHERE vec_id < 10 AND rn <= 2),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), a.recon) AS sim
+             FROM rec a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     // materialized-index round trip: stored SQ8 codes reconstruct to
     // the identical scoring input, so the oracle IS sim_ivf_sq8's —
     // what the gate adds is that the rows come off the persisted

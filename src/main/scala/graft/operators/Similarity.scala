@@ -655,15 +655,33 @@ object Similarity {
     * `recon = vmin + code·scl` at search time is bit-identical to
     * the recompute path's [[Vectors.sq8ReconWith]]. */
   def buildIvfIndex(spark: SparkSession, dir: String, name: String,
-                    numCentroids: Int = NumCentroids): Unit =
-    buildIvfIndexFrom(Tables.embeddings(spark, dir), name, numCentroids)
+                    numCentroids: Int = NumCentroids,
+                    twoLevel: Boolean = false): Unit =
+    buildIvfIndexFrom(Tables.embeddings(spark, dir), name, numCentroids,
+      twoLevel)
+
+  /** Table property recording which coarse-assignment rule built the
+    * index (`flat` exact argmax vs `twolevel` hierarchical). Appends
+    * and searches READ the mode from the catalog instead of taking a
+    * parameter: an append or probe under the other rule would
+    * silently put vectors and queries in different cells than the
+    * build did — the same divergence class the quantizer-retrain ban
+    * guards against. */
+  private val AssignModeProp = "graft.assign"
+
+  private def assignModeOf(spark: SparkSession, name: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $name('$AssignModeProp')")
+      .collect().headOption.exists(_.getString(1) == "twolevel")
 
   /** Index rows for any vector frame against a given quantizer —
     * the one definition shared by full build and incremental append
     * (an appended vector must land exactly where a rebuild would put
     * it, or the index silently diverges from its own gate). */
-  private def indexRows(vectors: DataFrame, cent: DataFrame): DataFrame =
-    nearestCentroids(vectors, cent, keep = 1)
+  private def indexRows(vectors: DataFrame, cent: DataFrame,
+                        twoLevel: Boolean): DataFrame = {
+    val assign = if (twoLevel) nearestCentroidsTwoLevel _
+                 else nearestCentroids _
+    assign(vectors, cent, 1)
       .withColumn("vd", col("embedding").cast("array<double>"))
       .withColumn("vmin", array_min(col("vd")))
       .withColumn("vmax", array_max(col("vd")))
@@ -671,16 +689,26 @@ object Similarity {
       .withColumn("codes", Vectors.sq8CodesWith(
         col("vd"), col("vmin"), col("vmax"), col("scl")))
       .select("vec_id", "bucket", "vmin", "scl", "codes")
+  }
 
   /** [[buildIvfIndex]] over an explicit vector frame (corpus slices,
     * tests). The coarse quantizer is trained (= taken) from THIS
-    * frame and persisted alongside; appends never retrain it. */
+    * frame and persisted alongside; appends never retrain it. With
+    * `twoLevel` the corpus is assigned through the hierarchical
+    * quantizer — the build-side answer to the flat scan's
+    * O(√n·dim)/row assignment cost, which at 10¹⁰ vectors dominates
+    * the build (the search-side twin is sim_ivf_2level_scaled). The
+    * mode is stamped on the table so append/search can't diverge. */
   private[graft] def buildIvfIndexFrom(emb: DataFrame, name: String,
-                                       numCentroids: Int): Unit = {
+                                       numCentroids: Int,
+                                       twoLevel: Boolean = false): Unit = {
     val cent = centroidsOf(emb, numCentroids)
-    graft.sources.Readers.saveBucketedTable(indexRows(emb, cent), name,
-      buckets = IndexFileBuckets, bucketCol = "bucket")
+    graft.sources.Readers.saveBucketedTable(indexRows(emb, cent, twoLevel),
+      name, buckets = IndexFileBuckets, bucketCol = "bucket")
     graft.sources.Readers.replaceTable(cent, s"${name}_centroids")
+    val mode = if (twoLevel) "twolevel" else "flat"
+    emb.sparkSession.sql(
+      s"ALTER TABLE $name SET TBLPROPERTIES ('$AssignModeProp'='$mode')")
   }
 
   /** INCREMENTAL index maintenance — the search-side twin of the
@@ -692,7 +720,8 @@ object Similarity {
     * rebuild. IvfIndexSpec pins append ≡ full rebuild. */
   def appendToIvfIndex(spark: SparkSession, name: String,
                        batch: DataFrame): Unit =
-    indexRows(batch, spark.table(s"${name}_centroids"))
+    indexRows(batch, spark.table(s"${name}_centroids"),
+        assignModeOf(spark, name))
       .write.bucketBy(IndexFileBuckets, "bucket").sortBy("bucket")
       .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(name)
 
@@ -739,6 +768,12 @@ object Similarity {
     else {
       graft.sources.Readers.saveBucketedTable(
         spark.table(name), staging, IndexFileBuckets, "bucket")
+      // the staging table starts with no properties — carry the
+      // assignment-mode stamp over BEFORE the swap, or a compacted
+      // two-level index would silently read back as flat
+      val mode = if (assignModeOf(spark, name)) "twolevel" else "flat"
+      spark.sql(
+        s"ALTER TABLE $staging SET TBLPROPERTIES ('$AssignModeProp'='$mode')")
       spark.sql(s"ALTER TABLE $name RENAME TO $retired")
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
       graft.sources.Readers.dropTableAndDir(spark, retired)
@@ -756,9 +791,14 @@ object Similarity {
   def searchIvfIndex(spark: SparkSession, dir: String, name: String,
                      nProbes: Int = 1): DataFrame = {
     val cent = spark.table(s"${name}_centroids")
-    val q = nearestCentroids(
+    // probe under the index's OWN assignment rule (catalog-stamped):
+    // a flat probe of a two-level index would rank cells the corpus
+    // was never assigned under
+    val assign = if (assignModeOf(spark, name)) nearestCentroidsTwoLevel _
+                 else nearestCentroids _
+    val q = assign(
         Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries),
-        cent, keep = nProbes)
+        cent, nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
               col("bucket").as("q_bucket"))
     val probed: Array[Long] =
@@ -797,6 +837,24 @@ object Similarity {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     buildIvfIndex(spark, dir, "ivf_sq8_index_scaled", scaledCentroids(n))
     searchIvfIndex(spark, dir, "ivf_sq8_index_scaled", NumProbes)
+  }
+
+  /** The TWO-LEVEL index round trip: √n cells, corpus assigned (and
+    * queries probed) through the hierarchical quantizer, SQ8 codes
+    * persisted, nprobe=2 — the full build recipe for a corpus whose
+    * ASSIGNMENT pass, not just its search, must escape the flat
+    * O(√n·dim)/row scan. The oracle composes the
+    * sim_ivf_2level_scaled assignment algebra with the SQ8
+    * reconstruct-and-score step, so the persisted hierarchical index
+    * is hash-checked end to end (assignment deviates from the flat
+    * gates BY DESIGN — this gate has its own oracle, like
+    * sim_ivf_2level_scaled). */
+  def qSimIvfTwoLevelIndexedScaled(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    buildIvfIndex(spark, dir, "ivf_2level_index_scaled", scaledCentroids(n),
+      twoLevel = true)
+    searchIvfIndex(spark, dir, "ivf_2level_index_scaled", NumProbes)
   }
 
   // --- Materialized PQ-code index ---------------------------------

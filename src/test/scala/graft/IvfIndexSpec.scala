@@ -183,6 +183,35 @@ class IvfIndexSpec extends SparkSpec {
       "retired table survived")
   }
 
+  test("two-level assignment mode survives append and compaction") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val col = org.apache.spark.sql.functions.col _
+    val name = "ivf_index_spec_2l"
+    val nameRef = "ivf_index_spec_2l_ref"
+    // two-level build from a slice carrying the full quantizer, then an
+    // append + a forced compaction — if EITHER step fell back to flat
+    // assignment (the mode stamp lost), appended rows would land in
+    // different cells than a one-shot two-level rebuild puts them
+    Similarity.buildIvfIndexFrom(emb.where(col("vec_id") < 250), name, 8,
+      twoLevel = true)
+    Similarity.appendToIvfIndex(spark, name, emb.where(col("vec_id") >= 250))
+    assert(Similarity.compactIvfIndex(spark, name, maxFilesPerBucket = 0))
+    Similarity.buildIvfIndexFrom(emb, nameRef, 8, twoLevel = true)
+    val inc = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    val ref = Similarity.searchIvfIndex(spark, sf, nameRef, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == ref)
+    // and the hierarchical index genuinely differs from a flat build
+    // of the same corpus (the mode is load-bearing, not cosmetic)
+    val bucketsOf = (n: String) => spark.table(n)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.buildIvfIndexFrom(emb, "ivf_index_spec_2l_flat", 8)
+    assert(bucketsOf(nameRef) != bucketsOf("ivf_index_spec_2l_flat"),
+      "two-level assignment unexpectedly equals flat on the fixture")
+  }
+
   test("PQ index stores only codes; search prunes buckets and joins back to the corpus for the re-rank") {
     val name = "ivf_pq_index_spec"
     Similarity.buildPqIndex(spark, sf, name, numCentroids = 8)

@@ -71,6 +71,7 @@ object SparkEntry {
     "sim_hard_negatives"   -> (Similarity.qSimHardNegatives _),
     "sim_triplets"         -> (Similarity.qSimTriplets _),
     "sim_hard_negatives_scaled" -> (Similarity.qSimHardNegativesScaled _),
+    "sim_semantic_decontaminate" -> (Similarity.qSemanticDecontaminate _),
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
     "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
     "sim_mutual_knn_clusters" -> (Similarity.qSimMutualKnnClusters _),
@@ -835,6 +836,25 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, neg_label, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // embedding-space decontamination: train side single-cell, eval
+    // side probes 4 cells (recall-leaning dials: threshold 0.40 below
+    // the dedup family's 0.45; flags are advisory)
+    "sim_semantic_decontaminate" ->
+      """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+                  WHERE vec_id < (SELECT c FROM nc)),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         train AS (SELECT vec_id, embedding, c_id AS bucket FROM rnk WHERE rn = 1 AND vec_id >= 50),
+         ev AS (SELECT vec_id AS eval_id, embedding AS e_vec, c_id AS e_bucket FROM rnk
+                WHERE vec_id < 50 AND rn <= 4),
+         scored AS (SELECT t.vec_id, eval_id,
+             list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(e_vec AS DOUBLE[])) AS sim
+             FROM train t JOIN ev ON t.bucket = ev.e_bucket)
+         SELECT vec_id, eval_id, floor((sim) * 10000 + 0.5) / 10000 AS sim
+         FROM scored WHERE sim >= 0.40 ORDER BY vec_id, eval_id""",
     // triplets: one scored frame, rank-1 per (anchor, same-label?),
     // folded by conditional aggregation; margin rounds the RAW diff
     "sim_triplets" ->

@@ -622,6 +622,55 @@ object Similarity {
         graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
 
+  /** Semantic decontamination — the embedding-space twin of the
+    * n-gram [[TextAnalysis.qDecontaminate]]: flag training vectors
+    * whose embedding sits within the near-dup threshold of an EVAL
+    * vector (paraphrased benchmark leakage that no token-overlap
+    * check can see). One-sided by construction, like the Bloom
+    * decontaminator: the eval slice is tiny, so it broadcasts with
+    * its `nProbes` nearest cells while the corpus side keeps the
+    * map-only single-cell assignment — flagging costs one corpus
+    * scan + one broadcast join, the [[qSimHardNegativesScaled]] plan
+    * shape with a threshold in place of top-k. A train vector sits
+    * in exactly one cell and an eval vector's probes are distinct
+    * cells, so a (train, eval) pair is generated at most once — no
+    * dedup pass. √n cells from footer metadata.
+    *
+    * Both dials lean toward RECALL, deliberately diverging from the
+    * dedup family: a missed near-dup costs a duplicate training
+    * document, a missed contamination poisons an eval metric. So the
+    * threshold sits BELOW the dedup family's ([[DecontThreshold]] <
+    * [[NearDupThreshold]] — flags are advisory, a false positive
+    * costs a review) and the eval side probes twice as many cells
+    * ([[DecontProbes]]) — widening the tiny broadcast side is nearly
+    * free while the corpus side stays single-cell. */
+  def qSemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    val cents = collectCentroids(centroidsOf(emb, scaledCentroids(n)))
+    val train = emb.where(col("vec_id") >= EvalSliceSize)
+      .select(col("vec_id"), col("embedding"),
+        explode(graft.functions.NearestCells.nearestCells(
+          col("embedding"), cents, 1)).as("bucket"))
+    val ev = emb.where(col("vec_id") < EvalSliceSize)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_vec"),
+        explode(graft.functions.NearestCells.nearestCells(
+          col("embedding"), cents, DecontProbes)).as("e_bucket"))
+    train.join(broadcast(ev), col("bucket") === col("e_bucket"))
+      .withColumn("sim", cosine(col("embedding"), col("e_vec")))
+      .where(col("sim") >= DecontThreshold)
+      .select(col("vec_id"), col("eval_id"),
+        graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("vec_id", "eval_id")
+  }
+
+  /** Eval-slice size for [[qSemanticDecontaminate]] — wider than the
+    * 10-query search slice so the gate exercises a plural held-out
+    * set. */
+  private val EvalSliceSize = 50
+  private val DecontProbes = 4
+  private val DecontThreshold = 0.40
+
   // ---------------------------------------------------------------
   // Materialized IVF index: build once, search many. Every ivfSearch
   // invocation above recomputes assignment + SQ8 codes from the raw

@@ -52,6 +52,8 @@ object SparkEntry {
     "dedup_keep_best"      -> (Dedup.qDedupKeepBest _),
     "dedup_verbatim"       -> (Dedup.qVerbatimCoverage _),
     "dedup_verbatim_rewrite" -> (Dedup.qVerbatimRewrite _),
+    "dedup_paragraphs"     -> (Dedup.qDedupParagraphs _),
+    "dedup_paragraphs_sql" -> (SqlSurface.qDedupParagraphsSql _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
     "dedup_embedding_scaled"  -> (Similarity.qDedupEmbeddingScaled _),
@@ -68,6 +70,9 @@ object SparkEntry {
     "sim_ivf_indexed"      -> (Similarity.qSimIvfIndexed _),
     "sim_ivf_indexed_scaled" -> (Similarity.qSimIvfIndexedScaled _),
     "sim_ivf_2level_indexed_scaled" -> (Similarity.qSimIvfTwoLevelIndexedScaled _),
+    "sim_lsh_cosine"       -> (Similarity.qSimLshCosine _),
+    "dedup_embedding_lsh"  -> (Similarity.qDedupEmbeddingLsh _),
+    "sim_lsh_cosine_scaled" -> (Similarity.qSimLshCosineScaled _),
     "sim_hard_negatives"   -> (Similarity.qSimHardNegatives _),
     "sim_triplets"         -> (Similarity.qSimTriplets _),
     "sim_hard_negatives_scaled" -> (Similarity.qSimHardNegativesScaled _),
@@ -117,6 +122,7 @@ object SparkEntry {
     "stream_decontaminate" -> (graft.streaming.StreamReplays.qStreamDecontaminate _),
     "stream_dedup_incremental" -> (graft.streaming.StreamReplays.qStreamIncrementalDedup _),
     "stream_chunk_pack"    -> (graft.streaming.StreamReplays.qStreamChunkPack _),
+    "stream_ann_search"    -> (graft.streaming.StreamReplays.qStreamAnnSearch _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "q_running_total"      -> (Analytic.qRunningTotal _),
@@ -395,11 +401,16 @@ object SparkEntry {
     // batch twins — one oracle each, two execution shapes
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
+    // micro-batched queries against the standing index concatenate to
+    // the one-shot search: sq8 / indexed / streamed — one oracle,
+    // three execution shapes
+    "stream_ann_search" -> OracleSqlBase("sim_ivf_sq8"),
     // the SQL-surface twins (SqlSurface.scala) must land on exactly
     // the rows of their DataFrame twins — one oracle each, two entry
     // surfaces
     "pack_sequences_sql" -> OracleSqlBase("pack_sequences"),
     "dedup_exact_sql" -> OracleSqlBase("dedup_exact"),
+    "dedup_paragraphs_sql" -> OracleSqlBase("dedup_paragraphs"),
     "q_temperature_mix_sql" -> OracleSqlBase("q_temperature_mix"),
     // Bloom prefilter is one-sided and exact-verified, so its output
     // must be EXACTLY the unfiltered operator's rows
@@ -780,6 +791,21 @@ object SparkEntry {
          SELECT doc_id, CAST(n - len(kept) AS BIGINT) AS n_removed,
                 coalesce(array_to_string(kept, ' '), '') AS clean_text
          FROM outp ORDER BY doc_id""",
+    // paragraph-level dedup: disjoint 16-token segments, corpus-wide
+    // first occurrence in (doc_id, seg_idx) order survives, documents
+    // reassembled from surviving segments in order
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         t AS (SELECT doc_id, toks, greatest(1, CAST(ceil(len(toks) / 16.0) AS BIGINT)) AS n_segs FROM d),
+         segs AS (SELECT doc_id, n_segs, seg_idx,
+             array_to_string(toks[(seg_idx * 16 + 1):(seg_idx * 16 + 16)], ' ') AS seg
+           FROM (SELECT doc_id, toks, n_segs, CAST(unnest(range(0, n_segs)) AS BIGINT) AS seg_idx FROM t)),
+         kept AS (SELECT * FROM (SELECT *,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+           FROM segs) WHERE rn = 1)
+         SELECT doc_id, n_segs, count(*) AS n_kept,
+                string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+         FROM kept GROUP BY doc_id, n_segs ORDER BY doc_id""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS sim
@@ -891,6 +917,93 @@ object SparkEntry {
              FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id AND a.label != q.q_label),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, neg_label, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // LSH near-dup pairs: banding per the scaled search gate, the
+    // lower-id side probes its Hamming-1 ball, candidates distinct-
+    // folded, exact cosine verify at the dedup family's 0.45
+    "dedup_embedding_lsh" ->
+      """WITH bb AS (SELECT CASE WHEN count(*) < 65536 THEN 8
+                                 WHEN count(*) < 268435456 THEN 16
+                                 ELSE 24 END AS bits FROM embeddings),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, band_idx, bits,
+             CAST(list_sum(list_transform(range(bits), j ->
+               (CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  v[i] * (CASE WHEN substr(md5('lsh|' || (band_idx * bits + j) || '|' || (i - 1)), 1, 1) < '8'
+                               THEN 1.0 ELSE -1.0 END))) >= 0
+                THEN 1 ELSE 0 END) * (1 << (bits - 1 - j)))) AS BIGINT) AS band_val
+           FROM e CROSS JOIN bb CROSS JOIN (SELECT unnest(range(4)) AS band_idx) bands),
+         probe AS (SELECT vec_id, band_idx,
+             unnest(flatten([[band_val],
+               list_transform(range(bits), j ->
+                 xor(band_val, CAST(1 << j AS BIGINT)))])) AS p_val
+           FROM b),
+         cand AS (SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+           FROM probe p JOIN b c ON p.band_idx = c.band_idx AND p.p_val = c.band_val
+           WHERE p.vec_id < c.vec_id),
+         scored AS (SELECT id_a, id_b,
+             list_cosine_similarity(ea.v, eb.v) AS sim
+           FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                     JOIN e eb ON eb.vec_id = cand.id_b)
+         SELECT id_a, id_b, floor((sim) * 10000 + 0.5) / 10000 AS sim
+         FROM scored WHERE sim >= 0.45 ORDER BY id_a, id_b""",
+    // SRP-LSH (fixed 4 bands × 8 bits): plane signs are the md5
+    // Rademacher convention (seed "lsh|plane|dim" — emb_project_rp's
+    // algebra), band value packs 8 sign bits MSB-first, candidates =
+    // any-band collisions distinct-folded, exact cosine re-rank
+    "sim_lsh_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, band_idx,
+             list_sum(list_transform(range(8), j ->
+               (CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  v[i] * (CASE WHEN substr(md5('lsh|' || (band_idx * 8 + j) || '|' || (i - 1)), 1, 1) < '8'
+                               THEN 1.0 ELSE -1.0 END))) >= 0
+                THEN 1 ELSE 0 END) * (1 << (8 - 1 - j)))) AS band_val
+           FROM e CROSS JOIN (SELECT unnest(range(4)) AS band_idx) bands),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+           FROM b c JOIN b q ON c.band_idx = q.band_idx AND c.band_val = q.band_val
+           WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         scored AS (SELECT q_id, neighbor_id,
+             list_cosine_similarity(qe.v, ce.v) AS sim
+           FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // the SCALE config: bits per band stepped by corpus count
+    // (Similarity.lshBitsForN — 8 under 2^16 rows, 16 under 2^28,
+    // 24 beyond; integer thresholds, exact in both engines) plus
+    // Hamming-2 MULTI-PROBE on the query side: each query band also
+    // probes every 1- and 2-bit flip of its own value
+    "sim_lsh_cosine_scaled" ->
+      """WITH bb AS (SELECT CASE WHEN count(*) < 65536 THEN 8
+                                 WHEN count(*) < 268435456 THEN 16
+                                 ELSE 24 END AS bits FROM embeddings),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, band_idx, bits,
+             CAST(list_sum(list_transform(range(bits), j ->
+               (CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  v[i] * (CASE WHEN substr(md5('lsh|' || (band_idx * bits + j) || '|' || (i - 1)), 1, 1) < '8'
+                               THEN 1.0 ELSE -1.0 END))) >= 0
+                THEN 1 ELSE 0 END) * (1 << (bits - 1 - j)))) AS BIGINT) AS band_val
+           FROM e CROSS JOIN bb CROSS JOIN (SELECT unnest(range(4)) AS band_idx) bands),
+         qp AS (SELECT vec_id, band_idx,
+             unnest(flatten([[band_val],
+               list_transform(range(bits), j ->
+                 xor(band_val, CAST(1 << j AS BIGINT))),
+               flatten(list_transform(range(bits), j ->
+                 list_transform(range(j + 1, bits), k ->
+                   xor(band_val, CAST((1 << j) | (1 << k) AS BIGINT)))))])) AS probe_val
+           FROM b WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+           FROM b c JOIN qp q ON c.band_idx = q.band_idx AND c.band_val = q.probe_val
+           WHERE c.vec_id != q.vec_id),
+         scored AS (SELECT q_id, neighbor_id,
+             list_cosine_similarity(qe.v, ce.v) AS sim
+           FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "sim_ivf" ->
       """WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),

@@ -613,6 +613,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Segment size (tokens) for paragraph-level dedup. Real pipelines
+    * split on newline paragraphs; the fixture's text has no structure
+    * markers, so fixed disjoint 16-token segments are the analog —
+    * long enough that chance collisions are negligible, short enough
+    * that fixture docs (10–99 tokens) produce several. */
+  private val SegTokens = 16
+
+  /** PARAGRAPH-level dedup with document reassembly — the sub-document
+    * exact-dedup step of the modern curation recipes (C4 removes
+    * repeated three-sentence spans corpus-wide; FineWeb dedups at
+    * paragraph granularity and keeps documents assembled from their
+    * surviving paragraphs). Documents are split into disjoint
+    * [[SegTokens]]-token segments; across the WHOLE corpus each
+    * distinct segment text survives exactly once — at its first
+    * occurrence in (doc_id, seg_idx) order, a deterministic
+    * engine-free rule — and every document is rebuilt from its
+    * surviving segments in order. A document whose every segment
+    * already appeared elsewhere disappears entirely (that is the
+    * point: it contributes no novel text), which subsumes exact
+    * whole-document dedup.
+    *
+    * Differs from [[qVerbatimRewrite]] in granularity and rule:
+    * verbatim rewrite hunts OVERLAPPING w-token windows shared with
+    * any other doc (span coverage), this dedups DISJOINT segments
+    * globally by first occurrence — the C4/FineWeb shape, one
+    * explode cheaper (n/16 segment rows vs n window rows per doc).
+    *
+    * Scale shape: one explode (n/[[SegTokens]] rows per n-token doc),
+    * ONE hash-shuffle on the segment hash for the first-occurrence
+    * window (partitionBy md5 — arbitrarily many distinct segments
+    * spread evenly; no corpus×corpus anything), one doc_id shuffle to
+    * reassemble. Both shuffles key-hashed and skew-free by
+    * construction. At 100 TB this is exactly two exchanges over
+    * segment-sized rows. */
+  def qDedupParagraphs(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphs(Tables.documents(spark, dir))
+
+  private[graft] def dedupParagraphs(documents: DataFrame): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_segs",
+        greatest(lit(1L), ceil(size(col("toks")) / lit(SegTokens.toDouble))
+          .cast("long")))
+    val segs = toksDf
+      .select(col("doc_id"), col("n_segs"), col("toks"),
+        explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("n_segs"), col("seg_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("seg_idx") * SegTokens).cast("int") + 1, lit(SegTokens)))
+          .as("seg"))
+    val wFirst = Window.partitionBy(md5(col("seg")))
+      .orderBy("doc_id", "seg_idx")
+    segs
+      .withColumn("rn", row_number().over(wFirst))
+      .where(col("rn") === 1)
+      .groupBy("doc_id", "n_segs")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s("seg")), " ").as("text_kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("text_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Verbatim span REMOVAL — the rewrite half of ExactSubstr dedup
     * ([[qVerbatimCoverage]] measures; this cuts): each shared
     * w-token window has an OWNER (the lowest doc_id holding it — a

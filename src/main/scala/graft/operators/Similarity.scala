@@ -838,16 +838,26 @@ object Similarity {
     * `vmin + code·scl` reconstruction + one codegen'd cosine — no
     * assignment recompute, no quantization, no corpus shuffle. */
   def searchIvfIndex(spark: SparkSession, dir: String, name: String,
-                     nProbes: Int = 1): DataFrame = {
+                     nProbes: Int = 1): DataFrame =
+    searchIvfIndexFor(spark, name,
+      Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries), nProbes)
+
+  /** [[searchIvfIndex]] over an explicit (vec_id, embedding) query
+    * frame — the surface a SERVED index needs: query batches arrive
+    * from anywhere (a stream, a request queue), the index is the
+    * standing store. Per-batch cost is query planning (rank the batch
+    * against the broadcast centroids, collect the probed cell ids)
+    * plus a scan pruned to the probed cells. */
+  private[graft] def searchIvfIndexFor(spark: SparkSession, name: String,
+                                       queries: DataFrame,
+                                       nProbes: Int): DataFrame = {
     val cent = spark.table(s"${name}_centroids")
     // probe under the index's OWN assignment rule (catalog-stamped):
     // a flat probe of a two-level index would rank cells the corpus
     // was never assigned under
     val assign = if (assignModeOf(spark, name)) nearestCentroidsTwoLevel _
                  else nearestCentroids _
-    val q = assign(
-        Tables.embeddings(spark, dir).where(col("vec_id") < NumQueries),
-        cent, nProbes)
+    val q = assign(queries, cent, nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
               col("bucket").as("q_bucket"))
     val probed: Array[Long] =
@@ -886,6 +896,213 @@ object Similarity {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     buildIvfIndex(spark, dir, "ivf_sq8_index_scaled", scaledCentroids(n))
     searchIvfIndex(spark, dir, "ivf_sq8_index_scaled", NumProbes)
+  }
+
+  // ---------------------------------------------------------------
+  // Sign-random-projection (SRP / hyperplane) LSH search — the
+  // LSH-BUCKETED alternative to the IVF family above. Where IVF
+  // buckets by nearest centroid (data-dependent model state: the
+  // quantizer must be trained, collected, broadcast, and kept in
+  // sync between corpus and queries), SRP-LSH buckets by the SIGN
+  // PATTERN of fixed random hyperplanes — zero model state, zero
+  // training pass, and a vector's bucket is a pure projection of the
+  // vector itself. That makes it the natural choice when the corpus
+  // is append-heavy (no quantizer to retrain or stamp) or when
+  // bucketing must be computable independently by writers that share
+  // nothing but the plane seed. The price: buckets are not adapted
+  // to the data distribution, so recall per probed candidate is
+  // below a trained IVF's (measured against brute force in
+  // SCALING.md, like the IVF probes).
+  //
+  // Scale shape: signature computation is MAP-ONLY (literal
+  // Rademacher planes — the emb_project_rp convention — folded in a
+  // codegen'd HOF; no join, no model collect); candidate generation
+  // is an EQUI-JOIN on (band_idx, band_value) — with a tiny query
+  // slice the query side broadcasts and the corpus is scanned once,
+  // with a large query batch both sides hash-partition by band and
+  // it is one shuffle each; the exact re-rank touches only
+  // candidates. Bits per band must grow with the corpus to hold
+  // bucket size (n/2^bits rows expected per band bucket) —
+  // [[lshBitsForN]] steps 8 → 16 → 24 by footer count, the
+  // hashPrefixLenFor regime-switch pattern (Packing.scala).
+  // ---------------------------------------------------------------
+
+  private val LshBands = 4
+  private val LshBitsFixed = 8
+
+  /** Bits per band for a corpus of n vectors: 2^bits band buckets
+    * should not be far below n, or every bucket is a candidate
+    * flood — 8 bits to 64 k vectors, 16 to 256 M, 24 beyond (at
+    * n=10¹⁰: 16.7 M buckets/band, ~600 rows each — the same bounded-
+    * bucket contract as the √n-cell IVF sizing). Integer thresholds,
+    * no float log — exact in both engines. */
+  private[graft] def lshBitsForN(n: Long): Int =
+    if (n < (1L << 16)) 8 else if (n < (1L << 28)) 16 else 24
+
+  /** Deterministic Rademacher hyperplane component for (plane, dim) —
+    * the [[Vectors.qEmbProjectRp]] seed convention: the sign is the
+    * first md5 hex digit of "lsh|plane|dim". Computed driver-side at
+    * plan build and baked into the plan as literals: the planes ARE
+    * the model, and they cost nothing to "train" or ship. */
+  private def lshSign(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lsh|$p|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) < '8') 1.0 else -1.0
+  }
+
+  /** The [[LshBands]] band values of a (float-array) vector column:
+    * plane p's bit is [dot(v, plane_p) >= 0], band b packs its
+    * `bits` consecutive planes MSB-first. One codegen'd fold per
+    * plane over the literal sign array — map-only, no exchange. */
+  private def lshBandValues(vec: Column, bits: Int): Column = {
+    val v = vec.cast("array<double>")
+    def bit(p: Int): Column = {
+      val signs = Array.tabulate(64)(i => lshSign(p, i))
+      when(aggregate(zip_with(v, typedlit(signs), (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    array((0 until LshBands).map { b =>
+      (0 until bits).map(j =>
+        bit(b * bits + j) * lit(1L << (bits - 1 - j))
+      ).reduce(_ + _)
+    }: _*)
+  }
+
+  /** The Hamming-`flips` probe ball around a `band_val` column:
+    * the value itself, every 1-bit flip (flips≥1), every 2-bit flip
+    * (flips≥2) — literal-unrolled at plan build (1 + bits +
+    * C(bits,2) values). Shared by the search and pair probes. */
+  private def lshProbeValues(bits: Int, flips: Int): Column = {
+    val v = col("band_val")
+    val flip1 = (0 until bits).map(j => v.bitwiseXOR(lit(1L << j)))
+    val flip2 = for (j <- 0 until bits; k <- j + 1 until bits)
+      yield v.bitwiseXOR(lit((1L << j) | (1L << k)))
+    array(Seq(v) ++ (if (flips >= 1) flip1 else Nil)
+                 ++ (if (flips >= 2) flip2 else Nil): _*)
+  }
+
+  /** SRP-LSH top-k: corpus and queries banded by [[lshBandValues]],
+    * candidates = pairs sharing ANY band (distinct-folded — a pair
+    * can collide in up to [[LshBands]] bands), exact cosine re-rank,
+    * top-[[TopK]]. Output shape and tie rule match the IVF gates.
+    *
+    * `flips` is MULTI-PROBE: each query band additionally probes
+    * every band value within Hamming distance `flips` of its own —
+    * the standard way SRP-LSH buys recall without more tables. The
+    * probe set (1 + bits + C(bits,2) values at flips=2) is expanded
+    * on the QUERY side only, literal-unrolled at plan build (bits is
+    * known), so the corpus side stays one map-only banding pass
+    * whatever the probe width. */
+  private[graft] def lshSearch(emb: DataFrame, bits: Int,
+                               flips: Int = 0): DataFrame = {
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        posexplode(lshBandValues(col("embedding"), bits))
+          .as(Seq("band_idx", "band_val")))
+    val corpus = banded(emb)
+    val probeVals = lshProbeValues(bits, flips)
+    val q = banded(emb.where(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("band_idx").as("q_band_idx"),
+              explode(probeVals).as("q_band_val"))
+    val cand = corpus.join(broadcast(q),
+        col("band_idx") === col("q_band_idx") &&
+        col("band_val") === col("q_band_val") &&
+        col("vec_id") =!= col("q_id"))
+      // a pair colliding in several bands is one candidate: fold to
+      // (q_id, vec_id) carrying the vectors (first() over identical
+      // values) — one hash-shuffle of candidate rows only
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+           first(col("embedding")).as("embedding"))
+    val wRank = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    cand
+      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The FIXED-config LSH gate (4 bands × 8 bits) whose oracle
+    * unrolls the plane/band/candidate algebra step for step. */
+  def qSimLshCosine(spark: SparkSession, dir: String): DataFrame =
+    lshSearch(Tables.embeddings(spark, dir), LshBitsFixed)
+
+  /** LSH NEAR-DUP PAIRS — the model-free twin of
+    * [[blockedNearDup]]'s IVF blocking: candidate pairs collide in
+    * some band within Hamming distance `flips` (the lower-id side
+    * carries the probe ball, so each qualifying pair is generated
+    * once per band and distinct-folded), then exact cosine verify at
+    * [[NearDupThreshold]]. No quantizer to train, collect, stamp, or
+    * keep in sync — a vector's buckets are a pure projection of the
+    * vector, so append-heavy / multi-writer corpora can band
+    * independently sharing nothing but the plane seed.
+    *
+    * The regime contract (measured, SCALING.md): at the TIGHT
+    * similarities dedup actually hunts (copies/re-encodes, cosine
+    * ≥0.9, per-plane agreement ≥0.9) banding recalls ~100 % of
+    * planted pairs at a ~10⁻³ candidate fraction even in the 16-bit
+    * regime; at the borderline 0.45-threshold regime (per-plane
+    * ~0.65) recall is honestly partial — the IVF-blocked path is the
+    * tool there. Candidate volume per vector is
+    * ~bands·(bits+1)·n/2^bits, which the [[lshBitsForN]] rule holds
+    * to the same order as the IVF path's nprobe·√n. */
+  private[graft] def lshNearDupPairs(emb: DataFrame, bits: Int,
+                                     flips: Int = 1): DataFrame = {
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        posexplode(lshBandValues(col("embedding"), bits))
+          .as(Seq("band_idx", "band_val")))
+    val corpus = banded(emb)
+      .select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+              col("band_idx").as("b_band_idx"), col("band_val").as("b_band_val"))
+    val probe = banded(emb)
+      .select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+              col("band_idx"), explode(lshProbeValues(bits, flips)).as("p_val"))
+    probe.join(corpus,
+        col("band_idx") === col("b_band_idx") &&
+        col("p_val") === col("b_band_val") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("v_a")).as("v_a"), first(col("v_b")).as("v_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= NearDupThreshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Text.roundPortable(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The LSH near-dup gate: bits from footer metadata
+    * ([[lshBitsForN]]), Hamming-1 probing — the configuration the
+    * planted-pair probe prices. Output shape matches the
+    * dedup_embedding family (a strict, verified SUBSET of the exact
+    * gate's pairs — banding only generates candidates, never
+    * scores). */
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    lshNearDupPairs(Tables.embeddings(spark, dir), lshBitsForN(n))
+  }
+
+  /** Multi-probe flips for the scale config: Hamming-2 probing
+    * (1 + bits + C(bits,2) probe values per query band — 37 at 8
+    * bits, 137 at 16) measured at the fixture's near-orthogonal
+    * worst case: recall@5 0.06 → 0.86 over exact probing
+    * (SCALING.md). Query-side only — corpus cost is unchanged. */
+  private val LshFlips = 2
+
+  /** The SCALE config: bits per band from footer metadata
+    * ([[lshBitsForN]] — zero jobs at plan build) plus Hamming-2
+    * MULTI-PROBE on the query side ([[LshFlips]]), so the plan a
+    * 100 TB corpus runs — not just the toy dial — is hash-checked.
+    * At fixture sizes the bits rule floors at the fixed gate's 8
+    * (the [[scaledCentroids]] precedent); the 16-bit regime executes
+    * in ScaleProbe's replicated run. */
+  def qSimLshCosineScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    lshSearch(Tables.embeddings(spark, dir), lshBitsForN(n), LshFlips)
   }
 
   /** The TWO-LEVEL index round trip: √n cells, corpus assigned (and

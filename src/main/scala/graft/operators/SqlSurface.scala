@@ -79,6 +79,39 @@ object SqlSurface {
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin)
   }
 
+  /** Paragraph-level dedup with reassembly from SQL — the same
+    * two-shuffle plan as [[Dedup.qDedupParagraphs]] (segment-hash
+    * window for corpus-wide first occurrence, doc_id aggregate to
+    * reassemble), expressed as one statement: the generator, the
+    * md5-partitioned window, and the ordered struct-sort rebuild all
+    * have direct SQL spellings, so the curation recipe is fully
+    * drivable from a SQL-only client. */
+  def qDedupParagraphsSql(spark: SparkSession, dir: String): DataFrame = {
+    install(spark, dir)
+    spark.sql(
+      """WITH d AS (SELECT doc_id,
+        |            filter(split(text, '\\s+'), t -> t != '') AS toks
+        |          FROM documents),
+        |t AS (SELECT doc_id, toks,
+        |        greatest(1L, CAST(ceil(size(toks) / 16.0) AS BIGINT)) AS n_segs
+        |      FROM d),
+        |e AS (SELECT doc_id, toks, n_segs,
+        |        explode(sequence(0L, n_segs - 1)) AS seg_idx FROM t),
+        |segs AS (SELECT doc_id, n_segs, seg_idx,
+        |        concat_ws(' ',
+        |          slice(toks, CAST(seg_idx * 16 AS INT) + 1, 16)) AS seg
+        |      FROM e),
+        |kept AS (SELECT * FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY md5(seg)
+        |                           ORDER BY doc_id, seg_idx) AS rn
+        |      FROM segs) WHERE rn = 1)
+        |SELECT doc_id, n_segs, count(*) AS n_kept,
+        |       array_join(transform(
+        |         array_sort(collect_list(struct(seg_idx, seg))),
+        |         s -> s.seg), ' ') AS text_kept
+        |FROM kept GROUP BY doc_id, n_segs ORDER BY doc_id""".stripMargin)
+  }
+
   /** Temperature-sampled mixing (T=2 ⇒ √count weights, 200-doc
     * target, largest-remainder integer split, md5-ordered quota fill)
     * from SQL. The quota CTEs run over the handful of strata (window

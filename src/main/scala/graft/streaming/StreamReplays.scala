@@ -97,6 +97,50 @@ object StreamReplays {
       .orderBy("doc_id")
   }
 
+  /** SERVED-INDEX ANN: query vectors stream in micro-batches against
+    * the STANDING materialized IVF+SQ8 index (built once before the
+    * stream starts — the build/serve split of
+    * [[graft.operators.Similarity.buildIvfIndex]]). Each micro-batch
+    * runs the real pruned-cell search
+    * ([[graft.operators.Similarity.searchIvfIndexFor]]): per-batch
+    * cost is the batch's query planning + a scan of only its probed
+    * cells — the index is never rebuilt, rescanned whole, or
+    * shuffled. Top-k ranking is per-query, and a query vector lives
+    * entirely in one micro-batch, so batch outputs CONCATENATE to
+    * the one-shot search — same oracle as sim_ivf_sq8 /
+    * sim_ivf_indexed (three plans, one semantics). */
+  def qStreamAnnSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.operators.Similarity.buildIvfIndex(spark, dir, "ivf_stream_index")
+    val queries = graft.Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id")
+      // harness-side collect: feeding the MemoryStream (10 query rows)
+      .as[(Long, Array[Float])].collect().toSeq
+    val out = ArrayBuffer[(Long, Long, Long, Double)]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = graft.operators.Similarity.searchIvfIndexFor(
+            spark, "ivf_stream_index", batch, nProbes = 1)
+          // harness-side collect: draining one micro-batch's OUTPUT rows
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    try {
+      queries.grouped(4).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    out.toSeq.toDF("q_id", "rank", "neighbor_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** CONTINUOUS training-data assembly: the train-split corpus
     * streams in doc_id order; each micro-batch is chunked
     * ([[graft.operators.TextAnalysis.chunkDocs]], map-only) and

@@ -206,10 +206,17 @@ object ScaleProbe {
         // window-index shuffle + doc-level interval join-back; the
         // rewrite side must NOT inherit the index's n·w row growth
         "dedup_verbatim_rewrite",
+        // one segment-hash shuffle + one doc reassembly shuffle over
+        // n/16 segment rows — should be row-linear
+        "dedup_paragraphs",
         // two-stage PQ: ADC scan + √n-shortlist exact re-rank
         "sim_ivf_pq_scaled",
         // persisted PQ codes round trip (build dominates, ~linear)
-        "sim_ivf_pq_indexed")
+        "sim_ivf_pq_indexed",
+        // SRP-LSH multi-probe search: map-only banding + broadcast
+        // probe join — candidate volume (not the banding) is the
+        // scale risk on near-orthogonal data; see the [lsh] table
+        "sim_lsh_cosine_scaled")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)
@@ -225,7 +232,7 @@ object ScaleProbe {
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
     val pseudo = Set("recall", "plant", "searchrecall", "clusterquality",
-      "packlen", "twolevel", "pq")
+      "packlen", "twolevel", "pq", "lsh", "lshplant")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -491,6 +498,83 @@ object ScaleProbe {
     if (only.forall(_("pq"))) {
       pqTable(src, "1x")
       pqTable(dst, s"${factor}x")
+    }
+
+    // SRP-LSH search: recall@5 and candidate volume of the fixed
+    // exact-probe config (4 bands × 8 bits) vs the scaled Hamming-2
+    // multi-probe config against brute force. The fixture's
+    // near-orthogonal vectors (top-5 cosines ~0.3-0.37) are SRP-LSH's
+    // ADVERSARIAL case — per-plane agreement ~0.6 makes recall track
+    // candidate fraction, the regime where model-free banding buys
+    // nothing over a scan and a trained IVF wins. The table prices
+    // that honestly; at ≥32× the bits rule's 16-bit regime executes.
+    def lshTable(dir: String, label: String): Unit = {
+      val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+      val bits = graft.operators.Similarity.lshBitsForN(n)
+      val emb = Tables.embeddings(spark, dir).cache()
+      val truth = SparkEntry.queries("sim_brute_force")(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallAndTime(fn: => DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = fn.select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        (100.0 * got.count(truth) / math.max(truth.size, 1), sec)
+      }
+      val (recExact, secExact) = recallAndTime(
+        graft.operators.Similarity.lshSearch(emb, 8, flips = 0))
+      val (recProbe, secProbe) = recallAndTime(
+        graft.operators.Similarity.lshSearch(emb, bits, flips = 2))
+      val (recIvf, secIvf) = recallAndTime(
+        SparkEntry.queries("sim_ivf_scaled")(spark, dir))
+      println(f"[lsh] $label%-6s n=$n%-7d bits=$bits recall@5 " +
+        f"exact=$recExact%5.1f%% multiprobe2=$recProbe%5.1f%% " +
+        f"ivfScaled=$recIvf%5.1f%% time exact=$secExact%5.2f s " +
+        f"probe=$secProbe%5.2f s ivf=$secIvf%5.2f s")
+      emb.unpersist()
+    }
+    if (only.forall(_("lsh"))) {
+      lshTable(src, "1x")
+      lshTable(dst, s"${factor}x")
+    }
+
+    // LSH near-dup in its TRUE regime: planted tight copies (cosine
+    // ≈0.95–0.99, the plantedRecall construction) must be recalled by
+    // the banded Hamming-1 candidates — the measurement that justifies
+    // dedup_embedding_lsh next to the honest weakness of the
+    // moderate-sim [lsh] search rows above. Also reports background
+    // (0.45-threshold) pair recall vs the exact all-pairs truth at 1×.
+    def lshPlantTable(dir: String, label: String): Unit = {
+      val PlantOffset = 10000000000L
+      val every = 50
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val planted = emb.where(pmod(col("vec_id"), lit(every)) === 0)
+        .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+          zip_with(col("embedding"),
+            concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)),
+            (a, b) => a + lit(0.2f) * b).cast("array<float>").as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      val n = corpus.count()
+      val nPlanted = planted.count()
+      val bits = graft.operators.Similarity.lshBitsForN(n)
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Similarity
+        .lshNearDupPairs(corpus, bits).cache()
+      val found = pairs
+        .where(col("id_b") - col("id_a") === PlantOffset &&
+               pmod(col("id_a"), lit(every)) === 0)
+        .count()
+      val total = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[lshplant] $label%-6s n=$n%-7d bits=$bits planted=$nPlanted%-5d " +
+        f"found=$found%5d/$nPlanted%-5d (${100.0 * found / nPlanted}%5.1f%%) " +
+        f"pairsOut=$total%6d $sec%7.2f s")
+      pairs.unpersist(); corpus.unpersist()
+    }
+    if (only.forall(_("lshplant"))) {
+      lshPlantTable(src, "1x")
+      lshPlantTable(dst, s"${factor}x")
     }
 
     // Adaptive-prefix execution check: at ≥30× the documents corpus

@@ -90,6 +90,7 @@ object SparkEntry {
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
+    "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
@@ -1299,6 +1300,48 @@ object SparkEntry {
     // corpus-trained unigram LM scoring: vocab = top-16 tokens by
     // (count desc, token), one shared OOV mass for the rest; per-doc
     // mean ln p(token). The ORDER-INDEPENDENT sum here matches
+    // BPE merge induction, 3 iterations unrolled: word-frequency
+    // table once, then per-step pair argmax (max count, lexicographic
+    // tie-break) + greedy left-to-right non-overlapping rewrite. Word
+    // symbol state is a '|'-joined string so list_reduce's
+    // acc-type-equals-element-type constraint is satisfied; the fold
+    // replaces the state's LAST element when (last, next) is the
+    // merge pair — exactly the Spark side's array fold.
+    "text_bpe_merges" ->
+      """WITH w AS (SELECT w, count(*) AS freq FROM
+           (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS w
+            FROM documents) GROUP BY w),
+         s0 AS (SELECT array_to_string(list_transform(range(1, len(w) + 1),
+                  i -> substr(w, CAST(i AS INT), 1)), '|') AS st, freq FROM w),
+         p1 AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, sum(freq) AS cnt
+           FROM (SELECT string_split(st, '|') AS l, freq,
+                   unnest(range(1, len(string_split(st, '|')))) AS i FROM s0)
+           GROUP BY 1, 2),
+         m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+         s1 AS (SELECT list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st, freq
+           FROM s0 CROSS JOIN m1 m),
+         p2 AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, sum(freq) AS cnt
+           FROM (SELECT string_split(st, '|') AS l, freq,
+                   unnest(range(1, len(string_split(st, '|')))) AS i FROM s1)
+           GROUP BY 1, 2),
+         m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+         s2 AS (SELECT list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st, freq
+           FROM s1 CROSS JOIN m2 m),
+         p3 AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, sum(freq) AS cnt
+           FROM (SELECT string_split(st, '|') AS l, freq,
+                   unnest(range(1, len(string_split(st, '|')))) AS i FROM s2)
+           GROUP BY 1, 2),
+         m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM m1
+         UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, CAST(cnt AS BIGINT) FROM m2
+         UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(cnt AS BIGINT) FROM m3
+         ORDER BY step""",
     // Spark's in-document-order fold to well under the 4-decimal
     // rounding (values ~1e3, double error ~1e-12)
     "text_unigram_logprob" ->

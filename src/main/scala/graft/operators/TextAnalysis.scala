@@ -531,4 +531,88 @@ object TextAnalysis {
             lit(0.0), (acc, x) => acc + x) / nTok, 4)).as("avg_logprob"))
       .orderBy("doc_id")
   }
+
+  /** Merge steps for [[qTextBpeMerges]] — 3 keeps the oracle's
+    * iteration unroll readable while exercising the full loop
+    * (symbols grow multi-character by step 2). */
+  private val BpeMergeSteps = 3
+
+  /** BPE MERGE INDUCTION — tokenizer TRAINING as a Spark job (the
+    * byte-pair-encoding loop of Sennrich et al.: count adjacent
+    * symbol pairs over the word-frequency table, merge the most
+    * frequent pair everywhere, repeat). [[qTextTokensBpe]] counts
+    * tokens under a fixed regex scheme; this LEARNS the merge table
+    * a real tokenizer would ship.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus is
+    * touched ONCE (explode tokens → word-frequency hash aggregate,
+    * one shuffle, map-side combined); every merge iteration after
+    * that runs over the VOCABULARY table (word types × weights, ~10⁶
+    * rows for a web corpus — model-sized, never corpus-sized), with
+    * one vocab-sized pair-count shuffle per step and a one-row argmax
+    * collect (the k-means model-read precedent). Words stay
+    * distributed as symbol arrays; the merge rewrite is a codegen'd
+    * fold per word.
+    *
+    * Determinism: pure integer/string algebra — counts, lexicographic
+    * tie-breaks (max count, then smallest (left, right)), greedy
+    * LEFT-TO-RIGHT non-overlapping merge via an ordered fold (in a
+    * run like "aaa" with pair (a,a), the fold merges positions 1-2
+    * and leaves 3 — the canonical BPE scan). No end-of-word marker
+    * (the fixture's whitespace words need none; a production
+    * tokenizer appends one — documented divergence). Output is the
+    * learned merge table itself. */
+  def qTextBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, dir), BpeMergeSteps)
+
+  /** [[qTextBpeMerges]] over any (doc_id, text) frame at an explicit
+    * step count — the composable/testable core. */
+  private[graft] def bpeMerges(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus pass: word types + frequencies, then char symbols
+    var vocab = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (step <- 1 to steps) {
+      // adjacent pairs weighted by word frequency — a vocab-sized
+      // explode + hash aggregate, never corpus-sized
+      val top = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("p").getField("0").as("a"),
+                col("p").getField("1").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1)
+        // one-row MODEL read per step (the k-means collect precedent)
+        .as[(String, String, Long)].collect()
+      val (a, b, cnt) = top.head
+      merges += ((step.toLong, a, b, a + b, cnt))
+      // greedy left-to-right non-overlapping rewrite: an ordered fold
+      // seeded with the first symbol; a merged symbol changes the
+      // fold's tail, so "aaa" under (a,a) yields [aa, a] — canonical
+      val prev = vocab
+      vocab = vocab.select(
+          aggregate(
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            slice(col("syms"), 1, 1),
+            (acc, x) => when(
+                element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("freq"))
+        .cache()
+      vocab.count()
+      prev.unpersist()
+    }
+    val out = merges.toSeq
+      .toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy("step")
+    vocab.unpersist()
+    out
+  }
 }

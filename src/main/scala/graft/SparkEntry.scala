@@ -91,6 +91,7 @@ object SparkEntry {
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
+    "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
     "q_mix_epochs"         -> (Mixing.qMixEpochs _),
+    "q_quality_sample"     -> (Mixing.qQualitySample _),
     "q_hash_split"         -> (Mixing.qHashSplit _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "pack_sequences"       -> (Packing.qPackSequences _),
@@ -919,13 +921,30 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, neg_label, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
-    // LSH near-dup pairs: banding per the scaled search gate, the
-    // lower-id side probes its Hamming-1 ball, candidates distinct-
-    // folded, exact cosine verify at the dedup family's 0.45
+    // LSH near-dup pairs: pair-generation bits (smallest b in [8,24]
+    // with 2^b >= n/4 — Similarity.lshPairBitsForN, band buckets O(1)
+    // so candidates stay ~linear), the lower-id side probes its
+    // Hamming-1 ball, candidates distinct-folded as bare id pairs,
+    // vectors joined back for the exact cosine verify at 0.45
     "dedup_embedding_lsh" ->
-      """WITH bb AS (SELECT CASE WHEN count(*) < 65536 THEN 8
-                                 WHEN count(*) < 268435456 THEN 16
-                                 ELSE 24 END AS bits FROM embeddings),
+      """WITH bb AS (SELECT CASE
+             WHEN count(*) <= 1024 THEN 8
+             WHEN count(*) <= 2048 THEN 9
+             WHEN count(*) <= 4096 THEN 10
+             WHEN count(*) <= 8192 THEN 11
+             WHEN count(*) <= 16384 THEN 12
+             WHEN count(*) <= 32768 THEN 13
+             WHEN count(*) <= 65536 THEN 14
+             WHEN count(*) <= 131072 THEN 15
+             WHEN count(*) <= 262144 THEN 16
+             WHEN count(*) <= 524288 THEN 17
+             WHEN count(*) <= 1048576 THEN 18
+             WHEN count(*) <= 2097152 THEN 19
+             WHEN count(*) <= 4194304 THEN 20
+             WHEN count(*) <= 8388608 THEN 21
+             WHEN count(*) <= 16777216 THEN 22
+             WHEN count(*) <= 33554432 THEN 23
+             ELSE 24 END AS bits FROM embeddings),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, band_idx, bits,
              CAST(list_sum(list_transform(range(bits), j ->
@@ -1342,6 +1361,65 @@ object SparkEntry {
          UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, CAST(cnt AS BIGINT) FROM m2
          UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(cnt AS BIGINT) FROM m3
          ORDER BY step""",
+    // BPE application: train exactly as text_bpe_merges (the m1..m3
+    // CTEs), then fold every document word through the three merges
+    // in learned order and count surviving symbols per document
+    "text_bpe_apply" ->
+      """WITH w AS (SELECT w, count(*) AS freq FROM
+           (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS w
+            FROM documents) GROUP BY w),
+         s0 AS (SELECT array_to_string(list_transform(range(1, len(w) + 1),
+                  i -> substr(w, CAST(i AS INT), 1)), '|') AS st, freq FROM w),
+         p1 AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, sum(freq) AS cnt
+           FROM (SELECT string_split(st, '|') AS l, freq,
+                   unnest(range(1, len(string_split(st, '|')))) AS i FROM s0)
+           GROUP BY 1, 2),
+         m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+         s1 AS (SELECT list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st, freq
+           FROM s0 CROSS JOIN m1 m),
+         p2 AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, sum(freq) AS cnt
+           FROM (SELECT string_split(st, '|') AS l, freq,
+                   unnest(range(1, len(string_split(st, '|')))) AS i FROM s1)
+           GROUP BY 1, 2),
+         m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+         s2 AS (SELECT list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st, freq
+           FROM s1 CROSS JOIN m2 m),
+         p3 AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, sum(freq) AS cnt
+           FROM (SELECT string_split(st, '|') AS l, freq,
+                   unnest(range(1, len(string_split(st, '|')))) AS i FROM s2)
+           GROUP BY 1, 2),
+         m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+         dw AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS dword
+           FROM documents),
+         dst0 AS (SELECT doc_id, dword, array_to_string(list_transform(
+             range(1, len(dword) + 1), i -> substr(dword, CAST(i AS INT), 1)), '|') AS st
+           FROM dw),
+         da1 AS (SELECT doc_id, dword, list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st
+           FROM dst0 CROSS JOIN m1 m),
+         da2 AS (SELECT doc_id, dword, list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st
+           FROM da1 CROSS JOIN m2 m),
+         da3 AS (SELECT doc_id, dword, list_reduce(string_split(st, '|'), (acc, x) -> CASE
+             WHEN regexp_extract(acc, '[^|]*$') = m.a AND x = m.b
+             THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || '|' || x END) AS st
+           FROM da2 CROSS JOIN m3 m)
+         SELECT doc_id, count(*) AS n_words,
+                CAST(sum(len(dword)) AS BIGINT) AS n_chars,
+                CAST(sum(len(string_split(st, '|'))) AS BIGINT) AS n_bpe_symbols
+         FROM da3 GROUP BY doc_id ORDER BY doc_id""",
     // Spark's in-document-order fold to well under the 4-decimal
     // rounding (values ~1e3, double error ~1e-12)
     "text_unigram_logprob" ->
@@ -1545,6 +1623,21 @@ object SparkEntry {
            CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    // quality-weighted importance sampling: keep iff the 24-bit md5
+    // uniform falls under floor(score · 2^24) — integer compare on
+    // the 4-decimal-rounded score; kept rows carry weight 1/score
+    "q_quality_sample" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality_score
+           FROM d)
+         SELECT doc_id, quality_score,
+                floor((1.0 / quality_score) * 10000 + 0.5) / 10000 AS weight
+         FROM s
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               < CAST(floor(quality_score * 16777216.0) AS BIGINT)
+         ORDER BY doc_id""",
     "q_mix_epochs" ->
       """WITH g AS (SELECT source, sum(n_chars) AS mass, count(*) AS n_docs FROM documents GROUP BY 1),
          gw AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w FROM g),

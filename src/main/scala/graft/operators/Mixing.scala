@@ -118,6 +118,35 @@ object Mixing {
   private def hash24(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
 
+  /** QUALITY-WEIGHTED importance sampling — the probabilistic
+    * quality gate between a hard threshold filter (keep/drop at a
+    * cut) and no filter at all (the DCLM-style recipe: keep each
+    * document with probability equal to its quality score, so
+    * mid-quality text thins out rather than vanishing, and corpus
+    * diversity survives the cleanup). The "draw" is the proven
+    * cross-engine [[hash24]] uniform; a doc is kept iff
+    * hash24(doc_id) < floor(score · 2²⁴) — an INTEGER threshold on
+    * the 4-decimal-rounded score, so the keep decision compares
+    * exactly in both engines (no float-boundary flakiness). Kept
+    * rows carry the Horvitz-Thompson weight 1/score so downstream
+    * statistics stay unbiased.
+    *
+    * Scale shape: one MAP-ONLY projection + filter over the corpus —
+    * no shuffle, no model state; the score is
+    * [[TextAnalysis.qualityScoreCol]], shared with the text_quality
+    * gate so there is exactly one score definition. */
+  def qQualitySample(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreCol.as("quality_score"),
+        hash24(col("doc_id")).as("h"))
+      .where(col("h") <
+        floor(col("quality_score") * lit(Hash24Space.toDouble)).cast("long"))
+      .select(col("doc_id"), col("quality_score"),
+        graft.functions.Text.roundPortable(
+          lit(1.0) / col("quality_score"), 4).as("weight"))
+      .orderBy("doc_id")
+
   /** Epoch-weighted resampling WITH REPETITION — the "repeat rare
     * sources for multiple epochs" step of pre-training data mixing
     * (the up-sampling half that [[qTemperatureMix]], a pure sampler,

@@ -1052,22 +1052,31 @@ object Similarity {
     * to the same order as the IVF path's nprobe·√n. */
   private[graft] def lshNearDupPairs(emb: DataFrame, bits: Int,
                                      flips: Int = 1): DataFrame = {
+    // banding drops the vector immediately: candidate generation and
+    // dedupe move BARE ID PAIRS only. The first version carried both
+    // 64-float embeddings through the candidate shuffle — ~0.5 KB per
+    // candidate row, a 30 GB exchange at the 10× probe (measured
+    // 70.8× wall-time blowup); bare ids cut the payload ~25×, and the
+    // verify joins the vectors back AFTER distinct — the shape the
+    // oracle (and every candidates-then-verify dedup here) uses.
     def banded(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"),
+      df.select(col("vec_id"),
         posexplode(lshBandValues(col("embedding"), bits))
           .as(Seq("band_idx", "band_val")))
     val corpus = banded(emb)
-      .select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+      .select(col("vec_id").as("id_b"),
               col("band_idx").as("b_band_idx"), col("band_val").as("b_band_val"))
     val probe = banded(emb)
-      .select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+      .select(col("vec_id").as("id_a"),
               col("band_idx"), explode(lshProbeValues(bits, flips)).as("p_val"))
-    probe.join(corpus,
+    val cand = probe.join(corpus,
         col("band_idx") === col("b_band_idx") &&
         col("p_val") === col("b_band_val") &&
         col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("v_a")).as("v_a"), first(col("v_b")).as("v_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), "id_b")
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"),
@@ -1075,15 +1084,29 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** The LSH near-dup gate: bits from footer metadata
-    * ([[lshBitsForN]]), Hamming-1 probing — the configuration the
-    * planted-pair probe prices. Output shape matches the
-    * dedup_embedding family (a strict, verified SUBSET of the exact
-    * gate's pairs — banding only generates candidates, never
-    * scores). */
+  /** Bits per band for PAIR generation — a stricter rule than the
+    * search-side [[lshBitsForN]], because pair cost is quadratic in
+    * bucket size: candidates ≈ bands·(bits+1)·n·(n/2^bits), so the
+    * expected band bucket must stay O(1) (here ≤4: smallest b in
+    * [8, 24] with 2^b ≥ n/4), making candidate volume ~linear in n.
+    * The search rule's coarser 8/16/24 steps left a 10× corpus at
+    * 81-row buckets — measured 60 M candidate rows and a 70.8×
+    * wall-time ratio before this rule split off. Tight pairs survive
+    * finer bands easily (per-plane agreement ≥0.9 ⇒ Hamming-1 band
+    * recall ≥0.86 even at b=16 — the [lshplant] table). Integer
+    * thresholds, exact in both engines. */
+  private[graft] def lshPairBitsForN(n: Long): Int =
+    (8 to 24).find(b => n <= 4L * (1L << b)).getOrElse(24)
+
+  /** The LSH near-dup gate: pair-generation bits from footer
+    * metadata ([[lshPairBitsForN]]), Hamming-1 probing — the
+    * configuration the planted-pair probe prices. Output shape
+    * matches the dedup_embedding family (a strict, verified SUBSET
+    * of the exact gate's pairs — banding only generates candidates,
+    * never scores). */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
-    lshNearDupPairs(Tables.embeddings(spark, dir), lshBitsForN(n))
+    lshNearDupPairs(Tables.embeddings(spark, dir), lshPairBitsForN(n))
   }
 
   /** Multi-probe flips for the scale config: Hamming-2 probing

@@ -30,19 +30,23 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Heuristic quality score: length saturation + lexical diversity +
-    * stopword share, HALF_UP to 4 decimals. */
-  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    * stopword share, HALF_UP to 4 decimals. Exposed as a column so
+    * score-driven operators ([[Mixing.qQualitySample]]) share ONE
+    * definition with the gate. */
+  private[graft] def qualityScoreCol: Column = {
     val nTok = size(toks)
     val stopRatio =
       size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok
     val diversity = size(array_distinct(toks)).cast("double") / nTok
     val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        Text.roundPortable(lit(0.4) * lengthScore + lit(0.3) * diversity +
-              lit(0.3) * stopRatio, 4).as("quality_score"))
-      .orderBy("doc_id")
+    Text.roundPortable(lit(0.4) * lengthScore + lit(0.3) * diversity +
+      lit(0.3) * stopRatio, 4)
   }
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScoreCol.as("quality_score"))
+      .orderBy("doc_id")
 
   /** Gopher-style rule filter (Rae et al. 2021, table A1 adapted):
     * per-document boolean flags for the classic pretraining quality
@@ -570,6 +574,31 @@ object TextAnalysis {
   private[graft] def bpeMerges(docs: DataFrame, steps: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergeTable(docs, steps)
+      .toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy("step")
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass of the pair
+    * (a, b) over a symbol-array column: an ordered fold seeded with
+    * the first symbol; a merged symbol changes the fold's tail, so
+    * "aaa" under (a,a) yields [aa, a] — the canonical BPE scan.
+    * Shared by training's vocab rewrite and [[qTextBpeApply]]. */
+  private def bpeMergePass(syms: Column, a: String, b: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      slice(syms, 1, 1),
+      (acc, x) => when(
+          element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The learned merge table as driver-held model state
+    * (step, lhs, rhs, merged, cnt) — the training loop itself. */
+  private[graft] def bpeMergeTable(docs: DataFrame,
+      steps: Int): Seq[(Long, String, String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // ONE corpus pass: word types + frequencies, then char symbols
     var vocab = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -592,27 +621,42 @@ object TextAnalysis {
         .as[(String, String, Long)].collect()
       val (a, b, cnt) = top.head
       merges += ((step.toLong, a, b, a + b, cnt))
-      // greedy left-to-right non-overlapping rewrite: an ordered fold
-      // seeded with the first symbol; a merged symbol changes the
-      // fold's tail, so "aaa" under (a,a) yields [aa, a] — canonical
       val prev = vocab
-      vocab = vocab.select(
-          aggregate(
-            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
-            slice(col("syms"), 1, 1),
-            (acc, x) => when(
-                element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))).as("syms"),
-          col("freq"))
+      vocab = vocab
+        .select(bpeMergePass(col("syms"), a, b).as("syms"), col("freq"))
         .cache()
       vocab.count()
       prev.unpersist()
     }
-    val out = merges.toSeq
-      .toDF("step", "lhs", "rhs", "merged", "cnt")
-      .orderBy("step")
     vocab.unpersist()
-    out
+    merges.toSeq
+  }
+
+  /** BPE APPLICATION — tokenize the corpus with the merge table
+    * [[qTextBpeMerges]] learned, closing the train→apply loop: each
+    * word's characters get every merge applied IN LEARNED ORDER (the
+    * canonical BPE encoder), and the per-document output prices the
+    * compression the table buys (symbols ≤ chars, ≥ words).
+    *
+    * Scale shape: training's one corpus pass + model-sized
+    * iterations, then application is a single MAP-ONLY projection —
+    * the merge table rides into the fold as literals (3 rows of
+    * driver-held model state, the broadcast-model convention), and
+    * each word folds through the merges inside whole-stage codegen.
+    * No shuffle on the apply side at all. */
+  def qTextBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merged = bpeMergeTable(docs, BpeMergeSteps)
+    val applyAll: Column => Column = syms =>
+      merged.foldLeft(syms) { case (s, (_, a, b, _, _)) => bpeMergePass(s, a, b) }
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+          .as("n_chars"),
+        aggregate(
+          transform(toks, w => size(applyAll(split(w, "")))),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_symbols"))
+      .orderBy("doc_id")
   }
 }

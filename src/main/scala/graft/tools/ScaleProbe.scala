@@ -209,6 +209,13 @@ object ScaleProbe {
         // one segment-hash shuffle + one doc reassembly shuffle over
         // n/16 segment rows — should be row-linear
         "dedup_paragraphs",
+        // one corpus word-count shuffle + VOCAB-sized merge
+        // iterations: replication grows the corpus 10x but the vocab
+        // only ~4x (replica-suffixed types), so growth is sub-corpus
+        "text_bpe_merges",
+        // training as above + a map-only fold per word to apply —
+        // the apply side should add corpus-linear time only
+        "text_bpe_apply",
         // two-stage PQ: ADC scan + √n-shortlist exact re-rank
         "sim_ivf_pq_scaled",
         // persisted PQ codes round trip (build dominates, ~linear)
@@ -216,7 +223,11 @@ object ScaleProbe {
         // SRP-LSH multi-probe search: map-only banding + broadcast
         // probe join — candidate volume (not the banding) is the
         // scale risk on near-orthogonal data; see the [lsh] table
-        "sim_lsh_cosine_scaled")
+        "sim_lsh_cosine_scaled",
+        // banded pair generation + exact verify; candidate volume
+        // ~bands·(bits+1)·n²/2^bits is the adversarial-case cost the
+        // [lshplant] table prices at the bits-rule switch
+        "dedup_embedding_lsh")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)
@@ -557,7 +568,7 @@ object ScaleProbe {
       val corpus = emb.unionByName(planted).cache()
       val n = corpus.count()
       val nPlanted = planted.count()
-      val bits = graft.operators.Similarity.lshBitsForN(n)
+      val bits = graft.operators.Similarity.lshPairBitsForN(n)
       val t0 = System.nanoTime()
       val pairs = graft.operators.Similarity
         .lshNearDupPairs(corpus, bits).cache()

@@ -50,6 +50,18 @@ class BpeMergesSpec extends SparkSpec {
     assert(m(1) == ((2L, "aa", "a", "aaa", 2L)))
   }
 
+  test("applying the learned merges compresses: words <= symbols <= chars, strictly fewer symbols than chars") {
+    val out = TextAnalysis.qTextBpeApply(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, c, s) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= s && s <= c, s"doc ${r.getLong(0)}: words=$w symbols=$s chars=$c")
+    }
+    val totalChars = out.map(_.getLong(2)).sum
+    val totalSyms = out.map(_.getLong(3)).sum
+    assert(totalSyms < totalChars, "three learned merges must compress the corpus")
+  }
+
   test("merged symbols are atoms in later steps") {
     // step 1 merges (e,r); step 2 must be able to pair the merged
     // 'er' with a neighbor as one symbol

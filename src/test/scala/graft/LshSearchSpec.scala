@@ -39,6 +39,21 @@ class LshSearchSpec extends SparkSpec {
     assert(Similarity.lshBitsForN(10_000_000_000L) == 24)
   }
 
+  test("pair-generation bits keep the expected band bucket at most 4 rows") {
+    assert(Similarity.lshPairBitsForN(500L) == 8)
+    assert(Similarity.lshPairBitsForN(1024L) == 8)
+    assert(Similarity.lshPairBitsForN(1025L) == 9)
+    assert(Similarity.lshPairBitsForN(20800L) == 13)
+    assert(Similarity.lshPairBitsForN(81600L) == 15)
+    assert(Similarity.lshPairBitsForN(10_000_000_000L) == 24)
+    // the bucket contract itself: n / 2^bits <= 4 wherever the rule
+    // hasn't hit its 24-bit ceiling
+    for (n <- Seq(1000L, 50_000L, 3_000_000L, 60_000_000L)) {
+      val b = Similarity.lshPairBitsForN(n)
+      assert(n.toDouble / (1L << b) <= 4.0, s"n=$n bits=$b")
+    }
+  }
+
   test("Hamming-2 multi-probe buys the documented recall on the worst-case fixture") {
     val exact = recallOf(Similarity.lshSearch(emb, bits = 8, flips = 0))
     val probed = recallOf(Similarity.lshSearch(emb, bits = 8, flips = 2))

@@ -160,6 +160,13 @@ object Clustering {
         r.getSeq[Double](1).iterator.map(roundTo).toArray))
       .sortBy(_._1)
       .toSeq
+    // empty init ⇔ empty corpus: return the (empty) result frame
+    // instead of building assign()'s literal model — array_min over a
+    // zero-literal array() is VOID-typed and fails analysis (the
+    // NearestCells empty-quantizer contract, literal-model edition)
+    if (init.isEmpty)
+      return (emb.where(lit(false)).select(
+        col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("dist")), 0)
     val (finalCents, ran) = lloyd(init, iters, cents =>
       updateCentroids(
         emb.withColumn("cluster", assign(col("v"), cents).getField("c_id"))))

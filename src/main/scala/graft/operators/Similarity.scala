@@ -135,6 +135,13 @@ object Similarity {
       if (twoLevel) nearestCentroidsTwoLevel else nearestCentroids
     val assigned = assign(emb, cent, 1)
     val corpus = pqCodebook match {
+      // empty codebook ⇔ empty corpus (the codebook is the corpus's
+      // first k vectors): the quantizer is empty too, so `assigned`
+      // has no rows — any recon column works, but PqRecon's
+      // plan-build require must not fire (the NearestCells
+      // empty-quantizer contract, extended to the PQ model)
+      case Some(cb) if cb.isEmpty =>
+        assigned.withColumn("recon", col("embedding").cast("array<double>"))
       case Some(cb) => assigned.withColumn("recon",
         graft.functions.PqRecon.pqRecon(col("embedding"), cb, PqNumSub))
       case None => if (sq8) withSq8Recon(assigned) else assigned
@@ -1168,10 +1175,14 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val cent = centroidsOf(emb, numCentroids)
     val cb = pqCodebookOf(emb)
+    // empty codebook ⇔ empty corpus: the assigned frame has no rows
+    // (empty quantizer), so any codes column satisfies the schema —
+    // but PqRecon's plan-build require must not fire
+    val codesCol =
+      if (cb.isEmpty) array().cast("array<int>")
+      else graft.functions.PqRecon.pqCodes(col("embedding"), cb, PqNumSub)
     val rows = nearestCentroids(emb, cent, keep = 1)
-      .select(col("vec_id"), col("bucket"),
-        graft.functions.PqRecon.pqCodes(col("embedding"), cb, PqNumSub)
-          .as("codes"))
+      .select(col("vec_id"), col("bucket"), codesCol.as("codes"))
     graft.sources.Readers.saveBucketedTable(rows, name,
       buckets = IndexFileBuckets, bucketCol = "bucket")
     graft.sources.Readers.replaceTable(cent, s"${name}_centroids")
@@ -1202,10 +1213,12 @@ object Similarity {
               col("bucket").as("q_bucket"))
     val probed: Array[Long] =
       q.select("q_bucket").distinct().collect().map(_.getLong(0))
+    val reconCol =
+      if (cb.isEmpty) col("codes").cast("array<double>")
+      else graft.functions.PqRecon.pqDecode(col("codes"), cb, PqNumSub)
     val cells = spark.table(name)
       .where(col("bucket").isin(probed: _*))
-      .withColumn("recon",
-        graft.functions.PqRecon.pqDecode(col("codes"), cb, PqNumSub))
+      .withColumn("recon", reconCol)
     val wAdc = Window.partitionBy("q_id").orderBy(desc("sim_adc"), col("vec_id"))
     val shortlist = cells
       .join(broadcast(q), col("bucket") === col("q_bucket") &&

@@ -257,8 +257,16 @@ object TextAnalysis {
     val evalCached = evalShingles.cache()
     val prev = lastEvalCache.put(evalCached.sparkSession, evalCached)
     if (prev != null && (prev ne evalCached)) prev.unpersist(blocking = false)
-    val bloom = evalCached.stat.bloomFilter(
-      "sh", math.max(evalCached.count(), 1L), fpp)
+    val nEval = evalCached.count()
+    // an empty eval slice can't contaminate anything — and Spark's
+    // stat.bloomFilter NPEs on zero input rows (readFrom(null buf)),
+    // so the guard is correctness AND a crash fix for empty corpora
+    if (nEval == 0)
+      return trainShingled
+        .where(lit(false))
+        .select(col("doc_id"), lit(0L).as("n_shared"))
+        .orderBy("doc_id")
+    val bloom = evalCached.stat.bloomFilter("sh", nEval, fpp)
     trainShingled
       .where(graft.functions.Bloom.mightContain(bloom, col("sh")))
       // no broadcast hint, unlike decontaminateAgainst: this variant
@@ -515,12 +523,16 @@ object TextAnalysis {
       .cache()
     val top = counts.orderBy(desc("c"), col("token")).limit(LmVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val totalN = counts.agg(sum("c")).collect()(0).getLong(0)
+    // coalesce: sum over an EMPTY corpus is SQL NULL — the model
+    // degenerates to an all-OOV floor and the per-doc projection
+    // below never evaluates it on any row
+    val totalN = counts.agg(coalesce(sum("c"), lit(0L)))
+      .collect()(0).getLong(0)
     counts.unpersist()
     val inVocab = top.map(_._2).sum
     val oovLp =
       if (totalN > inVocab) math.log((totalN - inVocab).toDouble / totalN)
-      else math.log(1.0 / totalN)
+      else math.log(1.0 / math.max(totalN, 1L))
     val lm = typedLit(top.map { case (t, c) =>
       t -> math.log(c.toDouble / totalN) }.toMap)
     val nTok = size(col("toks"))
@@ -619,14 +631,22 @@ object TextAnalysis {
         .limit(1)
         // one-row MODEL read per step (the k-means collect precedent)
         .as[(String, String, Long)].collect()
-      val (a, b, cnt) = top.head
-      merges += ((step.toLong, a, b, a + b, cnt))
-      val prev = vocab
-      vocab = vocab
-        .select(bpeMergePass(col("syms"), a, b).as("syms"), col("freq"))
-        .cache()
-      vocab.count()
-      prev.unpersist()
+      top.headOption match {
+        case None =>
+          // no adjacent pairs left (empty corpus, or every word fully
+          // merged to one symbol): training is DONE — return the
+          // merges learned so far instead of dying on the argmax
+          vocab.unpersist()
+          return merges.toSeq
+        case Some((a, b, cnt)) =>
+          merges += ((step.toLong, a, b, a + b, cnt))
+          val prev = vocab
+          vocab = vocab
+            .select(bpeMergePass(col("syms"), a, b).as("syms"), col("freq"))
+            .cache()
+          vocab.count()
+          prev.unpersist()
+      }
     }
     vocab.unpersist()
     merges.toSeq

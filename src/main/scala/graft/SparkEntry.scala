@@ -91,6 +91,7 @@ object SparkEntry {
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
+    "text_bm25"            -> (TextAnalysis.qTextBm25 _),
     "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
@@ -1319,6 +1320,35 @@ object SparkEntry {
     // corpus-trained unigram LM scoring: vocab = top-16 tokens by
     // (count desc, token), one shared OOV mass for the rest; per-doc
     // mean ln p(token). The ORDER-INDEPENDENT sum here matches
+    // BM25 (Lucene idf variant, k1=1.2 b=0.75) for the fixed query
+    // (spark, table, query): per-term contributions summed in QUERY
+    // ORDER (explicit sum, not an aggregate) so float folding is
+    // order-identical; zero-score docs excluded, top-10, ties to the
+    // lower doc_id
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         s AS (SELECT count(*) AS n, coalesce(avg(dl), 0.0) AS avgdl FROM dd),
+         f AS (SELECT
+             (SELECT count(*) FROM dd WHERE list_contains(toks, 'spark')) AS df1,
+             (SELECT count(*) FROM dd WHERE list_contains(toks, 'table')) AS df2,
+             (SELECT count(*) FROM dd WHERE list_contains(toks, 'query')) AS df3),
+         scored AS (SELECT doc_id,
+             ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * tf1 / (tf1 + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001)))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * tf2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001)))
+           + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+               * tf3 / (tf3 + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001)))
+             AS score_raw
+           FROM (SELECT doc_id, dl,
+               CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(toks, t -> t = 'table')) AS DOUBLE) AS tf2,
+               CAST(len(list_filter(toks, t -> t = 'query')) AS DOUBLE) AS tf3
+             FROM dd) CROSS JOIN s CROSS JOIN f)
+         SELECT doc_id, floor(score_raw * 10000 + 0.5) / 10000 AS score
+         FROM scored WHERE score_raw > 0.0
+         ORDER BY score_raw DESC, doc_id LIMIT 10""",
     // BPE merge induction, 3 iterations unrolled: word-frequency
     // table once, then per-step pair argmax (max count, lexicographic
     // tie-break) + greedy left-to-right non-overlapping rewrite. Word

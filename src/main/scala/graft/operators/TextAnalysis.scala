@@ -548,6 +548,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // BM25 dials: the Robertson/Lucene defaults, and a fixture query
+  // whose terms all occur in the synthetic vocabulary
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("spark", "table", "query")
+  private val Bm25TopK = 10
+
+  /** BM25 RANKED RETRIEVAL — the classic probabilistic relevance
+    * score (Robertson et al.; the Lucene-default formulation with
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))) of every document
+    * against a fixed query, top-[[Bm25TopK]]. [[qTextTfidf]] ranks
+    * TERMS within a doc; this ranks DOCS for a query — the retrieval
+    * step a RAG-style pipeline runs over a curated corpus.
+    *
+    * Scale shape: corpus statistics (N, avgdl) and per-term document
+    * frequencies are TWO tiny driver model reads (1 row + |query|
+    * rows — the k-means collect precedent); scoring is then one
+    * MAP-ONLY projection (per-term tf from a codegen'd filter over
+    * the token array, idf as literals) and the top-k is
+    * orderBy.limit → TakeOrderedAndProject: per-partition heaps,
+    * never a global sort. Terms are summed in FIXED query order on
+    * both engines, so float folding is order-identical.
+    *
+    * Docs that match no query term score 0 and are EXCLUDED (a
+    * retrieval engine returns matches, not the corpus); ties break to
+    * the lower doc_id. */
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // model read 1: corpus size + average doc length (1 row)
+    val statsRow = docs
+      .agg(count(lit(1)).as("n"), coalesce(avg("dl"), lit(0.0)).as("avgdl"))
+      .head
+    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    // model read 2: per-term document frequency (≤ |query| rows)
+    val dfMap: Map[String, Long] = docs
+      .select(explode(array_distinct(
+        filter(col("toks"), t => t.isin(Bm25Query: _*)))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val norm = lit(Bm25K1) * (lit(1.0 - Bm25B) +
+      lit(Bm25B) * col("dl") / lit(math.max(avgdl, 1e-9)))
+    // fixed-order sum: one term expression per query term, added in
+    // query order — both engines fold the same way
+    val score = Bm25Query.map { term =>
+      val dfT = dfMap.getOrElse(term, 0L)
+      val idf = math.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5))
+      val tf = size(filter(col("toks"), t => t === term)).cast("double")
+      lit(idf) * tf / (tf + norm)
+    }.reduce(_ + _)
+    docs
+      .withColumn("score_raw", score)
+      .where(col("score_raw") > 0.0)
+      .orderBy(desc("score_raw"), col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"),
+        Text.roundPortable(col("score_raw"), 4).as("score"))
+  }
+
   /** Merge steps for [[qTextBpeMerges]] — 3 keeps the oracle's
     * iteration unroll readable while exercising the full loop
     * (symbols grow multi-character by step 2). */

@@ -209,6 +209,12 @@ object ScaleProbe {
         // one segment-hash shuffle + one doc reassembly shuffle over
         // n/16 segment rows — should be row-linear
         "dedup_paragraphs",
+        // map-only hash-threshold keep + weight projection — the
+        // q_hash_split class: any super-linear growth is environment
+        "q_quality_sample",
+        // two driver model reads + a map-only scored TakeOrdered —
+        // top-k cost is per-partition heaps, never a global sort
+        "text_bm25",
         // one corpus word-count shuffle + VOCAB-sized merge
         // iterations: replication grows the corpus 10x but the vocab
         // only ~4x (replica-suffixed types), so growth is sub-corpus

@@ -391,6 +391,30 @@ class PlanAuditSpec extends SparkSpec {
       s"no hb-partitioned copy-level window:\n$p")
   }
 
+  test("quality sampling is map-only: zero hash exchanges, keep-filter pushed into the scan node") {
+    val p = planOf("q_quality_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0, p)
+    // the hash-threshold keep predicate must run as a scan-level data
+    // filter, not a post-shuffle stage
+    assert(p.contains("DataFilters: [isnotnull(doc_id"), p)
+  }
+
+  test("paragraph dedup is exactly two hash exchanges with a map-side first-occurrence prune") {
+    val p = planOf("dedup_paragraphs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+    // rank<=1 must prune BEFORE the window (WindowGroupLimit), so the
+    // segment-hash shuffle carries survivors-per-partition, not
+    // everything
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("bm25 top-k plans as TakeOrderedAndProject with no exchange") {
+    val p = planOf("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0, p)
+  }
+
   test("token-budget mix runs its prefix sum two-phase: doc-level window partitions by (source, sub-bucket)") {
     val p = planOf("q_token_budget_mix")
     // the heavy running sum must partition by (source, hb) — a doc-

@@ -129,6 +129,7 @@ object SparkEntry {
     "stream_ann_search"    -> (graft.streaming.StreamReplays.qStreamAnnSearch _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
+    "mm_embed_ann"         -> (Multimodal.qMultimodalEmbedAnn _),
     "q_running_total"      -> (Analytic.qRunningTotal _),
     "q_set_ops"            -> (Analytic.qSetOps _),
     "q_rollup"             -> (Analytic.qRollup _),
@@ -1815,6 +1816,32 @@ object SparkEntry {
                 count(*) AS step_length,
                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
          FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    // multimodal retrieval: stub byte-histogram embeddings (16 bins,
+    // integer counts — bit-exact cross-engine) through the
+    // sim_ivf_scaled search algebra (√n cells over the documents
+    // count, nprobe 2, queries doc_id < 10)
+    "mm_embed_ann" ->
+      """WITH codes AS (SELECT doc_id, list_transform(range(1, len(text) + 1),
+             i -> ord(substr(text, CAST(i AS INT), 1))) AS cs FROM documents),
+         e AS (SELECT doc_id AS vec_id, list_transform(range(16),
+             k -> CAST(len(list_filter(cs, c -> c % 16 = k)) AS DOUBLE)) AS v
+           FROM codes),
+         nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM e),
+         cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                  WHERE vec_id < (SELECT c FROM nc)),
+         asg AS (SELECT vec_id, v, c_id,
+             list_cosine_similarity(v, c_vec) AS c_sim
+             FROM e CROSS JOIN cent),
+         rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, v, c_id AS bucket FROM rnk WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS q_vec, c_id AS q_bucket FROM rnk
+               WHERE vec_id < 10 AND rn <= 2),
+         scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q_vec, a.v) AS sim
+             FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
+         SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
+         WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
     "mm_decode" ->
       """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents)
          SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,

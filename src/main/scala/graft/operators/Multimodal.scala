@@ -96,4 +96,50 @@ object Multimodal {
   /** Oracle-checkable query: sampled frames per doc. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
+
+  /** Stub media EMBEDDING row — vec_id/embedding named so the frame
+    * drops straight into the Similarity search surface. */
+  case class MediaEmbedding(vec_id: Long, embedding: Array[Float])
+
+  /** STUB embedding kernel: a 16-bin histogram of byte values mod 16.
+    * Deterministic fake of a vision/audio encoder (swap for the real
+    * model at deploy time, same batching); counts are INTEGERS stored
+    * as floats, so both engines hold the embedding bit-exactly and
+    * the downstream cosine algebra is the proven cross-engine kind. */
+  private def embedStub(r: MediaRow): MediaEmbedding = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < r.content.length) {
+      hist((r.content(i) & 0xff) % 16) += 1f
+      i += 1
+    }
+    MediaEmbedding(r.doc_id, hist)
+  }
+
+  /** Batched embedding pass — the [[decode]] shape (per-batch model
+    * setup amortized; GPU-batch-sized groups). */
+  def embed(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real encoder loads weights / pins the accelerator once
+        // per batch here
+        batch.map(embedStub)
+      }
+    }
+  }
+
+  /** MULTIMODAL RETRIEVAL — media bytes → stub embeddings → the REAL
+    * √n-cell IVF top-k search ([[Similarity.ivfSearch]], the
+    * sim_ivf_scaled plan): the cross-family composition a multimodal
+    * corpus runs, with only the encoder stubbed. Embedding is one
+    * batched map-only pass; search adds exactly the one broadcast
+    * probe join the gated search has. Corpus size comes from the
+    * documents parquet footer — zero jobs at plan build. */
+  def qMultimodalEmbedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val emb = embed(mediaTable(spark, dir)).toDF()
+    Similarity.ivfSearch(emb, Similarity.scaledCentroids(n), nProbes = 2,
+      sq8 = false)
+  }
 }

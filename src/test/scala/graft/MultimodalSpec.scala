@@ -35,4 +35,22 @@ class MultimodalSpec extends SparkSpec {
     assert(d.n_bytes == 0 && d.width == 1 && d.height == 1 && d.mean_byte == 0.0)
     assert(Multimodal.sampleFrames(ds).collect().isEmpty)
   }
+
+  test("stub embedding is the byte-mod-16 histogram: integer counts, bins sum to payload length") {
+    val ds = Seq(media(3, "abca")).toDS() // a=97(%16=1), b=98(2), c=99(3)
+    val e = Multimodal.embed(ds, batchSize = 2).collect().head
+    assert(e.vec_id == 3L)
+    assert(e.embedding.length == 16)
+    assert(e.embedding.sum == 4f)
+    assert(e.embedding(1) == 2f && e.embedding(2) == 1f && e.embedding(3) == 1f)
+  }
+
+  test("embed-and-search returns full top-5 rows for every query against its probed cells") {
+    val out = Multimodal.qMultimodalEmbedAnn(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet.subsetOf((0L until 10L).toSet))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
 }

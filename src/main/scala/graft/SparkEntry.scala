@@ -92,6 +92,7 @@ object SparkEntry {
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
     "text_bm25"            -> (TextAnalysis.qTextBm25 _),
+    "q_corpus_report"      -> (TextAnalysis.qCorpusReport _),
     "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
@@ -1321,6 +1322,24 @@ object SparkEntry {
     // corpus-trained unigram LM scoring: vocab = top-16 tokens by
     // (count desc, token), one shared OOV mass for the rest; per-doc
     // mean ln p(token). The ORDER-INDEPENDENT sum here matches
+    // per-source corpus datasheet: one hash aggregate; median via
+    // exact interpolated percentile (quantile_cont ≡ Spark
+    // percentile), quality = the text_quality formula inline
+    "q_corpus_report" ->
+      """WITH d AS (SELECT source, lang,
+             list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+           FROM documents),
+         m AS (SELECT source, lang, len(toks) AS n_toks,
+             floor((0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS q
+           FROM d)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                floor(quantile_cont(n_toks, 0.5) * 10000 + 0.5) / 10000 AS p50_tokens,
+                floor(avg(q) * 10000 + 0.5) / 10000 AS avg_quality,
+                max(lang) AS top_lang
+         FROM m GROUP BY source ORDER BY source""",
     // BM25 (Lucene idf variant, k1=1.2 b=0.75) for the fixed query
     // (spark, table, query): per-term contributions summed in QUERY
     // ORDER (explicit sum, not an aggregate) so float folding is

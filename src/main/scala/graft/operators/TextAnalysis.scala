@@ -548,6 +548,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CORPUS DATASHEET — the per-source summary every curation run
+    * prints before and after each stage (the "datasheet for a
+    * dataset" practice): document and token counts, exact median doc
+    * length (interpolated percentile — Spark's `percentile` ≡
+    * DuckDB's `quantile_cont`, the q_percentiles precedent), mean
+    * quality under the shared [[qualityScoreCol]], and the dominant
+    * language. ONE hash aggregate over the corpus; every figure is a
+    * partial-aggregable function, so the shuffle moves per-source
+    * partials, never rows. */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), size(toks).as("n_toks"),
+        qualityScoreCol.as("q"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").cast("long").as("total_tokens"),
+        Text.roundPortable(expr("percentile(n_toks, 0.5)"), 4)
+          .as("p50_tokens"),
+        Text.roundPortable(avg("q"), 4).as("avg_quality"),
+        max("lang").as("top_lang"))
+      .orderBy("source")
+
   // BM25 dials: the Robertson/Lucene defaults, and a fixture query
   // whose terms all occur in the synthetic vocabulary
   private val Bm25K1 = 1.2

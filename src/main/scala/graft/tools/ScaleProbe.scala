@@ -212,6 +212,12 @@ object ScaleProbe {
         // map-only hash-threshold keep + weight projection — the
         // q_hash_split class: any super-linear growth is environment
         "q_quality_sample",
+        // one hash aggregate of partial-aggregable figures — the
+        // shuffle moves per-source partials, never rows
+        "q_corpus_report",
+        // batched stub-embed pass + the sim_ivf_scaled search plan
+        // over the derived vectors — should track sim_ivf_scaled
+        "mm_embed_ann",
         // two driver model reads + a map-only scored TakeOrdered —
         // top-k cost is per-partition heaps, never a global sort
         "text_bm25",

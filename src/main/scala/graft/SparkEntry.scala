@@ -92,6 +92,7 @@ object SparkEntry {
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
     "text_bm25"            -> (TextAnalysis.qTextBm25 _),
+    "q_hybrid_search"      -> (TextAnalysis.qHybridSearch _),
     "q_corpus_report"      -> (TextAnalysis.qCorpusReport _),
     "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
@@ -1322,6 +1323,53 @@ object SparkEntry {
     // corpus-trained unigram LM scoring: vocab = top-16 tokens by
     // (count desc, token), one shared OOV mass for the rest; per-doc
     // mean ln p(token). The ORDER-INDEPENDENT sum here matches
+    // hybrid retrieval: BM25 top-20 and dense (byte-histogram encoder
+    // on docs AND query string) top-20, fused by reciprocal-rank
+    // fusion 1/(60+rank) summed in fixed (bm25, dense) order; fused
+    // top-10 carries both source ranks (NULL where one ranker missed)
+    "q_hybrid_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         s AS (SELECT count(*) AS n, coalesce(avg(dl), 0.0) AS avgdl FROM dd),
+         f AS (SELECT
+             (SELECT count(*) FROM dd WHERE list_contains(toks, 'spark')) AS df1,
+             (SELECT count(*) FROM dd WHERE list_contains(toks, 'table')) AS df2,
+             (SELECT count(*) FROM dd WHERE list_contains(toks, 'query')) AS df3),
+         scored AS (SELECT doc_id,
+             ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * tf1 / (tf1 + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001)))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * tf2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001)))
+           + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+               * tf3 / (tf3 + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001)))
+             AS score_raw
+           FROM (SELECT doc_id, dl,
+               CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(toks, t -> t = 'table')) AS DOUBLE) AS tf2,
+               CAST(len(list_filter(toks, t -> t = 'query')) AS DOUBLE) AS tf3
+             FROM dd) CROSS JOIN s CROSS JOIN f),
+         bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS bm25_rank
+           FROM scored WHERE score_raw > 0.0),
+         bm20 AS (SELECT * FROM bm WHERE bm25_rank <= 20),
+         codes AS (SELECT doc_id, list_transform(range(1, len(text) + 1),
+             i -> ord(substr(text, CAST(i AS INT), 1))) AS cs FROM documents),
+         e AS (SELECT doc_id, list_transform(range(16),
+             k -> CAST(len(list_filter(cs, c -> c % 16 = k)) AS DOUBLE)) AS v FROM codes),
+         qh AS (SELECT list_transform(range(16),
+             k -> CAST(len(list_filter(list_transform(range(1, len(qs) + 1),
+               i -> ord(substr(qs, CAST(i AS INT), 1))), c -> c % 16 = k)) AS DOUBLE)) AS qv
+           FROM (SELECT 'spark table query' AS qs)),
+         ds AS (SELECT doc_id, list_cosine_similarity(v, qv) AS dsim FROM e CROSS JOIN qh),
+         dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dsim DESC, doc_id) AS BIGINT) AS dense_rank FROM ds),
+         dn20 AS (SELECT * FROM dn WHERE dense_rank <= 20),
+         fused AS (SELECT coalesce(b.doc_id, dnn.doc_id) AS doc_id,
+             b.bm25_rank, dnn.dense_rank,
+             coalesce(1.0 / (60.0 + b.bm25_rank), 0.0)
+               + coalesce(1.0 / (60.0 + dnn.dense_rank), 0.0) AS rrf_raw
+           FROM bm20 b FULL OUTER JOIN dn20 dnn ON b.doc_id = dnn.doc_id)
+         SELECT doc_id, floor(rrf_raw * 10000 + 0.5) / 10000 AS rrf_score,
+                bm25_rank, dense_rank
+         FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10""",
     // per-source corpus datasheet: one hash aggregate; median via
     // exact interpolated percentile (quantile_cont ≡ Spark
     // percentile), quality = the text_quality formula inline

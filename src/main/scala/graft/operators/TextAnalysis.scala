@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
@@ -597,8 +598,18 @@ object TextAnalysis {
     * Docs that match no query term score 0 and are EXCLUDED (a
     * retrieval engine returns matches, not the corpus); ties break to
     * the lower doc_id. */
-  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(Tables.documents(spark, dir))
+      .where(col("score_raw") > 0.0)
+      .orderBy(desc("score_raw"), col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"),
+        Text.roundPortable(col("score_raw"), 4).as("score"))
+
+  /** Every document's raw BM25 score against [[Bm25Query]] — the
+    * shared core of the bm25 gate and the hybrid fusion. */
+  private def bm25Scored(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     // model read 1: corpus size + average doc length (1 row)
@@ -622,14 +633,64 @@ object TextAnalysis {
       val tf = size(filter(col("toks"), t => t === term)).cast("double")
       lit(idf) * tf / (tf + norm)
     }.reduce(_ + _)
-    docs
-      .withColumn("score_raw", score)
+    docs.select(col("doc_id"), score.as("score_raw"))
+  }
+
+  /** HYBRID RETRIEVAL with reciprocal-rank fusion — the production
+    * search composition (sparse BM25 + dense vectors fused by
+    * RRF(d) = Σ_r 1/(60 + rank_r(d)) over truncated rankings;
+    * Cormack et al.'s rank constant): the [[qTextBm25]] scorer and
+    * the [[Multimodal.embed]] stub-encoder cosine ranking each
+    * produce a depth-[[HybridDepth]] list, and the fused top-10
+    * carries both source ranks. The dense query vector is the
+    * byte-histogram of the query STRING — the same stub encoder
+    * applied to the query, as a real dual-encoder would.
+    *
+    * Scale shape: each ranker is its corpus scan + a
+    * TakeOrdered-style truncation; ranking and fusion then run on
+    * two ≤[[HybridDepth]]-row lists (the single-partition windows
+    * process ≤20 rows — bounded by the dial, not the corpus), and
+    * the full-outer fusion join is list×list. RRF terms are added in
+    * fixed (bm25, dense) order — exact float parity. */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bmTop = bm25Scored(docs)
       .where(col("score_raw") > 0.0)
       .orderBy(desc("score_raw"), col("doc_id"))
+      .limit(HybridDepth)
+    val wBm = Window.orderBy(desc("score_raw"), col("doc_id"))
+    val bm = bmTop
+      .withColumn("bm25_rank", row_number().over(wBm).cast("long"))
+      .select("doc_id", "bm25_rank")
+    // the query string through the SAME stub encoder as the corpus
+    val qHist: Array[Double] = {
+      val h = new Array[Double](16)
+      Bm25Query.mkString(" ").getBytes("UTF-8")
+        .foreach(b => h((b & 0xff) % 16) += 1.0)
+      h
+    }
+    val denseTop = Multimodal.embed(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorFunctions.cosine(
+          col("embedding"), typedLit(qHist.toSeq)).as("dsim"))
+      .orderBy(desc("dsim"), col("doc_id"))
+      .limit(HybridDepth)
+    val wD = Window.orderBy(desc("dsim"), col("doc_id"))
+    val dense = denseTop
+      .withColumn("dense_rank", row_number().over(wD).cast("long"))
+      .select("doc_id", "dense_rank")
+    bm.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0)))
+      .orderBy(desc("rrf_raw"), col("doc_id"))
       .limit(Bm25TopK)
       .select(col("doc_id"),
-        Text.roundPortable(col("score_raw"), 4).as("score"))
+        Text.roundPortable(col("rrf_raw"), 4).as("rrf_score"),
+        col("bm25_rank"), col("dense_rank"))
   }
+
+  private val HybridDepth = 20
 
   /** Merge steps for [[qTextBpeMerges]] — 3 keeps the oracle's
     * iteration unroll readable while exercising the full loop

@@ -218,6 +218,9 @@ object ScaleProbe {
         // batched stub-embed pass + the sim_ivf_scaled search plan
         // over the derived vectors — should track sim_ivf_scaled
         "mm_embed_ann",
+        // two corpus scans (bm25 score + dense cosine) + fusion over
+        // two 20-row lists — scan-linear, fusion scale-invariant
+        "q_hybrid_search",
         // two driver model reads + a map-only scored TakeOrdered —
         // top-k cost is per-partition heaps, never a global sort
         "text_bm25",

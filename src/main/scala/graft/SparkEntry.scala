@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_verbatim"       -> (Dedup.qVerbatimCoverage _),
     "dedup_verbatim_rewrite" -> (Dedup.qVerbatimRewrite _),
     "dedup_paragraphs"     -> (Dedup.qDedupParagraphs _),
+    "dedup_containment"    -> (Dedup.qDedupContainment _),
     "dedup_paragraphs_sql" -> (SqlSurface.qDedupParagraphsSql _),
     "dedup_embedding"      -> (Similarity.qDedupEmbedding _),
     "dedup_embedding_blocked" -> (Similarity.qDedupEmbeddingBlocked _),
@@ -693,6 +694,26 @@ object SparkEntry {
                FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
          SELECT doc_a, doc_b, shared, floor((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard FROM j
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+    // containment (Broder): the prefix filter is lossless, so the
+    // oracle is the brute-force definition — every pair's shared
+    // shingle count vs each side's own set size, either direction
+    // >= 0.9 keeps the pair with BOTH directional scores
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d),
+         e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+         n AS (SELECT doc_id, count(*) AS ns FROM e GROUP BY 1),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+               FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b, shared,
+               shared / na.ns AS c_ab, shared / nb.ns AS c_ba
+               FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
+         SELECT doc_a, doc_b, shared,
+                floor((c_ab) * 1000000 + 0.5) / 1000000 AS containment_ab,
+                floor((c_ba) * 1000000 + 0.5) / 1000000 AS containment_ba
+         FROM c WHERE greatest(c_ab, c_ba) >= 0.9 ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
       """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3

@@ -246,6 +246,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val ContainmentThreshold = 0.9
+
+  /** CONTAINMENT near-dup (Broder's asymmetric resemblance):
+    * C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — a short
+    * document wholly quoted inside a long one scores C ≈ 1 while its
+    * Jaccard can be arbitrarily small, so [[qDedupNgramJaccard]]
+    * never flags it. Pairs where EITHER direction's containment
+    * passes [[ContainmentThreshold]] are emitted with both
+    * directional scores (downstream policy decides which side is the
+    * duplicate — usually the contained one).
+    *
+    * Candidate generation is the ASYMMETRIC prefix filter: if
+    * C(A→B) ≥ t, then A's (|A| − ⌈t·|A|⌉ + 1)-prefix in the global
+    * rarest-first shingle order must share a shingle with B — so the
+    * contained side's PREFIX joins the other side's FULL posting
+    * list. Lossless for the threshold (the standard prefix-filter
+    * theorem), so the oracle is the brute-force definition. One
+    * df shuffle + one posting join + the verify join-back — the
+    * [[qDedupNgramJaccard]] scale shape with a wider (full-list)
+    * posting side, still never doc×doc. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(Text.shingles3(col("text"))).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(wDoc))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rnk") <=
+        col("ns") - ceil(lit(ContainmentThreshold) * col("ns")) + 1)
+      .select("doc_id", "sh")
+    val cands = prefix.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+        Text.shingles3(col("text")).as("shingles"))
+      .where(size(col("shingles")) > 0)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("shared", inter.cast("long"))
+      .withColumn("c_ab", col("shared") / size(col("sh_a")))
+      .withColumn("c_ba", col("shared") / size(col("sh_b")))
+      .where(greatest(col("c_ab"), col("c_ba")) >= ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+              Text.roundPortable(col("c_ab"), 6).as("containment_ab"),
+              Text.roundPortable(col("c_ba"), 6).as("containment_ba"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus size above which the default simhash banding widens from
     * 16-bit to 24-bit bands. SCALING.md's measurement locates the
     * crossover: at ~10⁵+ docs the 16-bit buckets' birthday-collision

@@ -221,6 +221,10 @@ object ScaleProbe {
         // two corpus scans (bm25 score + dense cosine) + fusion over
         // two 20-row lists — scan-linear, fusion scale-invariant
         "q_hybrid_search",
+        // asymmetric prefix filter: contained-side prefix × FULL
+        // posting list — wider than the Jaccard join; candidate
+        // volume rides the rare-shingle df distribution
+        "dedup_containment",
         // two driver model reads + a map-only scored TakeOrdered —
         // top-k cost is per-partition heaps, never a global sort
         "text_bm25",

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_quality_sample"     -> (Mixing.qQualitySample _),
     "q_hash_split"         -> (Mixing.qHashSplit _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
+    "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_boundaries"      -> (Packing.qPackBoundaries _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
@@ -1391,6 +1392,26 @@ object SparkEntry {
          SELECT doc_id, floor(rrf_raw * 10000 + 0.5) / 10000 AS rrf_score,
                 bm25_rank, dense_rank
          FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10""",
+    // corpus version diff: full-outer join of (id, md5) projections
+    // of the synthetic previous version vs current; unchanged rows
+    // excluded — the release-audit delta
+    "q_corpus_diff" ->
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+         v1 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 3 THEN text || ' v1' ELSE text END AS text
+                FROM cur WHERE doc_id % 10 != 7
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM cur WHERE doc_id % 10 = 4),
+         j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 md5(a.text) AS h1, md5(b.text) AS h2
+               FROM v1 a FULL OUTER JOIN cur b ON a.doc_id = b.doc_id),
+         st AS (SELECT doc_id,
+                 CASE WHEN h1 IS NULL THEN 'added'
+                      WHEN h2 IS NULL THEN 'removed'
+                      WHEN h1 != h2 THEN 'changed'
+                      ELSE 'unchanged' END AS status FROM j)
+         SELECT doc_id, status FROM st WHERE status != 'unchanged'
+         ORDER BY doc_id""",
     // per-source corpus datasheet: one hash aggregate; median via
     // exact interpolated percentile (quantile_cont ≡ Spark
     // percentile), quality = the text_quality formula inline

@@ -291,6 +291,47 @@ object Pipeline {
     * new is introduced by composing. The pack key is
     * doc_id·[[ChunkKeyStride]]+chunk_id, decomposed back in the
     * output, so packing order is (doc, chunk) order. */
+  /** CORPUS VERSION DIFF — the audit every dataset release runs:
+    * given two versions of a document collection, report which docs
+    * were ADDED, REMOVED, or CHANGED (content-hash inequality under
+    * the same id; unchanged docs are excluded — a release audit
+    * reads the delta, not the corpus). One full-outer join on doc_id
+    * over (id, md5) projections — the corpus is never moved, only
+    * 16-byte fingerprints; at 100 TB this is the cheapest possible
+    * two-version comparison.
+    *
+    * Composable over ANY two (doc_id, text) frames; the gate feeds
+    * it two deterministic synthetic versions of the fixture (v1 =
+    * current minus every doc_id%10==7 doc, plus an edited text for
+    * %10==3, plus a retired id range) so all three statuses execute. */
+  private[graft] def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), md5(col("text")).as("h1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    // the synthetic PREVIOUS version: %10==7 docs absent (→ added in
+    // v2), %10==3 docs carried an older text (→ changed), and a
+    // retired id range present only in v1 (→ removed)
+    val v1 = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 3,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      .unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpusDiff(v1, docs)
+  }
+
   def qChunkedPretrain(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
     val train = Tables.documents(spark, dir)

@@ -225,6 +225,9 @@ object ScaleProbe {
         // posting list — wider than the Jaccard join; candidate
         // volume rides the rare-shingle df distribution
         "dedup_containment",
+        // full-outer join of 16-byte (id, md5) projections — the
+        // cheapest two-version comparison, row-linear by design
+        "q_corpus_diff",
         // two driver model reads + a map-only scored TakeOrdered —
         // top-k cost is per-partition heaps, never a global sort
         "text_bm25",

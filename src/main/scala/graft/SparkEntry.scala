@@ -153,6 +153,7 @@ object SparkEntry {
     "pipeline_pretrain_corpus" -> (Pipeline.qPretrainCorpus _),
     "pipeline_pretrain_model"  -> (Pipeline.qPretrainCorpusModel _),
     "pipeline_epoch_pack"  -> (Pipeline.qEpochPack _),
+    "pipeline_release_audit" -> (Pipeline.qReleaseAudit _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
@@ -1373,14 +1374,20 @@ object SparkEntry {
          bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS bm25_rank
            FROM scored WHERE score_raw > 0.0),
          bm20 AS (SELECT * FROM bm WHERE bm25_rank <= 20),
-         codes AS (SELECT doc_id, list_transform(range(1, len(text) + 1),
-             i -> ord(substr(text, CAST(i AS INT), 1))) AS cs FROM documents),
+         -- byte-accurate histogram (the mm_decode BLOB precedent):
+         -- a byte's low hex nibble IS its value mod 16, so bin the
+         -- even positions of the hex dump — parity with the Spark
+         -- side's UTF-8 getBytes holds for NON-ASCII text too
+         hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents),
          e AS (SELECT doc_id, list_transform(range(16),
-             k -> CAST(len(list_filter(cs, c -> c % 16 = k)) AS DOUBLE)) AS v FROM codes),
+             k -> CAST(len(list_filter(range(1, len(h) // 2 + 1),
+               i -> substr(h, CAST(2 * i AS INT), 1) =
+                    substr('0123456789ABCDEF', CAST(k + 1 AS INT), 1))) AS DOUBLE)) AS v FROM hx),
          qh AS (SELECT list_transform(range(16),
-             k -> CAST(len(list_filter(list_transform(range(1, len(qs) + 1),
-               i -> ord(substr(qs, CAST(i AS INT), 1))), c -> c % 16 = k)) AS DOUBLE)) AS qv
-           FROM (SELECT 'spark table query' AS qs)),
+             k -> CAST(len(list_filter(range(1, len(qx) // 2 + 1),
+               i -> substr(qx, CAST(2 * i AS INT), 1) =
+                    substr('0123456789ABCDEF', CAST(k + 1 AS INT), 1))) AS DOUBLE)) AS qv
+           FROM (SELECT hex(CAST('spark table query' AS BLOB)) AS qx)),
          ds AS (SELECT doc_id, list_cosine_similarity(v, qv) AS dsim FROM e CROSS JOIN qh),
          dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dsim DESC, doc_id) AS BIGINT) AS dense_rank FROM ds),
          dn20 AS (SELECT * FROM dn WHERE dense_rank <= 20),
@@ -1401,7 +1408,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 10 = 3 THEN text || ' v1' ELSE text END AS text
                 FROM cur WHERE doc_id % 10 != 7
                 UNION ALL
-                SELECT doc_id + 1000000 AS doc_id, text FROM cur WHERE doc_id % 10 = 4),
+                SELECT doc_id + 10000000000 AS doc_id, text FROM cur WHERE doc_id % 10 = 4),
          j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                  md5(a.text) AS h1, md5(b.text) AS h2
                FROM v1 a FULL OUTER JOIN cur b ON a.doc_id = b.doc_id),
@@ -1414,22 +1421,30 @@ object SparkEntry {
          ORDER BY doc_id""",
     // per-source corpus datasheet: one hash aggregate; median via
     // exact interpolated percentile (quantile_cont ≡ Spark
-    // percentile), quality = the text_quality formula inline
+    // percentile), quality = the text_quality formula inline;
+    // top_lang = the MODE of lang per source, ties to the greater
+    // lang (the Spark side's max-over-(count,lang)-struct rule)
     "q_corpus_report" ->
       """WITH d AS (SELECT source, lang,
              list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
            FROM documents),
-         m AS (SELECT source, lang, len(toks) AS n_toks,
+         m AS (SELECT source, len(toks) AS n_toks,
              floor((0.4 * least(len(toks) / 100.0, 1.0)
                + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
                + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS q
-           FROM d)
-         SELECT source, count(*) AS n_docs,
+           FROM d),
+         lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+         tl AS (SELECT source, lang AS top_lang FROM
+                 (SELECT source, lang, row_number() OVER
+                    (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+                  FROM lc) WHERE rn = 1)
+         SELECT m.source, count(*) AS n_docs,
                 CAST(sum(n_toks) AS BIGINT) AS total_tokens,
                 floor(quantile_cont(n_toks, 0.5) * 10000 + 0.5) / 10000 AS p50_tokens,
                 floor(avg(q) * 10000 + 0.5) / 10000 AS avg_quality,
-                max(lang) AS top_lang
-         FROM m GROUP BY source ORDER BY source""",
+                any_value(top_lang) AS top_lang
+         FROM m JOIN tl ON m.source = tl.source
+         GROUP BY m.source ORDER BY m.source""",
     // BM25 (Lucene idf variant, k1=1.2 b=0.75) for the fixed query
     // (spark, table, query): per-term contributions summed in QUERY
     // ORDER (explicit sum, not an aggregate) so float folding is
@@ -1930,11 +1945,12 @@ object SparkEntry {
     // sim_ivf_scaled search algebra (√n cells over the documents
     // count, nprobe 2, queries doc_id < 10)
     "mm_embed_ann" ->
-      """WITH codes AS (SELECT doc_id, list_transform(range(1, len(text) + 1),
-             i -> ord(substr(text, CAST(i AS INT), 1))) AS cs FROM documents),
+      """WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents),
          e AS (SELECT doc_id AS vec_id, list_transform(range(16),
-             k -> CAST(len(list_filter(cs, c -> c % 16 = k)) AS DOUBLE)) AS v
-           FROM codes),
+             k -> CAST(len(list_filter(range(1, len(h) // 2 + 1),
+               i -> substr(h, CAST(2 * i AS INT), 1) =
+                    substr('0123456789ABCDEF', CAST(k + 1 AS INT), 1))) AS DOUBLE)) AS v
+           FROM hx),
          nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM e),
          cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
                   WHERE vec_id < (SELECT c FROM nc)),
@@ -1951,23 +1967,33 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // media stub oracles decode BYTES from the hex dump of the BLOB
+    // (byte i = 16·strpos(high) + strpos(low) − 17 over the hex
+    // alphabet), so parity with the Spark side's (content(i) & 0xff)
+    // arithmetic is exact for non-ASCII payloads too
     "mm_decode" ->
-      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         byt AS (SELECT doc_id, n, list_transform(range(1, CAST(n AS INT) + 1),
+             i -> (strpos('0123456789ABCDEF', substr(h, CAST(2 * i - 1 AS INT), 1)) * 16
+                   + strpos('0123456789ABCDEF', substr(h, CAST(2 * i AS INT), 1)) - 17)) AS bs
+           FROM b)
          SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-           CAST(1 + (ascii(substr(text, 1, 1)) % 64) AS BIGINT) AS width,
-           CAST(1 + (ascii(substr(text, 2, 1)) % 64) AS BIGINT) AS height,
-           floor(CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
-             i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_byte
-         FROM b ORDER BY doc_id""",
+           CAST(1 + (bs[1] % 64) AS BIGINT) AS width,
+           CAST(1 + (bs[2] % 64) AS BIGINT) AS height,
+           floor(CAST(list_sum(bs) AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_byte
+         FROM byt ORDER BY doc_id""",
     "mm_frames" ->
-      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
-         f0 AS (SELECT doc_id, text, n,
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         f0 AS (SELECT doc_id, h, n,
                 CAST(unnest(range(0, (n + 63) // 64)) AS BIGINT) AS frame_idx FROM b),
          f AS (SELECT * FROM f0 WHERE frame_idx % 4 = 0)
          SELECT doc_id, frame_idx,
            CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_len,
            CAST(list_sum(list_transform(range(1, CAST(least(64, n - frame_idx * 64) AS INT) + 1),
-              i -> ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1)))) % 256 AS BIGINT) AS checksum
+              i -> (strpos('0123456789ABCDEF', substr(h, CAST(2 * (frame_idx * 64 + i) - 1 AS INT), 1)) * 16
+                    + strpos('0123456789ABCDEF', substr(h, CAST(2 * (frame_idx * 64 + i) AS INT), 1)) - 17))) % 256 AS BIGINT) AS checksum
          FROM f ORDER BY doc_id, frame_idx""",
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS total_price,
@@ -2338,6 +2364,109 @@ object SparkEntry {
          SELECT doc_id, lang, quality, n_bpe_tokens,
                 start_offset // 256 AS seq_id, start_offset % 256 AS seq_offset
          FROM packed ORDER BY doc_id""",
+    // the end-to-end RELEASE audit: BOTH corpus versions run the full
+    // curation chain (version-tagged CTEs — dedup/LSH stay strictly
+    // within a version), the current release packs into 256-token
+    // sequences and 32-seq shards (stats recomputed from logic here,
+    // from the on-disk read-back on the Spark side — that asymmetry
+    // IS the verify-after-write), the two curated releases diff by
+    // content hash, and the released docs roll up per source
+    "pipeline_release_audit" ->
+      """WITH pool AS (
+           SELECT 2 AS ver, doc_id, source, text FROM documents
+           UNION ALL
+           SELECT 1, doc_id, source,
+             CASE WHEN doc_id % 10 = 3 THEN text || ' v1' ELSE text END
+           FROM documents WHERE doc_id % 10 != 7
+           UNION ALL
+           SELECT 1, doc_id + 10000000000, source,
+             'the ' || CAST(doc_id + 10000000000 AS VARCHAR) ||
+             ' and ' || CAST(doc_id + 10000000000 AS VARCHAR) ||
+             ' of ' || CAST(doc_id + 10000000000 AS VARCHAR) ||
+             ' to ' || CAST(doc_id + 10000000000 AS VARCHAR) ||
+             ' a ' || CAST(doc_id + 10000000000 AS VARCHAR)
+           FROM documents WHERE doc_id % 10 = 4),
+         d0 AS (SELECT ver, doc_id, source, text,
+             list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+           FROM pool),
+         s AS (SELECT ver, doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shingles FROM d0),
+         mh AS (SELECT ver, doc_id, shingles,
+           list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+           list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+           list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+           list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3,
+           list_min(list_transform(shingles, x -> md5('4|' || x))) AS mh4,
+           list_min(list_transform(shingles, x -> md5('5|' || x))) AS mh5,
+           list_min(list_transform(shingles, x -> md5('6|' || x))) AS mh6,
+           list_min(list_transform(shingles, x -> md5('7|' || x))) AS mh7
+           FROM s),
+         bands AS (
+           SELECT ver, doc_id, 0 AS band_id, md5(mh0 || mh1) AS bucket FROM mh
+           UNION ALL SELECT ver, doc_id, 1, md5(mh2 || mh3) FROM mh
+           UNION ALL SELECT ver, doc_id, 2, md5(mh4 || mh5) FROM mh
+           UNION ALL SELECT ver, doc_id, 3, md5(mh6 || mh7) FROM mh),
+         cand AS (SELECT DISTINCT a.ver, a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+           ON a.ver = b.ver AND a.band_id = b.band_id
+              AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         lsh_pairs AS (SELECT ver, doc_a, doc_b FROM (
+           SELECT c.ver, doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+           FROM cand c JOIN s sa ON c.ver = sa.ver AND doc_a = sa.doc_id
+                       JOIN s sb ON c.ver = sb.ver AND doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         passed AS (SELECT ver, doc_id, source, text FROM d0
+           WHERE floor((0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 >= 0.35),
+         exact AS (SELECT ver, doc_id, source, text FROM
+             (SELECT *, row_number() OVER
+               (PARTITION BY ver, md5(text) ORDER BY doc_id) AS rn FROM passed)
+           WHERE rn = 1),
+         drops AS (SELECT DISTINCT p.ver, p.doc_b AS doc_id FROM lsh_pairs p
+           JOIN exact ea ON p.ver = ea.ver AND p.doc_a = ea.doc_id
+           JOIN exact eb ON p.ver = eb.ver AND p.doc_b = eb.doc_id),
+         rel AS (SELECT * FROM exact e WHERE NOT EXISTS
+             (SELECT 1 FROM drops d WHERE d.ver = e.ver AND d.doc_id = e.doc_id)),
+         rel2 AS (SELECT doc_id, source, text FROM rel WHERE ver = 2),
+         bpe AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+           FROM rel2),
+         packed AS (SELECT *,
+             CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_bpe_tokens AS BIGINT) AS start_offset FROM bpe),
+         sharded AS (SELECT *, (start_offset // 256) // 32 AS shard,
+             start_offset // 256 AS seq_id FROM packed),
+         shard_stats AS (SELECT shard,
+             count(*) AS n_docs,
+             count(DISTINCT seq_id) AS n_seqs,
+             CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens
+           FROM sharded GROUP BY shard),
+         dj AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  md5(a.text) AS h1, md5(b.text) AS h2
+                FROM (SELECT doc_id, text FROM rel WHERE ver = 1) a
+                FULL OUTER JOIN rel2 b ON a.doc_id = b.doc_id),
+         diffs AS (SELECT CASE WHEN h1 IS NULL THEN 'added'
+                       WHEN h2 IS NULL THEN 'removed'
+                       ELSE 'changed' END AS status
+                   FROM dj WHERE h1 IS NULL OR h2 IS NULL OR h1 != h2)
+         SELECT * FROM (
+           SELECT 'total' AS entry, 'docs' AS k,
+               CAST(sum(n_docs) AS BIGINT) AS n FROM shard_stats
+           UNION ALL SELECT 'total', 'seqs', CAST(sum(n_seqs) AS BIGINT) FROM shard_stats
+           UNION ALL SELECT 'total', 'tokens', CAST(sum(n_tokens) AS BIGINT) FROM shard_stats
+           UNION ALL SELECT 'shard_docs', CAST(shard AS VARCHAR), n_docs FROM shard_stats
+           UNION ALL SELECT 'shard_seqs', CAST(shard AS VARCHAR), n_seqs FROM shard_stats
+           UNION ALL SELECT 'shard_tokens', CAST(shard AS VARCHAR), n_tokens FROM shard_stats
+           UNION ALL SELECT 'diff', status, count(*) FROM diffs GROUP BY status
+           UNION ALL SELECT 'release_docs', source, count(*) FROM rel2 GROUP BY source
+           UNION ALL SELECT 'release_tokens', source, CAST(sum(n_bpe_tokens) AS BIGINT)
+             FROM bpe GROUP BY source)
+         ORDER BY entry, k""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts,
                     epoch_ns(ts)//1000000000 AS ts_sec FROM events),

@@ -126,9 +126,29 @@ object Clustering {
   }
 
   /** vec_id → final cluster (+ rounded distance) after [[Iters]]
-    * Lloyd iterations from the deterministic first-k init. */
-  def qEmbKmeans(spark: SparkSession, dir: String): DataFrame =
-    kmeans(Tables.embeddings(spark, dir), K, Iters)
+    * Lloyd iterations from the deterministic first-k init. The FIT is
+    * memoized per (session, corpus, k, iters)
+    * ([[graft.core.ModelCache]], fingerprint-invalidated): the Lloyd
+    * jobs run once per session, and re-invocations are the map-only
+    * assignment projection — the build-once treatment the IVF index
+    * has, for the model that lives as driver state. */
+  def qEmbKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = prepared(Tables.embeddings(spark, dir))
+    kmeansAssignWith(emb, kmeansModelFor(spark, dir, K, Iters)._1)
+  }
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The memoized literal-shape Lloyd fit for the embeddings backing
+    * `dir`. */
+  private def kmeansModelFor(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (Seq[(Int, Array[Double])], Int) =
+    graft.core.ModelCache.corpusModel(spark, s"kmeans:$k:$iters",
+      s"$dir/embeddings.parquet") {
+      kmeansFit(prepared(Tables.embeddings(spark, dir)), k, iters)
+    }
 
   /** The large-k assignment shape, pinned by the SAME oracle as
     * [[qEmbKmeans]] (two plans, one semantics — the dedup_clusters /
@@ -138,8 +158,21 @@ object Clustering {
     * grows with k (the limit of the literal shape), at the cost of a
     * vec_id-hash shuffle of n·k slim rows. Use when k is beyond the
     * literal crossover (~hundreds); the k=8 gate proves equivalence. */
-  def qEmbKmeansJoined(spark: SparkSession, dir: String): DataFrame =
-    kmeansJoined(Tables.embeddings(spark, dir), K, Iters)
+  def qEmbKmeansJoined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = prepared(Tables.embeddings(spark, dir))
+    kmeansJoinedAssign(emb, kmeansJoinedModelFor(spark, dir, K, Iters)._1)
+  }
+
+  /** The memoized joined-shape Lloyd fit: the model stays a
+    * lineage-truncated k-row FRAME (k·dim doubles of block-manager
+    * state — never deserialized driver-side), held per
+    * (session, corpus, k, iters) like [[kmeansModelFor]]. */
+  private def kmeansJoinedModelFor(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, Int) =
+    graft.core.ModelCache.corpusModel(spark, s"kmeans_joined:$k:$iters",
+      s"$dir/embeddings.parquet") {
+      kmeansJoinedFit(prepared(Tables.embeddings(spark, dir)), k, iters)
+    }
 
   /** Core with k and the iteration count exposed (spec dial: more
     * iterations must not increase within-cluster sum of squares). */
@@ -151,8 +184,16 @@ object Clustering {
     * observability for ConvergenceSpec). */
   private[graft] def kmeansWithStats(embeddings: DataFrame, k: Int,
                                      iters: Int): (DataFrame, Int) = {
-    val emb = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val emb = prepared(embeddings)
+    val (cents, ran) = kmeansFit(emb, k, iters)
+    (kmeansAssignWith(emb, cents), ran)
+  }
+
+  /** The Lloyd FIT alone: deterministic first-k init, at most `iters`
+    * update passes, convergence-stopped. Returns (model, executed
+    * iterations) — the driver state [[kmeansModelFor]] memoizes. */
+  private[graft] def kmeansFit(emb: DataFrame, k: Int,
+      iters: Int): (Seq[(Int, Array[Double])], Int) = {
     val init: Seq[(Int, Array[Double])] = emb
       .where(col("vec_id") < k)
       .collect()
@@ -160,22 +201,29 @@ object Clustering {
         r.getSeq[Double](1).iterator.map(roundTo).toArray))
       .sortBy(_._1)
       .toSeq
-    // empty init ⇔ empty corpus: return the (empty) result frame
-    // instead of building assign()'s literal model — array_min over a
-    // zero-literal array() is VOID-typed and fails analysis (the
-    // NearestCells empty-quantizer contract, literal-model edition)
-    if (init.isEmpty)
-      return (emb.where(lit(false)).select(
-        col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("dist")), 0)
-    val (finalCents, ran) = lloyd(init, iters, cents =>
+    if (init.isEmpty) return (Nil, 0)
+    lloyd(init, iters, cents =>
       updateCentroids(
         emb.withColumn("cluster", assign(col("v"), cents).getField("c_id"))))
-    val best = assign(col("v"), finalCents)
-    (emb.select(
+  }
+
+  /** MAP-ONLY assignment of a prepared (vec_id, v) frame under a
+    * fitted model. An empty model ⇔ empty corpus: returns the empty
+    * result frame instead of building assign()'s literal model —
+    * array_min over a zero-literal array() is VOID-typed and fails
+    * analysis (the NearestCells empty-quantizer contract,
+    * literal-model edition). */
+  private def kmeansAssignWith(emb: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    if (cents.isEmpty)
+      return emb.where(lit(false)).select(
+        col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("dist"))
+    val best = assign(col("v"), cents)
+    emb.select(
         col("vec_id"),
         best.getField("c_id").cast("long").as("cluster"),
         Text.roundPortable(best.getField("d"), Scale).as("dist"))
-      .orderBy("vec_id"), ran)
+      .orderBy("vec_id")
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
@@ -196,8 +244,11 @@ object Clustering {
     * [[Similarity.qDedupEmbeddingScaled]]'s IVF blocking, but with
     * learned (Lloyd) cells and a per-cluster keep-rule rather than
     * emitted pairs. */
-  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir), K, Iters, joined = false)
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    semanticDedupAssigned(raw,
+      kmeansAssignWith(prepared(raw), kmeansModelFor(spark, dir, K, Iters)._1))
+  }
 
   /** The scale config of [[qSemanticDedup]]: k grows as √n (floored
     * at the fixed-gate k) so expected cluster size stays ~√n, and the
@@ -208,7 +259,9 @@ object Clustering {
   def qSemanticDedupScaled(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     val k = math.max(K, math.ceil(math.sqrt(n.toDouble)).toInt)
-    semanticDedup(Tables.embeddings(spark, dir), k, Iters, joined = true)
+    val raw = Tables.embeddings(spark, dir)
+    semanticDedupAssigned(raw, kmeansJoinedAssign(prepared(raw),
+      kmeansJoinedModelFor(spark, dir, k, Iters)._1))
   }
 
   private val SemDedupThreshold = 0.45 // same cut the embedding near-dup gates pin
@@ -221,9 +274,15 @@ object Clustering {
     * engines round HALF-UP to 4 decimals first, so the rank order is
     * cross-engine deterministic). */
   private[graft] def semanticDedup(embeddings: DataFrame, k: Int,
-                                   iters: Int, joined: Boolean): DataFrame = {
-    val assigned = if (joined) kmeansJoined(embeddings, k, iters)
-                   else kmeans(embeddings, k, iters)
+                                   iters: Int, joined: Boolean): DataFrame =
+    semanticDedupAssigned(embeddings,
+      if (joined) kmeansJoined(embeddings, k, iters)
+      else kmeans(embeddings, k, iters))
+
+  /** [[semanticDedup]]'s prune under an EXPLICIT assignment frame —
+    * the seam the memoized-model entry points feed. */
+  private def semanticDedupAssigned(embeddings: DataFrame,
+                                    assigned: DataFrame): DataFrame = {
     val av = assigned.join(
       embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val a = av.select(col("cluster"), col("vec_id").as("id_a"),
@@ -299,8 +358,48 @@ object Clustering {
     * Returns the executed-iteration count for ConvergenceSpec. */
   private[graft] def kmeansJoinedWithStats(embeddings: DataFrame, k: Int,
                                            iters: Int): (DataFrame, Int) = {
-    val emb = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val emb = prepared(embeddings)
+    val (cents, ran) = kmeansJoinedFit(emb, k, iters)
+    (kmeansJoinedAssign(emb, cents), ran)
+  }
+
+  /** One-row broadcast model of a centroid frame (sorted struct
+    * array — the determinism contract of the joined shape). */
+  private def joinedModelOf(c: DataFrame): DataFrame =
+    c.agg(sort_array(collect_list(struct(col("c_id"),
+      col("c_vec")))).as("cs"))
+
+  /** Assignment of a prepared (vec_id, v) frame against a broadcast
+    * one-row model — map-only; see [[kmeansJoinedWithStats]]'s
+    * contract notes. */
+  private def joinedAssigned(emb: DataFrame, model: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(model))
+      // min over structs is lexicographic: min distance first, ties
+      // to the lower c_id — the same contract as the literal shape.
+      // An empty model yields array_min(null-free empty) = null:
+      // filtered, so an empty centroid set assigns nothing (the
+      // empty-crossJoin semantics of the r9 shape).
+      .withColumn("best", array_min(transform(col("cs"), cEl =>
+        struct(sqDistCols(col("v"), cEl.getField("c_vec")).as("d"),
+               cEl.getField("c_id").as("c_id")))))
+      .where(col("best").isNotNull)
+      .select(col("vec_id"), col("v"), col("best"))
+
+  /** Final (vec_id, cluster, dist) projection under a fitted joined
+    * centroid frame. */
+  private def kmeansJoinedAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    joinedAssigned(emb, joinedModelOf(cents)).select(
+        col("vec_id"),
+        col("best.c_id").cast("long").as("cluster"),
+        Text.roundPortable(col("best.d"), Scale).as("dist"))
+      .orderBy("vec_id")
+
+  /** The joined-shape Lloyd FIT alone: returns the converged centroid
+    * FRAME (k rows, lineage-truncated — the model stays DATA, never
+    * deserialized driver-side) plus the executed iteration count.
+    * [[kmeansJoinedModelFor]] memoizes the frame per session. */
+  private[graft] def kmeansJoinedFit(emb: DataFrame, k: Int,
+                                     iters: Int): (DataFrame, Int) = {
     var cents = emb.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"),
         transform(col("v"), x => Text.roundPortable(x, Scale)).as("c_vec"))
@@ -308,27 +407,11 @@ object Clustering {
       // checkpointed model is a single task, not 32 empty ones
       .coalesce(1)
       .localCheckpoint(eager = false)
-    def modelOf(c: DataFrame): DataFrame =
-      c.agg(sort_array(collect_list(struct(col("c_id"),
-        col("c_vec")))).as("cs"))
-    def assigned(model: DataFrame): DataFrame = {
-      emb.crossJoin(broadcast(model))
-        // min over structs is lexicographic: min distance first, ties
-        // to the lower c_id — the same contract as the literal shape.
-        // An empty model yields array_min(null-free empty) = null:
-        // filtered, so an empty centroid set assigns nothing (the
-        // empty-crossJoin semantics of the r9 shape).
-        .withColumn("best", array_min(transform(col("cs"), cEl =>
-          struct(sqDistCols(col("v"), cEl.getField("c_vec")).as("d"),
-                 cEl.getField("c_id").as("c_id")))))
-        .where(col("best").isNotNull)
-        .select(col("vec_id"), col("v"), col("best"))
-    }
     var ran = 0
     var done = false
     while (ran < iters && !done) {
-      val model = modelOf(cents)
-      val stepped = assigned(model)
+      val model = joinedModelOf(cents)
+      val stepped = joinedAssigned(emb, model)
         .select(col("best.c_id").as("cluster"),
           posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy("cluster", "pos")
@@ -362,10 +445,6 @@ object Clustering {
       cents = stepped.select(col("c_id"), col("c_vec"))
       ran += 1
     }
-    (assigned(modelOf(cents)).select(
-        col("vec_id"),
-        col("best.c_id").cast("long").as("cluster"),
-        Text.roundPortable(col("best.d"), Scale).as("dist"))
-      .orderBy("vec_id"), ran)
+    (cents, ran)
   }
 }

@@ -155,7 +155,10 @@ object Dedup {
       finish: DataFrame => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
     val bs = signaturesOf(batch).cache()
     try finish(incrementalNearDupPrepared(cs, bs))
-    finally bs.unpersist()
+    // Blocking: a long-running foreachBatch service must not let batch
+    // caches outlive their batch — deferred (async) cleanup under load is
+    // exactly how such a service accumulates storage across micro-batches.
+    finally bs.unpersist(blocking = true)
   }
 
   private def incrementalNearDupPrepared(cs: DataFrame,
@@ -248,6 +251,44 @@ object Dedup {
 
   private val ContainmentThreshold = 0.9
 
+  /** Distinct candidate pairs of the containment prefix filter —
+    * the seam ScaleProbe counts to price the size predicate.
+    * `sizePrune=false` is the r11 shape (prefix × full posting list
+    * unguarded), kept ONLY for that measurement. */
+  private[graft] def containmentCandidates(docs: DataFrame,
+      sizePrune: Boolean = true): DataFrame = {
+    // ns (= |shingles(doc)|) is computed map-only at the scan and rides
+    // along on every posting row — no extra shuffle — because the
+    // candidate join needs BOTH sides' sizes for the size predicate.
+    val sh = docs.select(col("doc_id"), Text.shingles3(col("text")).as("shs"))
+      .withColumn("ns", size(col("shs")))
+      .select(col("doc_id"), col("ns"), explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(wDoc))
+      .where(col("rnk") <=
+        col("ns") - ceil(lit(ContainmentThreshold) * col("ns")) + 1)
+      .select("doc_id", "ns", "sh")
+    // Size predicate (lossless): in the surviving direction the prefix
+    // side `a` is the contained doc, so C(a→b) ≥ t ⇒ |a∩b| ≥ t·|a| and
+    // |b| ≥ |a∩b| ⇒ ns_b ≥ ⌈t·ns_a⌉. Without it a short doc's prefix
+    // shingle with df ~ n pairs it against every holder — the
+    // boilerplate-concentration blowup; with it the short-side×huge-list
+    // candidates collapse to the size-compatible band only.
+    val sizeOk =
+      if (sizePrune)
+        col("b.ns") >= ceil(lit(ContainmentThreshold) * col("a.ns"))
+      else lit(true)
+    prefix.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+        sizeOk)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
   /** CONTAINMENT near-dup (Broder's asymmetric resemblance):
     * C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — a short
     * document wholly quoted inside a long one scores C ≈ 1 while its
@@ -268,22 +309,7 @@ object Dedup {
     * posting side, still never doc×doc. */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"),
-      explode(Text.shingles3(col("text"))).as("sh"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("rnk", row_number().over(wDoc))
-      .withColumn("ns", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .where(col("rnk") <=
-        col("ns") - ceil(lit(ContainmentThreshold) * col("ns")) + 1)
-      .select("doc_id", "sh")
-    val cands = prefix.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cands = containmentCandidates(docs)
     val sets = docs.select(col("doc_id"),
         Text.shingles3(col("text")).as("shingles"))
       .where(size(col("shingles")) > 0)
@@ -541,17 +567,8 @@ object Dedup {
     * it changes whenever a rewrite, compaction, or incremental batch
     * lands in the same dir (any of those replaces or adds part
     * files). */
-  private[graft] def corpusFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(s"$dir/documents.parquet")
-    val sig = walk(root).filterNot(_.getName.startsWith("."))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .sorted.mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private[graft] def corpusFingerprint(dir: String): String =
+    graft.core.ModelCache.fingerprint(s"$dir/documents.parquet")
 
   /** The verified-pair cluster table with the BUILD-ONCE treatment the
     * IVF index got: signatures → band join → cosine verify →

@@ -15,8 +15,10 @@ import graft.Tables
   * is a one-function change.
   *
   * The stub is arithmetic over the raw bytes, so a SQL oracle can
-  * reproduce it byte-for-byte (documents are ASCII; byte == char
-  * codepoint in both engines).
+  * reproduce it byte-for-byte: the oracles decode octets from the
+  * hex dump of the BLOB (`hex(CAST(text AS BLOB))`), so parity with
+  * `content(i) & 0xff` here is exact even for non-ASCII payloads —
+  * no codepoint/byte conflation.
   */
 object Multimodal {
 
@@ -106,14 +108,19 @@ object Multimodal {
     * model at deploy time, same batching); counts are INTEGERS stored
     * as floats, so both engines hold the embedding bit-exactly and
     * the downstream cosine algebra is the proven cross-engine kind. */
-  private def embedStub(r: MediaRow): MediaEmbedding = {
+  private def embedStub(r: MediaRow): MediaEmbedding =
+    MediaEmbedding(r.doc_id, byteHistogram(r))
+
+  /** The stub's 16-bin feature extraction, shared by the bare stub
+    * and the weights-as-table projection path. */
+  private def byteHistogram(r: MediaRow): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < r.content.length) {
       hist((r.content(i) & 0xff) % 16) += 1f
       i += 1
     }
-    MediaEmbedding(r.doc_id, hist)
+    hist
   }
 
   /** Batched embedding pass — the [[decode]] shape (per-batch model
@@ -125,6 +132,54 @@ object Multimodal {
         // a real encoder loads weights / pins the accelerator once
         // per batch here
         batch.map(embedStub)
+      }
+    }
+  }
+
+  /** ENCODER weights as a TABLE — the entry point a real encoder
+    * export rides in through (the classifierWeightsOf twin): a
+    * (out_dim, in_dim, weight) long-format projection matrix, read
+    * with the bounded model-collect convention (out·16 rows) into a
+    * dense row-major matrix. Rows are dense: every (out, in) cell
+    * 0..out−1 × 0..15 must be present exactly once. */
+  def projectionOf(weights: DataFrame): Array[Array[Float]] = {
+    val rows = weights.select(col("out_dim").cast("int"),
+        col("in_dim").cast("int"), col("weight").cast("float"))
+      .collect()
+    require(rows.nonEmpty, "empty projection weights table")
+    val outDim = rows.map(_.getInt(0)).max + 1
+    require(rows.length == outDim * 16 &&
+      rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == rows.length,
+      s"projection must cover 0..${outDim - 1} x 0..15 exactly once")
+    val m = Array.fill(outDim)(new Array[Float](16))
+    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+    m
+  }
+
+  /** [[embed]] with the encoder's final projection supplied as data:
+    * the SAME batched mapPartitions pass, the stub features pushed
+    * through W·h. Swapping stub → trained encoder is exactly this
+    * substitution — the plan (schema, partitioning, batch shape) is
+    * unchanged, which is the whole point of the seam. */
+  def embedWith(media: Dataset[MediaRow], projection: Array[Array[Float]],
+                batchSize: Int = 64): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val h = byteHistogram(r)
+          val out = new Array[Float](projection.length)
+          var o = 0
+          while (o < projection.length) {
+            val row = projection(o)
+            var i = 0
+            var acc = 0f
+            while (i < 16) { acc += row(i) * h(i); i += 1 }
+            out(o) = acc
+            o += 1
+          }
+          MediaEmbedding(r.doc_id, out)
+        }
       }
     }
   }

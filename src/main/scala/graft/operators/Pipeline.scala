@@ -328,8 +328,120 @@ object Pipeline {
           concat(col("text"), lit(" v1"))).otherwise(col("text")))
       .unionByName(
         docs.where(pmod(col("doc_id"), lit(10)) === 4)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          // 1e10 offset (the lshplant convention): provably disjoint
+          // from genuine doc_ids at any fixture scale — a 1e6 offset
+          // would collide on a corpus whose ids reach a million and
+          // manufacture spurious changed/removed rows
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
     corpusDiff(v1, docs)
+  }
+
+  /** Sequences per training shard in the release audit — sized so
+    * the sf fixtures yield a handful of shards (enough to exercise
+    * boundary-spanning sequences) while the per-shard manifest stays
+    * the bounded driver collect [[graft.sources.ShardWriter]]
+    * documents. */
+  private val ReleaseSeqsPerShard = 32L
+
+  /** The END-TO-END DATASET RELEASE — every governance artifact of a
+    * corpus version shipped, composed and gated as one audit:
+    *
+    *   curate (quality → exact dedup → LSH removal) → pack
+    *   (two-phase prefix sum) → writeShards (REAL parquet export +
+    *   read-back manifest) → corpusDiff vs the PREVIOUS release's
+    *   curated corpus → per-source datasheet of the released docs.
+    *
+    * Output is one uniform long-format frame (entry, k, n):
+    *   - total docs/seqs/tokens — summed from the read-back manifest,
+    *     so the gate verifies what is ON DISK against the oracle's
+    *     from-logic recompute (verify-after-write, oracle-checked);
+    *   - per-shard docs/seqs/tokens — ditto, shard = seq_id DIV
+    *     [[ReleaseSeqsPerShard]] (content_hash stays out of the gate:
+    *     xxhash64 has no DuckDB twin; ShardWriterSpec pins it);
+    *   - diff status counts between the two CURATED releases — the
+    *     audit a release manager actually reads ("what changed in
+    *     what we SHIP", not in the raw pool);
+    *   - per-source released docs/tokens — the datasheet counts.
+    *
+    * The previous release's raw pool is the [[qCorpusDiff]] synthetic
+    * rule (%10==7 absent → added, %10==3 older text → changed) except
+    * the retired docs carry NOVEL deterministic text (id interleaved
+    * into a stopword frame) instead of a copied one: a retired doc
+    * with copied text would be exact/near-dup-removed by its own
+    * curation and never reach the diff — novel text makes 'removed'
+    * actually execute through the curated path.
+    *
+    * The export (pack + writeShards + manifest read-back) is memoized
+    * per (session, corpus) via [[graft.core.ModelCache]] — re-running
+    * the audit against an unchanged corpus must not re-export shards,
+    * exactly like the model fits. Scale: both curations are the
+    * gated pipeline shape (band join over survivors only); the diff
+    * moves 16-byte fingerprints; the datasheet is one partial-agg
+    * shuffle; the manifest collect is one row per shard. */
+  def qReleaseAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+
+    // the previous release's raw pool (see scaladoc for the rules)
+    val idStr = (col("doc_id") + 10000000000L).cast("string")
+    val retired = docs.where(pmod(col("doc_id"), lit(10)) === 4)
+      .select((col("doc_id") + 10000000000L).as("doc_id"),
+        col("source"), col("lang"),
+        concat_ws(" ", lit("the"), idStr, lit("and"), idStr, lit("of"),
+          idStr, lit("to"), idStr, lit("a"), idStr).as("text"))
+    val v1pool = docs
+      .select("doc_id", "source", "lang", "text")
+      .where(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 3,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      .unionByName(retired.select("doc_id", "source", "lang", "text"))
+
+    // both releases curated by the SAME pipeline the corpus gate runs
+    val rel2 = curatedSurvivors(docs)
+      .select("doc_id", "source", "text").cache()
+    val rel1 = curatedSurvivors(v1pool).select("doc_id", "text")
+
+    val diffRows = corpusDiff(rel1, rel2.select("doc_id", "text"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .select(lit("diff").as("entry"), col("status").as("k"), col("n"))
+
+    val withTok = rel2.withColumn("n_bpe_tokens",
+      TextAnalysis.bpeTokenCount(col("text")))
+    val srcAgg = withTok.groupBy("source")
+      .agg(count(lit(1)).as("nd"), sum("n_bpe_tokens").cast("long").as("nt"))
+    val srcRows = srcAgg
+      .select(lit("release_docs").as("entry"), col("source").as("k"),
+        col("nd").as("n"))
+      .unionByName(srcAgg.select(lit("release_tokens").as("entry"),
+        col("source").as("k"), col("nt").as("n")))
+
+    // pack + REAL shard export + read-back manifest, build-once
+    val m = graft.core.ModelCache.corpusModel(spark,
+      s"release_manifest:$ReleaseSeqsPerShard",
+      s"$dir/documents.parquet") {
+      val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+      val packed = Packing.packTokens(
+          withTok.select("doc_id", "n_bpe_tokens"),
+          Packing.bucketWidthFor(n))
+        .select("doc_id", "n_bpe_tokens", "seq_id", "seq_offset")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_release").toString
+      graft.sources.ShardWriter.writeShards(
+        packed, out, ReleaseSeqsPerShard)
+    }
+    val manifestRows = (
+      Seq(("total", "docs", m.totalDocs),
+          ("total", "seqs", m.totalSeqs),
+          ("total", "tokens", m.totalTokens)) ++
+      m.shards.flatMap(s => Seq(
+        ("shard_docs", s.shardId.toString, s.nDocs),
+        ("shard_seqs", s.shardId.toString, s.nSeqs),
+        ("shard_tokens", s.shardId.toString, s.nTokens)))
+    ).toDF("entry", "k", "n")
+
+    manifestRows.unionByName(diffRows).unionByName(srcRows)
+      .orderBy("entry", "k")
   }
 
   def qChunkedPretrain(spark: SparkSession, dir: String): DataFrame = {

@@ -710,11 +710,38 @@ object Similarity {
     * stored — codes + (vmin, scl) are the 4×-smaller memory contract;
     * `recon = vmin + code·scl` at search time is bit-identical to
     * the recompute path's [[Vectors.sq8ReconWith]]. */
+  /** Corpus-fingerprint stamp for dir-keyed index builds — the
+    * build-once rule of the cluster table ([[graft.operators.Dedup]])
+    * applied to the served index: a gate (or a serving session)
+    * re-entering the build for an UNCHANGED corpus must skip straight
+    * to search, not rewrite the table per query batch. The stamp
+    * encodes corpus fingerprint + build dials; [[appendToIvfIndex]]
+    * overwrites it (an appended index no longer equals a fresh
+    * build), and [[compactIvfIndex]] carries it across the swap
+    * (compaction preserves contents). */
+  private val FingerprintProp = "graft.fingerprint"
+
+  private def tableProp(spark: SparkSession, name: String,
+                        key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $name('$key')")
+      .collect().headOption.map(_.getString(1))
+      .filterNot(_.contains("does not have property"))
+
   def buildIvfIndex(spark: SparkSession, dir: String, name: String,
                     numCentroids: Int = NumCentroids,
-                    twoLevel: Boolean = false): Unit =
-    buildIvfIndexFrom(Tables.embeddings(spark, dir), name, numCentroids,
-      twoLevel)
+                    twoLevel: Boolean = false): Unit = {
+    val stamp = graft.core.ModelCache.fingerprint(
+      s"$dir/embeddings.parquet") + s"|$numCentroids|$twoLevel"
+    val fresh = spark.catalog.tableExists(name) &&
+      spark.catalog.tableExists(s"${name}_centroids") &&
+      tableProp(spark, name, FingerprintProp).contains(stamp)
+    if (!fresh) {
+      buildIvfIndexFrom(Tables.embeddings(spark, dir), name, numCentroids,
+        twoLevel)
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+        s"('$FingerprintProp'='$stamp')")
+    }
+  }
 
   /** Table property recording which coarse-assignment rule built the
     * index (`flat` exact argmax vs `twolevel` hierarchical). Appends
@@ -725,9 +752,22 @@ object Similarity {
     * guards against. */
   private val AssignModeProp = "graft.assign"
 
+  /** Per-(session, table) memo for the assignment mode. The property
+    * is immutable after build — the only writers are [[buildIvfIndexFrom]]
+    * (which re-stamps the memo) and [[compactIvfIndex]] (which carries
+    * the mode across the swap and invalidates the entry anyway) — so a
+    * cached read can never be stale. Without the memo every search paid
+    * a `SHOW TBLPROPERTIES` + collect of catalog metadata per query
+    * (the r11 sim_ivf_indexed regression); a served index answering
+    * thousands of query batches should hit the catalog once. Keyed on
+    * the session INSTANCE: a new session (new catalog view) re-reads. */
+  private val assignModeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]
+
   private def assignModeOf(spark: SparkSession, name: String): Boolean =
-    spark.sql(s"SHOW TBLPROPERTIES $name('$AssignModeProp')")
-      .collect().headOption.exists(_.getString(1) == "twolevel")
+    assignModeMemo.computeIfAbsent((spark, name), _ =>
+      spark.sql(s"SHOW TBLPROPERTIES $name('$AssignModeProp')")
+        .collect().headOption.exists(_.getString(1) == "twolevel"))
 
   /** Index rows for any vector frame against a given quantizer —
     * the one definition shared by full build and incremental append
@@ -765,6 +805,7 @@ object Similarity {
     val mode = if (twoLevel) "twolevel" else "flat"
     emb.sparkSession.sql(
       s"ALTER TABLE $name SET TBLPROPERTIES ('$AssignModeProp'='$mode')")
+    assignModeMemo.put((emb.sparkSession, name), twoLevel)
   }
 
   /** INCREMENTAL index maintenance — the search-side twin of the
@@ -775,11 +816,16 @@ object Similarity {
     * untouched, so a 100 TB index absorbs a daily batch without a
     * rebuild. IvfIndexSpec pins append ≡ full rebuild. */
   def appendToIvfIndex(spark: SparkSession, name: String,
-                       batch: DataFrame): Unit =
+                       batch: DataFrame): Unit = {
     indexRows(batch, spark.table(s"${name}_centroids"),
         assignModeOf(spark, name))
       .write.bucketBy(IndexFileBuckets, "bucket").sortBy("bucket")
       .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(name)
+    // an appended index no longer equals a fresh dir build — drop the
+    // build-once stamp so the next dir-keyed build rebuilds
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('$FingerprintProp'='appended')")
+  }
 
   /** COMPACTION — the maintenance half of the append story: every
     * [[appendToIvfIndex]] batch adds a file set (up to one file per
@@ -830,9 +876,17 @@ object Similarity {
       val mode = if (assignModeOf(spark, name)) "twolevel" else "flat"
       spark.sql(
         s"ALTER TABLE $staging SET TBLPROPERTIES ('$AssignModeProp'='$mode')")
+      // compaction preserves contents — the build-once stamp survives
+      tableProp(spark, name, FingerprintProp).foreach(fp =>
+        spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+          s"('$FingerprintProp'='$fp')"))
       spark.sql(s"ALTER TABLE $name RENAME TO $retired")
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
       graft.sources.Readers.dropTableAndDir(spark, retired)
+      // the swap preserves the mode, but invalidate the memo anyway —
+      // compaction is the one catalog mutation after build, so it owns
+      // the invalidation edge
+      assignModeMemo.remove((spark, name))
       true
     }
   }
@@ -945,6 +999,87 @@ object Similarity {
     * no float log — exact in both engines. */
   private[graft] def lshBitsForN(n: Long): Int =
     if (n < (1L << 16)) 8 else if (n < (1L << 28)) 16 else 24
+
+  /** SRP per-plane agreement for a target cosine s — the sign-random-
+    * projection collision identity p = 1 − θ/π, θ = arccos(s). */
+  private[graft] def srpPlaneAgreement(sim: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, sim))) / math.Pi
+
+  /** Expected recall of a banded search at `bits`/band with Hamming-
+    * `flips` probing over [[LshBands]] bands for a TARGET similarity:
+    * a band (probe ball included) matches with
+    * P = Σ_{i≤flips} C(bits,i)·p^(bits−i)·(1−p)^i, and any of the B
+    * independent bands suffices ⇒ recall ≈ 1 − (1−P)^B. The r11
+    * measurements validate the model at both regimes: it predicts
+    * 0.92 at 8 bits (measured 94 %) and 0.22 at 16 bits (measured
+    * 14 %) for the fixture's ~0.5-cosine top-k — the collapse
+    * SCALING.md's [lsh] table priced. */
+  private[graft] def lshSearchRecallEstimate(bits: Int, flips: Int,
+                                             sim: Double): Double = {
+    val p = srpPlaneAgreement(sim)
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    val pBand = (0 to flips).map(i =>
+      choose(bits, i) * math.pow(p, bits - i) * math.pow(1 - p, i)).sum
+    1.0 - math.pow(1.0 - pBand, LshBands)
+  }
+
+  /** Recall floor the search-bits rule holds at the target
+    * similarity — below it the Hamming ball can't span the expected
+    * plane disagreement and banding stops finding what the caller
+    * asked for (the measured 16-bit collapse). */
+  private val LshSearchRecallFloor = 0.9
+
+  /** Default target similarity for top-k search dials: moderate-
+    * similarity neighbors (~0.5 cosine) are what generic top-k
+    * retrieval hunts — the adversarial regime for SRP-LSH, so dialing
+    * for it is the conservative choice. Tight-similarity use cases
+    * (dedup) have their own stricter rule ([[lshPairBitsForN]]). */
+  private[graft] val LshTargetSearchSim = 0.5
+
+  /** SIMILARITY-AWARE search bits — the r11 guidance ("banding dials
+    * must be cut from the TARGET similarity, not corpus size alone")
+    * codified: the corpus-size rule [[lshBitsForN]] sets the CEILING
+    * (bucket-fill control wants fine bands), and the target-similarity
+    * recall model caps it from above — the largest bits ≤ the size
+    * rule whose estimated recall clears [[LshSearchRecallFloor]],
+    * floored at 8. When the cap bites, buckets run fuller than the
+    * size rule wants (n/2^bits rows) — the honest price of recall at
+    * moderate similarity; [[lshSearchGuard]] names it at analysis
+    * time so a caller can switch to IVF or add bands instead. */
+  private[graft] def lshSearchBitsFor(
+      n: Long, targetSim: Double = LshTargetSearchSim,
+      flips: Int = LshFlips): Int = {
+    val sizeBits = lshBitsForN(n)
+    (sizeBits to 8 by -1).find(b =>
+      lshSearchRecallEstimate(b, flips, targetSim) >= LshSearchRecallFloor)
+      .getOrElse(8)
+  }
+
+  /** Analysis-time guard for the search dials: names the tradeoff
+    * whenever the similarity cap overrode the bucket-size rule (fuller
+    * buckets ⇒ more candidates per probe), or — the unfixable case —
+    * even 8-bit bands can't clear the floor at the target similarity
+    * (use IVF). None = the dials are clean. */
+  private[graft] def lshSearchGuard(
+      n: Long, targetSim: Double = LshTargetSearchSim,
+      flips: Int = LshFlips): Option[String] = {
+    val sizeBits = lshBitsForN(n)
+    val bits = lshSearchBitsFor(n, targetSim, flips)
+    val est = lshSearchRecallEstimate(bits, flips, targetSim)
+    if (est < LshSearchRecallFloor)
+      Some(f"LSH search recall ~$est%.2f at $bits bits for target " +
+        f"similarity $targetSim%.2f — below the $LshSearchRecallFloor%.2f " +
+        "floor even at the 8-bit minimum; the Hamming ball cannot span " +
+        "the expected plane disagreement. Use the IVF family for " +
+        "moderate-similarity top-k, or raise bands.")
+    else if (bits < sizeBits)
+      Some(f"target similarity $targetSim%.2f caps bands at $bits bits " +
+        f"(size rule wants $sizeBits): expected band-bucket fill is " +
+        f"~${n / (1L << bits)} rows — candidate volume grows accordingly; " +
+        "IVF or more bands trade that back.")
+    else None
+  }
 
   /** Deterministic Rademacher hyperplane component for (plane, dim) —
     * the [[Vectors.qEmbProjectRp]] seed convention: the sign is the
@@ -1123,16 +1258,18 @@ object Similarity {
     * (SCALING.md). Query-side only — corpus cost is unchanged. */
   private val LshFlips = 2
 
-  /** The SCALE config: bits per band from footer metadata
-    * ([[lshBitsForN]] — zero jobs at plan build) plus Hamming-2
-    * MULTI-PROBE on the query side ([[LshFlips]]), so the plan a
-    * 100 TB corpus runs — not just the toy dial — is hash-checked.
-    * At fixture sizes the bits rule floors at the fixed gate's 8
-    * (the [[scaledCentroids]] precedent); the 16-bit regime executes
-    * in ScaleProbe's replicated run. */
+  /** The SCALE config: bits per band from footer metadata plus
+    * Hamming-2 MULTI-PROBE on the query side ([[LshFlips]]), so the
+    * plan a 100 TB corpus runs — not just the toy dial — is
+    * hash-checked. Bits come from the SIMILARITY-AWARE rule
+    * ([[lshSearchBitsFor]] — zero jobs at plan build): the corpus-size
+    * rule capped by the target-similarity recall model, so the 40×
+    * regime that used to step to 16 bits and collapse to 14 % recall
+    * (SCALING.md r11) now stays at the recall-holding width. At
+    * fixture sizes both rules floor at the fixed gate's 8. */
   def qSimLshCosineScaled(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
-    lshSearch(Tables.embeddings(spark, dir), lshBitsForN(n), LshFlips)
+    lshSearch(Tables.embeddings(spark, dir), lshSearchBitsFor(n), LshFlips)
   }
 
   /** The TWO-LEVEL index round trip: √n cells, corpus assigned (and
@@ -1172,6 +1309,14 @@ object Similarity {
     * and corpus could silently disagree. */
   def buildPqIndex(spark: SparkSession, dir: String, name: String,
                    numCentroids: Int): Unit = {
+    // build-once (the [[buildIvfIndex]] stamp): an unchanged corpus
+    // re-enters search directly instead of re-encoding per query batch
+    val stamp = graft.core.ModelCache.fingerprint(
+      s"$dir/embeddings.parquet") + s"|pq|$numCentroids"
+    if (spark.catalog.tableExists(name) &&
+        spark.catalog.tableExists(s"${name}_centroids") &&
+        spark.catalog.tableExists(s"${name}_codebook") &&
+        tableProp(spark, name, FingerprintProp).contains(stamp)) return
     val emb = Tables.embeddings(spark, dir)
     val cent = centroidsOf(emb, numCentroids)
     val cb = pqCodebookOf(emb)
@@ -1190,6 +1335,8 @@ object Similarity {
       emb.where(col("vec_id") < PqNumCodewords)
         .select(col("vec_id").as("cb_id"), col("embedding").as("cb_vec")),
       s"${name}_codebook")
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('$FingerprintProp'='$stamp')")
   }
 
   /** Search a PQ index: probed cells pruned off the bucketed table,

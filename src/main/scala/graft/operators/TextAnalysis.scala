@@ -201,6 +201,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TRAINED weights as a TABLE — the entry point a real fastText
+    * export rides in through (the packFromCounts precedent: model
+    * state arrives as data, the plan does not change). `weights` is
+    * (bucket, weight) with buckets exactly 0..dim−1 — the hashing-
+    * trick projection row of an exported classifier. The read is the
+    * k-row model-collect convention (dim rows, bounded by the
+    * export's bucket count — 2M buckets ≈ 16 MB of doubles, broadcast
+    * once as a literal like the k-means centroids). */
+  private[graft] def classifierWeightsOf(weights: DataFrame): Array[Double] = {
+    val rows = weights
+      .select(col("bucket").cast("int"), col("weight").cast("double"))
+      .collect()
+    val dim = rows.length
+    require(dim > 0, "empty classifier weights table")
+    require(rows.map(_.getInt(0)).sorted.sameElements(0 until dim),
+      s"weights table must cover buckets 0..${dim - 1} exactly")
+    val arr = new Array[Double](dim)
+    rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    arr
+  }
+
+  /** [[classifierProb]] under an explicit weight vector: the SAME
+    * shuffle-free projection and logistic link, with the token's
+    * md5-derived integer folded into the table's bucket range instead
+    * of the stand-in's fixed ±1 codomain. Swapping stand-in → trained
+    * model is exactly this substitution — zero plan changes. */
+  private[graft] def classifierProbWith(w: Array[Double]): Column = {
+    val weightsLit = typedLit(w.toSeq)
+    val tokenWeight = (t: Column) =>
+      element_at(weightsLit,
+        (pmod(conv(substring(md5(t), 1, 6), 16, 10).cast("long"),
+          lit(w.length.toLong)) + 1L).cast("int"))
+    val meanW = aggregate(transform(toks, tokenWeight), lit(0.0),
+      (acc, x) => acc + x) / size(toks)
+    lit(1.0) / (lit(1.0) + exp(lit(-4.0) * meanW))
+  }
+
+  /** [[qualityClassifier]] scored by an exported weights table. */
+  private[graft] def qualityClassifierWith(documents: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val prob = classifierProbWith(classifierWeightsOf(weights))
+    documents
+      .where(size(toks) > 0)
+      .select(col("doc_id"),
+        Text.roundPortable(prob, 4).as("quality_prob"),
+        (prob >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same rows as
     * [[qDecontaminate]] (one oracle, two plans: the
     * dedup_clusters_dist / emb_kmeans_joined precedent), built for
@@ -494,6 +543,43 @@ object TextAnalysis {
   // dial at corpus scale is ~10^5.
   private val LmVocab = 16
 
+  /** The fitted unigram LM: per-token ln p for the top-[[LmVocab]]
+    * vocabulary plus the shared OOV logprob — V+1 doubles of driver
+    * model state. */
+  private[graft] case class UnigramLm(logp: Map[String, Double],
+                                      oovLp: Double)
+
+  /** Fit [[UnigramLm]]: the corpus's one token-count shuffle, cached
+    * for its two bounded reads (top-V rank, total). */
+  private def unigramLmOf(docs: DataFrame): UnigramLm = {
+    val counts = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .cache()
+    val top = counts.orderBy(desc("c"), col("token")).limit(LmVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // coalesce: sum over an EMPTY corpus is SQL NULL — the model
+    // degenerates to an all-OOV floor and the scoring projection
+    // never evaluates it on any row
+    val totalN = counts.agg(coalesce(sum("c"), lit(0L)))
+      .collect()(0).getLong(0)
+    counts.unpersist(blocking = true)
+    val inVocab = top.map(_._2).sum
+    val oovLp =
+      if (totalN > inVocab) math.log((totalN - inVocab).toDouble / totalN)
+      else math.log(1.0 / math.max(totalN, 1L))
+    UnigramLm(top.map { case (t, c) =>
+      t -> math.log(c.toDouble / totalN) }.toMap, oovLp)
+  }
+
+  /** [[unigramLmOf]] memoized per (session, corpus dir) — the
+    * perplexity filter of a curation run scores many slices against
+    * ONE fitted model ([[graft.core.ModelCache]]). */
+  private def unigramLmFor(spark: SparkSession, dir: String): UnigramLm =
+    graft.core.ModelCache.corpusModel(spark, s"unigram_lm:$LmVocab",
+      s"$dir/documents.parquet") {
+      unigramLmOf(Tables.documents(spark, dir))
+    }
+
   /** Model-based quality scoring with a corpus-TRAINED unigram LM —
     * the step up from [[qTextQuality]]'s fixed heuristics and
     * [[qTextQualityClassifier]]'s fixed weights: the model itself is
@@ -519,23 +605,9 @@ object TextAnalysis {
     * an empty doc scores 0.0 with n_tokens = 0 rather than NaN. */
   def qTextUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val counts = docs.select(explode(toks).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("c"))
-      .cache()
-    val top = counts.orderBy(desc("c"), col("token")).limit(LmVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // coalesce: sum over an EMPTY corpus is SQL NULL — the model
-    // degenerates to an all-OOV floor and the per-doc projection
-    // below never evaluates it on any row
-    val totalN = counts.agg(coalesce(sum("c"), lit(0L)))
-      .collect()(0).getLong(0)
-    counts.unpersist()
-    val inVocab = top.map(_._2).sum
-    val oovLp =
-      if (totalN > inVocab) math.log((totalN - inVocab).toDouble / totalN)
-      else math.log(1.0 / math.max(totalN, 1L))
-    val lm = typedLit(top.map { case (t, c) =>
-      t -> math.log(c.toDouble / totalN) }.toMap)
+    val model = unigramLmFor(spark, dir)
+    val oovLp = model.oovLp
+    val lm = typedLit(model.logp)
     val nTok = size(col("toks"))
     docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
@@ -555,22 +627,38 @@ object TextAnalysis {
     * length (interpolated percentile — Spark's `percentile` ≡
     * DuckDB's `quantile_cont`, the q_percentiles precedent), mean
     * quality under the shared [[qualityScoreCol]], and the dominant
-    * language. ONE hash aggregate over the corpus; every figure is a
-    * partial-aggregable function, so the shuffle moves per-source
-    * partials, never rows. */
-  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("source"), col("lang"), size(toks).as("n_toks"),
-        qualityScoreCol.as("q"))
+    * language — the MODE of `lang` per source (doc-count argmax, ties
+    * broken to the greater lang so both engines agree), not a
+    * lexicographic max. ONE hash aggregate over the corpus for the
+    * numeric figures (every one partial-aggregable, so the shuffle
+    * moves per-source partials, never rows) plus one
+    * (source, lang)-grained count — cardinality |sources|·|langs|,
+    * metadata-sized — whose argmax joins back per source. */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // mode of lang per source: max over (count, lang) structs picks
+    // the modal count and breaks ties deterministically to the
+    // greater lang — mirrored by the oracle's ORDER BY c DESC,
+    // lang DESC window
+    val topLang = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_lang"))
+      .groupBy("source")
+      .agg(max(struct(col("n_lang"), col("lang")))
+        .getField("lang").as("top_lang"))
+    docs
+      .select(col("source"), size(toks).as("n_toks"), qualityScoreCol.as("q"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_toks").cast("long").as("total_tokens"),
         Text.roundPortable(expr("percentile(n_toks, 0.5)"), 4)
           .as("p50_tokens"),
-        Text.roundPortable(avg("q"), 4).as("avg_quality"),
-        max("lang").as("top_lang"))
+        Text.roundPortable(avg("q"), 4).as("avg_quality"))
+      .join(broadcast(topLang), "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("p50_tokens"), col("avg_quality"), col("top_lang"))
       .orderBy("source")
+  }
 
   // BM25 dials: the Robertson/Lucene defaults, and a fixture query
   // whose terms all occur in the synthetic vocabulary
@@ -599,7 +687,7 @@ object TextAnalysis {
     * retrieval engine returns matches, not the corpus); ties break to
     * the lower doc_id. */
   def qTextBm25(spark: SparkSession, dir: String): DataFrame =
-    bm25Scored(Tables.documents(spark, dir))
+    bm25ScoredWith(Tables.documents(spark, dir), bm25ModelFor(spark, dir))
       .where(col("score_raw") > 0.0)
       .orderBy(desc("score_raw"), col("doc_id"))
       .limit(Bm25TopK)
@@ -608,28 +696,52 @@ object TextAnalysis {
 
   /** Every document's raw BM25 score against [[Bm25Query]] — the
     * shared core of the bm25 gate and the hybrid fusion. */
-  private def bm25Scored(documents: DataFrame): DataFrame = {
+  private def bm25Scored(documents: DataFrame): DataFrame =
+    bm25ScoredWith(documents, bm25ModelOf(documents))
+
+  /** The driver-held BM25 model: corpus size, average doc length,
+    * per-query-term document frequency. */
+  private[graft] case class Bm25Model(nDocs: Long, avgdl: Double,
+                                      df: Map[String, Long])
+
+  /** Fit [[Bm25Model]] — two tiny corpus reads (1 row + ≤|query|
+    * rows; the k-means collect precedent). */
+  private def bm25ModelOf(documents: DataFrame): Bm25Model = {
     val docs = documents
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    // model read 1: corpus size + average doc length (1 row)
     val statsRow = docs
       .agg(count(lit(1)).as("n"), coalesce(avg("dl"), lit(0.0)).as("avgdl"))
       .head
-    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
-    // model read 2: per-term document frequency (≤ |query| rows)
     val dfMap: Map[String, Long] = docs
       .select(explode(array_distinct(
         filter(col("toks"), t => t.isin(Bm25Query: _*)))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Model(statsRow.getLong(0), statsRow.getDouble(1), dfMap)
+  }
+
+  /** [[bm25ModelOf]] memoized per (session, corpus dir) — a serving
+    * session scoring many queries fits the statistics once
+    * ([[graft.core.ModelCache]]; fingerprint-invalidated). */
+  private def bm25ModelFor(spark: SparkSession, dir: String): Bm25Model =
+    graft.core.ModelCache.corpusModel(spark, "bm25_stats",
+      s"$dir/documents.parquet") { bm25ModelOf(Tables.documents(spark, dir)) }
+
+  /** Score every document against [[Bm25Query]] under a fitted model —
+    * one MAP-ONLY projection (idf as literals, tf from codegen'd
+    * array filters; terms summed in fixed query order). */
+  private def bm25ScoredWith(documents: DataFrame, m: Bm25Model): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
     val norm = lit(Bm25K1) * (lit(1.0 - Bm25B) +
-      lit(Bm25B) * col("dl") / lit(math.max(avgdl, 1e-9)))
+      lit(Bm25B) * col("dl") / lit(math.max(m.avgdl, 1e-9)))
     // fixed-order sum: one term expression per query term, added in
     // query order — both engines fold the same way
     val score = Bm25Query.map { term =>
-      val dfT = dfMap.getOrElse(term, 0L)
-      val idf = math.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5))
+      val dfT = m.df.getOrElse(term, 0L)
+      val idf = math.log(1.0 + (m.nDocs - dfT + 0.5) / (dfT + 0.5))
       val tf = size(filter(col("toks"), t => t === term)).cast("double")
       lit(idf) * tf / (tf + norm)
     }.reduce(_ + _)
@@ -654,7 +766,7 @@ object TextAnalysis {
     * fixed (bm25, dense) order — exact float parity. */
   def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bmTop = bm25Scored(docs)
+    val bmTop = bm25ScoredWith(docs, bm25ModelFor(spark, dir))
       .where(col("score_raw") > 0.0)
       .orderBy(desc("score_raw"), col("doc_id"))
       .limit(HybridDepth)
@@ -722,8 +834,24 @@ object TextAnalysis {
     * (the fixture's whitespace words need none; a production
     * tokenizer appends one — documented divergence). Output is the
     * learned merge table itself. */
-  def qTextBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMerges(Tables.documents(spark, dir), BpeMergeSteps)
+  def qTextBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergeTableFor(spark, dir, BpeMergeSteps)
+      .toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy("step")
+  }
+
+  /** [[bpeMergeTable]] memoized per (session, corpus dir, steps) —
+    * tokenizer training is the priciest model fit here (one corpus
+    * pass + a vocab job per merge step); a session tokenizing many
+    * query batches trains once ([[graft.core.ModelCache]],
+    * fingerprint-invalidated). */
+  private def bpeMergeTableFor(spark: SparkSession, dir: String, steps: Int)
+      : Seq[(Long, String, String, String, Long)] =
+    graft.core.ModelCache.corpusModel(spark, s"bpe_merges:$steps",
+      s"$dir/documents.parquet") {
+      bpeMergeTable(Tables.documents(spark, dir), steps)
+    }
 
   /** [[qTextBpeMerges]] over any (doc_id, text) frame at an explicit
     * step count — the composable/testable core. */
@@ -810,7 +938,7 @@ object TextAnalysis {
     * No shuffle on the apply side at all. */
   def qTextBpeApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merged = bpeMergeTable(docs, BpeMergeSteps)
+    val merged = bpeMergeTableFor(spark, dir, BpeMergeSteps)
     val applyAll: Column => Column = syms =>
       merged.foldLeft(syms) { case (s, (_, a, b, _, _)) => bpeMergePass(s, a, b) }
     docs.select(

@@ -45,12 +45,16 @@ object ShardWriter {
                   seqsPerShard: Long): Manifest = {
     require(seqsPerShard > 0, s"seqsPerShard must be positive: $seqsPerShard")
     val spark = packed.sparkSession
-    packed
+    val withShard = packed
       .withColumn("shard", expr(s"seq_id DIV ${seqsPerShard}L"))
+    withShard
       .repartition(col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
 
-    val stats = statsOf(spark.read.parquet(outDir))
+    // read-back with the writer's own schema: an EMPTY export writes
+    // no part files, and schema inference over nothing throws — an
+    // empty corpus must yield an empty manifest, not a crash
+    val stats = statsOf(spark.read.schema(withShard.schema).parquet(outDir))
     val m = Manifest(stats.map(_.nDocs).sum, stats.map(_.nSeqs).sum,
       stats.map(_.nTokens).sum, stats)
     writeManifestJson(m, outDir)

@@ -265,7 +265,7 @@ object ScaleProbe {
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
     val pseudo = Set("recall", "plant", "searchrecall", "clusterquality",
-      "packlen", "twolevel", "pq", "lsh", "lshplant")
+      "packlen", "twolevel", "pq", "lsh", "lshplant", "containment")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -559,12 +559,22 @@ object ScaleProbe {
         graft.operators.Similarity.lshSearch(emb, 8, flips = 0))
       val (recProbe, secProbe) = recallAndTime(
         graft.operators.Similarity.lshSearch(emb, bits, flips = 2))
+      // the r12 similarity-aware rule the SCALE gate now runs: the
+      // size rule capped by the target-similarity recall model — at
+      // the ≥32× regime where the size rule's 16 bits collapsed to
+      // 14 %, the cap holds the dial at the recall-bearing width
+      val simBits = graft.operators.Similarity.lshSearchBitsFor(n)
+      val (recSim, secSim) = recallAndTime(
+        graft.operators.Similarity.lshSearch(emb, simBits, flips = 2))
       val (recIvf, secIvf) = recallAndTime(
         SparkEntry.queries("sim_ivf_scaled")(spark, dir))
       println(f"[lsh] $label%-6s n=$n%-7d bits=$bits recall@5 " +
         f"exact=$recExact%5.1f%% multiprobe2=$recProbe%5.1f%% " +
+        f"simaware(bits=$simBits)=$recSim%5.1f%% " +
         f"ivfScaled=$recIvf%5.1f%% time exact=$secExact%5.2f s " +
-        f"probe=$secProbe%5.2f s ivf=$secIvf%5.2f s")
+        f"probe=$secProbe%5.2f s simaware=$secSim%5.2f s ivf=$secIvf%5.2f s")
+      graft.operators.Similarity.lshSearchGuard(n)
+        .foreach(g => println(s"[lsh] $label guard: $g"))
       emb.unpersist()
     }
     if (only.forall(_("lsh"))) {
@@ -608,6 +618,32 @@ object ScaleProbe {
     if (only.forall(_("lshplant"))) {
       lshPlantTable(src, "1x")
       lshPlantTable(dst, s"${factor}x")
+    }
+
+    // Containment size-predicate pricing: candidate pairs of the
+    // prefix×posting join WITH vs WITHOUT the lossless ns_b ≥ ⌈t·ns_a⌉
+    // cut (the r11 "What's wrong" item — a short doc's common-shingle
+    // prefix pairing against every holder). The final output is
+    // unchanged (the predicate is provably lossless; the oracle gate
+    // pins that); this table prices the survivor-volume drop the
+    // verify join no longer pays.
+    def containmentTable(dir: String, label: String): Unit = {
+      val docs = Tables.load(spark, dir, "documents")
+      def count(prune: Boolean): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val c = graft.operators.Dedup
+          .containmentCandidates(docs, sizePrune = prune).count()
+        (c, (System.nanoTime() - t0) / 1e9)
+      }
+      val (unpruned, secU) = count(prune = false)
+      val (pruned, secP) = count(prune = true)
+      println(f"[containment] $label%-6s candidates unpruned=$unpruned%9d " +
+        f"($secU%6.2f s) pruned=$pruned%9d ($secP%6.2f s) " +
+        f"cut=${100.0 * (unpruned - pruned) / math.max(unpruned, 1L)}%5.1f%%")
+    }
+    if (only.forall(_("containment"))) {
+      containmentTable(src, "1x")
+      containmentTable(dst, s"${factor}x")
     }
 
     // Adaptive-prefix execution check: at ≥30× the documents corpus

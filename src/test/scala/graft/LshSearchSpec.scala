@@ -54,6 +54,39 @@ class LshSearchSpec extends SparkSpec {
     }
   }
 
+  test("similarity-aware search bits: recall model matches the measured regimes") {
+    // the r11 [lsh] measurements: at the fixture's ~0.5-cosine top-k
+    // with Hamming-2 probing, 8 bits recalled 94 % and 16 bits
+    // collapsed to 14 % — the model must land on the right side of
+    // the 0.9 floor for both
+    val at8 = Similarity.lshSearchRecallEstimate(8, 2, 0.5)
+    val at16 = Similarity.lshSearchRecallEstimate(16, 2, 0.5)
+    info(f"estimated recall: 8 bits $at8%.2f, 16 bits $at16%.2f")
+    assert(at8 >= 0.9, f"8-bit estimate $at8%.2f should clear the floor")
+    assert(at16 < 0.5, f"16-bit estimate $at16%.2f should show the collapse")
+    // monotone in bits (finer bands never gain recall) and in sim
+    assert(at8 > at16)
+    assert(Similarity.lshSearchRecallEstimate(16, 2, 0.95) >
+           Similarity.lshSearchRecallEstimate(16, 2, 0.5))
+  }
+
+  test("similarity-aware search bits: the recall cap overrides the size rule at 40x") {
+    // fixture regime: both rules floor at 8 — the gate plan unchanged
+    assert(Similarity.lshSearchBitsFor(2000L) == 8)
+    // the measured 40x collapse regime: size rule says 16, the
+    // target-similarity cap holds the dial at 8 (recall-bearing)
+    assert(Similarity.lshBitsForN(80000L) == 16)
+    assert(Similarity.lshSearchBitsFor(80000L) == 8)
+    // and the guard names the fuller buckets
+    val g = Similarity.lshSearchGuard(80000L)
+    assert(g.exists(_.contains("caps bands at 8 bits")), g.toString)
+    // tight-similarity callers keep the fine bands the size rule wants
+    assert(Similarity.lshSearchBitsFor(80000L, targetSim = 0.95) == 16)
+    assert(Similarity.lshSearchGuard(80000L, targetSim = 0.95).isEmpty)
+    // clean dials at fixture scale -> no guard
+    assert(Similarity.lshSearchGuard(2000L).isEmpty)
+  }
+
   test("Hamming-2 multi-probe buys the documented recall on the worst-case fixture") {
     val exact = recallOf(Similarity.lshSearch(emb, bits = 8, flips = 0))
     val probed = recallOf(Similarity.lshSearch(emb, bits = 8, flips = 2))

@@ -82,6 +82,11 @@ object SparkEntry {
     "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
     "sim_mutual_knn_clusters" -> (Similarity.qSimMutualKnnClusters _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
+    "text_pii_redact"      -> (TextAnalysis.qTextPiiRedact _),
+    "text_bm25_batch"      -> (TextAnalysis.qTextBm25Batch _),
+    "text_bm25_indexed"    -> (TextAnalysis.qTextBm25Indexed _),
+    "text_normalize"       -> (TextAnalysis.qTextNormalize _),
+    "text_boilerplate"     -> (Dedup.qTextBoilerplate _),
     "text_quality"         -> (TextAnalysis.qTextQuality _),
     "text_gopher_rules"    -> (TextAnalysis.qTextGopherRules _),
     "text_quality_classifier" -> (TextAnalysis.qTextQualityClassifier _),
@@ -91,6 +96,7 @@ object SparkEntry {
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
+    "text_bigram_logprob"  -> (TextAnalysis.qTextBigramLogprob _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
     "text_bm25"            -> (TextAnalysis.qTextBm25 _),
     "q_hybrid_search"      -> (TextAnalysis.qHybridSearch _),
@@ -113,6 +119,7 @@ object SparkEntry {
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
     "pack_sequences"       -> (Packing.qPackSequences _),
+    "pack_curriculum"      -> (Packing.qCurriculumPack _),
     "pack_boundaries"      -> (Packing.qPackBoundaries _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     // SQL-driven twins of the LLM operators (spark.sql entry points
@@ -409,6 +416,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = OracleSqlBase ++ Map(
     // the streaming replays must land on exactly the rows of their
     // batch twins — one oracle each, two execution shapes
+    // the persisted posting-list index scores EXACTLY like the
+    // corpus-scan batch scorer (two plans, one semantics)
+    "text_bm25_indexed" -> OracleSqlBase("text_bm25_batch"),
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
     // micro-batched queries against the standing index concatenate to
@@ -1267,6 +1277,50 @@ object SparkEntry {
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
            floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000 + 0.5) / 10000 AS avg_token_len
          FROM d ORDER BY doc_id""",
+    // PII redaction over deterministically INJECTED addresses (the
+    // fixture has none): the same injection rule, the same Java∩RE2
+    // regex chain, the same email → phone → IP order
+    "text_pii_redact" ->
+      """WITH inj AS (SELECT doc_id, text
+             || CASE WHEN doc_id % 5 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+             AS raw FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+         FROM inj ORDER BY doc_id""",
+    // normalization over injected markup/casing: strip tags, collapse
+    // whitespace, trim, lowercase — the same chain, same order
+    "text_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN upper(m) ELSE m END AS raw
+           FROM (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p>  <br/>' ELSE text END AS m
+             FROM documents))
+         SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(lower(trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm,
+           lower(trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_text
+         FROM inj ORDER BY doc_id""",
+    // boilerplate-frequency segment removal: segments in ≥2 distinct
+    // docs dropped EVERYWHERE (vs dedup_paragraphs' keep-first)
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         t AS (SELECT doc_id, toks, greatest(1, CAST(ceil(len(toks) / 16.0) AS BIGINT)) AS n_segs FROM d),
+         segs AS (SELECT doc_id, n_segs, seg_idx,
+             array_to_string(toks[(seg_idx * 16 + 1):(seg_idx * 16 + 16)], ' ') AS seg
+           FROM (SELECT doc_id, toks, n_segs, CAST(unnest(range(0, n_segs)) AS BIGINT) AS seg_idx FROM t)),
+         df AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+         kept AS (SELECT s.* FROM segs s JOIN df USING (seg) WHERE seg_df < 2)
+         SELECT doc_id, n_segs, count(*) AS n_kept,
+                string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+         FROM kept GROUP BY doc_id, n_segs ORDER BY doc_id""",
     "text_quality" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
@@ -1450,6 +1504,42 @@ object SparkEntry {
     // ORDER (explicit sum, not an aggregate) so float folding is
     // order-identical; zero-score docs excluded, top-10, ties to the
     // lower doc_id
+    // batch BM25 against a query TABLE: data-driven term join, so
+    // per-(q,doc) contributions are HALF-UP rounded to 6 decimals and
+    // summed as DECIMAL(20,6) — exact, order-independent addition in
+    // both engines (the engine sums in scheduler order, the oracle in
+    // scan order; decimals make that difference invisible)
+    "text_bm25_batch" ->
+      """WITH q(q_id, q_text) AS (VALUES
+             (0, 'spark table query'),
+             (1, 'stream window agg'),
+             (2, 'fast vector scan')),
+         qt AS (SELECT q_id, t AS term, CAST(count(*) AS DOUBLE) AS qtf
+           FROM (SELECT q_id, unnest(list_filter(string_split_regex(q_text, '\s+'), x -> x != '')) AS t FROM q)
+           GROUP BY q_id, t),
+         d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         s AS (SELECT count(*) AS n, coalesce(avg(dl), 0.0) AS avgdl FROM dd),
+         post AS (SELECT doc_id, dl, term,
+             CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+           FROM dd CROSS JOIN (SELECT DISTINCT term FROM qt)
+           WHERE list_contains(toks, term)),
+         dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         contrib AS (SELECT qt.q_id, p.doc_id,
+             CAST(floor((ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) * qt.qtf
+               * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / greatest(s.avgdl, 0.000000001))))
+               * 1000000 + 0.5) / 1000000 AS DECIMAL(20,6)) AS c
+           FROM post p JOIN qt ON p.term = qt.term
+           JOIN dfreq f ON p.term = f.term CROSS JOIN s),
+         sc AS (SELECT q_id, doc_id, sum(c) AS score_dec
+           FROM contrib GROUP BY q_id, doc_id),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY score_dec DESC, doc_id) AS rn
+           FROM sc WHERE score_dec > 0)
+         SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rn AS BIGINT) AS "rank",
+                doc_id,
+                floor(CAST(score_dec AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+         FROM r WHERE rn <= 10 ORDER BY q_id, "rank"""",
     "text_bm25" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
@@ -1593,6 +1683,37 @@ object SparkEntry {
            FROM e LEFT JOIN lm ON e.token = lm.token GROUP BY e.doc_id)
          SELECT d.doc_id, coalesce(CAST(s.n_tokens AS BIGINT), 0) AS n_tokens,
            coalesce(s.n_oov, 0) AS n_oov,
+           floor(coalesce(s.alp, 0.0) * 10000 + 0.5) / 10000 AS avg_logprob
+         FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
+    // bigram LM with unigram backoff: bigram conditional over the
+    // FULL w1 count; scored per adjacent pair; mean over n-1 pairs
+    "text_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         cnt AS (SELECT token, count(*) AS c FROM e GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM cnt),
+         topv AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 16),
+         iv AS (SELECT sum(c) AS inv FROM topv),
+         oov AS (SELECT CASE WHEN n > inv THEN ln(CAST(n - inv AS DOUBLE) / n)
+                        ELSE ln(1.0 / n) END AS oov_lp FROM n CROSS JOIN iv),
+         lm AS (SELECT token, ln(CAST(c AS DOUBLE) / n) AS lp FROM topv CROSS JOIN n),
+         prs AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg,
+                 toks[CAST(i AS INT) + 1] AS w2
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d WHERE len(toks) >= 2)),
+         bgcnt AS (SELECT bg, count(*) AS c FROM prs GROUP BY 1),
+         topbg AS (SELECT bg, c FROM bgcnt ORDER BY c DESC, bg LIMIT 32),
+         bglm AS (SELECT bg, ln(CAST(t.c AS DOUBLE) /
+               (SELECT c FROM cnt WHERE token = split_part(t.bg, ' ', 1))) AS lp
+             FROM topbg t),
+         scored AS (SELECT p.doc_id, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN b.lp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             sum(coalesce(b.lp, u.lp, (SELECT oov_lp FROM oov))) / count(*) AS alp
+           FROM prs p LEFT JOIN bglm b ON p.bg = b.bg
+           LEFT JOIN lm u ON p.w2 = u.token
+           GROUP BY p.doc_id)
+         SELECT d.doc_id,
+           coalesce(CAST(s.n_pairs AS BIGINT), 0) AS n_pairs,
+           coalesce(s.n_hits, 0) AS n_bigram_hits,
            floor(coalesce(s.alp, 0.0) * 10000 + 0.5) / 10000 AS avg_logprob
          FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
     // context-window chunking: 32-token windows on a 24-token stride,
@@ -1838,6 +1959,25 @@ object SparkEntry {
     // concat-and-chunk packing at 256 tokens/sequence in doc_id order;
     // the oracle's single global cumsum is the semantic spec the
     // engine's two-phase distributed prefix sum must reproduce
+    // curriculum pack: the same running-offset algebra in
+    // (quality DESC, doc_id) order — the engine's two-phase prefix
+    // sum over the (quality, id-range) composite bucket must equal
+    // this single-window unroll exactly
+    "pack_curriculum" ->
+      """WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         q AS (SELECT doc_id,
+             floor((0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+           FROM d),
+         c AS (SELECT doc_id, quality, n_bpe_tokens,
+           CAST(sum(n_bpe_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                - n_bpe_tokens AS BIGINT) AS start_offset FROM q)
+         SELECT doc_id, quality, n_bpe_tokens, start_offset // 256 AS seq_id,
+                start_offset % 256 AS seq_offset
+         FROM c ORDER BY doc_id""",
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
            CAST(len(regexp_extract_all(text,

@@ -722,24 +722,67 @@ object Dedup {
   def qDedupParagraphs(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphs(Tables.documents(spark, dir))
 
-  private[graft] def dedupParagraphs(documents: DataFrame): DataFrame = {
+  /** Disjoint [[SegTokens]]-token segments of every document — the
+    * shared segmentation of [[dedupParagraphs]] and
+    * [[qTextBoilerplate]]: (doc_id, n_segs, seg_idx, seg). */
+  private def segmentsOf(documents: DataFrame): DataFrame = {
     val toksDf = documents
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("n_segs",
         greatest(lit(1L), ceil(size(col("toks")) / lit(SegTokens.toDouble))
           .cast("long")))
-    val segs = toksDf
+    toksDf
       .select(col("doc_id"), col("n_segs"), col("toks"),
         explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
       .select(col("doc_id"), col("n_segs"), col("seg_idx"),
         concat_ws(" ", slice(col("toks"),
           (col("seg_idx") * SegTokens).cast("int") + 1, lit(SegTokens)))
           .as("seg"))
+  }
+
+  private[graft] def dedupParagraphs(documents: DataFrame): DataFrame = {
+    val segs = segmentsOf(documents)
     val wFirst = Window.partitionBy(md5(col("seg")))
       .orderBy("doc_id", "seg_idx")
     segs
       .withColumn("rn", row_number().over(wFirst))
       .where(col("rn") === 1)
+      .groupBy("doc_id", "n_segs")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s("seg")), " ").as("text_kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** A segment appearing in at least this many DISTINCT documents is
+    * boilerplate. The fixture's duplicate structure makes 2 the value
+    * that exercises the rule; production corpora (nav bars, cookie
+    * banners, license footers) run this at ~3–10. */
+  private val BoilerplateMinDocs = 2
+
+  /** BOILERPLATE segment removal — the frequency rule next to
+    * [[dedupParagraphs]]'s first-occurrence rule (CCNet/RefinedWeb
+    * line removal): a segment whose document frequency reaches
+    * [[BoilerplateMinDocs]] is dropped from EVERY document — no
+    * canonical copy survives, because repeated-across-sources text
+    * (headers, footers, templates) is noise, not content. Documents
+    * are rebuilt from their surviving segments; one whose every
+    * segment is boilerplate disappears.
+    *
+    * Scale shape: the same explode as paragraph dedup, a distinct
+    * (doc, segment-hash) projection into a segment-hash count (one
+    * hash shuffle, partial-aggregated), the df joined back on the
+    * co-partitioned hash, and one doc_id shuffle to reassemble —
+    * two exchanges over segment-sized rows, never text×text. */
+  def qTextBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segmentsOf(Tables.documents(spark, dir))
+      .withColumn("h", md5(col("seg")))
+    val segDf = segs.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("seg_df"))
+    segs.join(segDf, "h")
+      .where(col("seg_df") < BoilerplateMinDocs)
       .groupBy("doc_id", "n_segs")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

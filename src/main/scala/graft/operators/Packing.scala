@@ -174,6 +174,46 @@ object Packing {
     * invariance). md5 is engine-portable (the DuckDB oracle replays
     * it) and seeding a different epoch's order is just salting the
     * hashed string. */
+  /** CURRICULUM packing — concat-and-chunk in QUALITY order (best
+    * first, doc_id ties) instead of doc_id order: the training-order
+    * policy curriculum-learning pipelines feed the loader. A global
+    * sort-order prefix sum over a NON-ID key is the interesting part
+    * at scale: the two-phase trick needs the partition key to be a
+    * PREFIX of the sort key, and (quality, doc_id DIV width) is
+    * exactly that — quality is already HALF-UP rounded to 4 decimals
+    * (≤10⁴+1 distinct values, metadata-sized), and the id-range
+    * sub-bucket caps per-task window state at ~[[bucketWidthFor]](n)
+    * rows even when the whole corpus shares one quality value (the
+    * skew case a bare partitionBy(quality) would die on). Phase 2
+    * windows over the (quality, sub-bucket) subtotals — ~√n rows —
+    * exactly like the doc_id pack. */
+  def qCurriculumPack(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val w = bucketWidthFor(n)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreCol.as("quality"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .withColumn("b2", expr(s"doc_id DIV ${w}L"))
+    val wIntra = Window.partitionBy("quality", "b2").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = docs.withColumn("intra_excl",
+      sum("n_bpe_tokens").over(wIntra) - col("n_bpe_tokens"))
+    val wBucket = Window.orderBy(desc("quality"), col("b2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = docs.groupBy("quality", "b2")
+      .agg(sum("n_bpe_tokens").as("bt"))
+      .withColumn("b_excl", sum("bt").over(wBucket) - col("bt"))
+      .select("quality", "b2", "b_excl")
+    intra.join(broadcast(prefixes), Seq("quality", "b2"))
+      .withColumn("start_offset", col("b_excl") + col("intra_excl"))
+      .withColumn("seq_id", expr(s"start_offset DIV $SeqTokens"))
+      .withColumn("seq_offset",
+        pmod(col("start_offset"), lit(SeqTokens)).cast("long"))
+      .select("doc_id", "quality", "n_bpe_tokens", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+  }
+
   def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
     globalShuffleRanked(Tables.documents(spark, dir), hashPrefixLenFor(n))

@@ -723,9 +723,7 @@ object Similarity {
 
   private def tableProp(spark: SparkSession, name: String,
                         key: String): Option[String] =
-    spark.sql(s"SHOW TBLPROPERTIES $name('$key')")
-      .collect().headOption.map(_.getString(1))
-      .filterNot(_.contains("does not have property"))
+    graft.sources.Readers.tableProp(spark, name, key)
 
   def buildIvfIndex(spark: SparkSession, dir: String, name: String,
                     numCentroids: Int = NumCentroids,

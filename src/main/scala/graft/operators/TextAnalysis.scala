@@ -30,6 +30,73 @@ object TextAnalysis {
           (acc, x) => acc + x).cast("double") / size(toks), 4).as("avg_token_len"))
       .orderBy("doc_id")
 
+  // --- text CLEANING family: PII redaction + normalization --------
+  // Production curation scrubs text before anything else touches it;
+  // both operators are pure per-row projections (regex chains inside
+  // whole-stage codegen, no shuffle, no model state) — the cheapest
+  // possible 100 TB shape. Patterns are written in the Java∩RE2
+  // portable subset so the DuckDB oracle replays them byte-for-byte.
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII REDACTION: emails, dashed phone numbers, and IPv4 addresses
+    * replaced with typed placeholders, with per-kind match counts for
+    * the scrubbing audit. The synthetic fixture carries no PII, so the
+    * gate INJECTS deterministic PII first (id-derived addresses on the
+    * %5/%7/%11 residue classes — the qCorpusDiff synthetic-version
+    * convention) and the oracle injects the same; the redaction chain
+    * itself is the operator. Replacement order (email → phone → IP)
+    * is fixed and non-overlapping by construction of the patterns. */
+  def qTextPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val injected = concat(col("text"),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" contact u"), id.cast("string"), lit("@ex.org")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0, lit(" call 555-123-4567"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0,
+        concat(lit(" from 10.0."), pmod(id, lit(256)).cast("string"),
+          lit("."), pmod(id, lit(100)).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** TEXT NORMALIZATION — the C4-style cleaning projection: strip
+    * markup tags, collapse whitespace runs, trim, lowercase; report
+    * before/after char counts so the cleaning is auditable. The
+    * fixture text is already flat, so the gate INJECTS markup and
+    * casing on the %3/%4 residue classes (mirrored by the oracle) and
+    * normalizes it away; the chain is the operator. */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val marked = when(pmod(id, lit(3)) === 0,
+      concat(lit("<p>"), col("text"), lit("</p>  <br/>")))
+      .otherwise(col("text"))
+    val raw = when(pmod(id, lit(4)) === 0, upper(marked)).otherwise(marked)
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(raw, "<[^>]+>", " "), "\\s+", " ")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(raw).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        norm.as("norm_text"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic quality score: length saturation + lexical diversity +
     * stopword share, HALF_UP to 4 decimals. Exposed as a column so
     * score-driven operators ([[Mixing.qQualitySample]]) share ONE
@@ -621,6 +688,86 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Bigram-LM dials: the conditional vocabulary (top bigrams kept)
+  // next to the unigram [[LmVocab]]; a production dial is ~10⁶
+  private val BigramVocab = 32
+
+  /** The fitted bigram LM: per-bigram conditional ln p(w₂|w₁) for the
+    * top-[[BigramVocab]] bigrams, backed off to the [[UnigramLm]]. */
+  private[graft] case class BigramLm(pairLp: Map[String, Double],
+                                     uni: UnigramLm)
+
+  /** Fit [[BigramLm]]: one bigram-count shuffle (pairs explode →
+    * partial-agg count) + the unigram fit; model reads are the
+    * bounded top-K collects. Conditional probabilities divide by the
+    * FULL unigram count of w₁ (looked up for the ≤K distinct w₁s of
+    * the kept bigrams — a K-row filtered read, not a join). */
+  private def bigramLmOf(docs: DataFrame): BigramLm = {
+    val uni = unigramLmOf(docs)
+    val toksDf = docs.select(toks.as("toks"))
+    val nTok = size(col("toks"))
+    val pairs = toksDf.where(nTok >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), nTok - 1),
+        slice(col("toks"), lit(2), nTok - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .cache()
+    val topBg = pairs.orderBy(desc("c"), col("bg")).limit(BigramVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    pairs.unpersist(blocking = true)
+    val w1s = topBg.map(_._1.split(" ", 2)(0)).distinct
+    val w1c: Map[String, Long] =
+      if (w1s.isEmpty) Map.empty
+      else docs.select(explode(toks).as("t"))
+        .where(col("t").isin(w1s.toSeq: _*))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    BigramLm(topBg.map { case (bg, c) =>
+      bg -> math.log(c.toDouble / w1c(bg.split(" ", 2)(0))) }.toMap, uni)
+  }
+
+  /** [[bigramLmOf]] memoized per (session, corpus dir). */
+  private def bigramLmFor(spark: SparkSession, dir: String): BigramLm =
+    graft.core.ModelCache.corpusModel(spark,
+      s"bigram_lm:$BigramVocab:$LmVocab", s"$dir/documents.parquet") {
+      bigramLmOf(Tables.documents(spark, dir))
+    }
+
+  /** BIGRAM-LM fluency scoring with unigram BACKOFF — the step up
+    * from [[qTextUnigramLogprob]] a perplexity filter actually wants:
+    * word-order sensitivity. Each adjacent pair scores the
+    * conditional ln p(w₂|w₁) when the bigram is in the model, else
+    * backs off to the unigram (or OOV) logprob of w₂; a document's
+    * score is the mean over its n−1 pairs. Scoring is one MAP-ONLY
+    * projection over broadcast literal maps — the unigram gate's
+    * plan, with a zip_with pair construction in front. Docs under 2
+    * tokens score 0.0 with n_pairs = 0. */
+  def qTextBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val model = bigramLmFor(spark, dir)
+    val oovLp = model.uni.oovLp
+    val bgLm = typedLit(model.pairLp)
+    val uniLm = typedLit(model.uni.logp)
+    val nTok = size(col("toks"))
+    val prs = zip_with(
+      slice(col("toks"), lit(1), nTok - 1),
+      slice(col("toks"), lit(2), nTok - 1),
+      (a, b) => struct(concat(a, lit(" "), b).as("bg"), b.as("w2")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        greatest(nTok - 1, lit(0)).cast("long").as("n_pairs"),
+        size(filter(prs, p =>
+          element_at(bgLm, p.getField("bg")).isNotNull))
+          .cast("long").as("n_bigram_hits"),
+        when(nTok < 2, lit(0.0)).otherwise(Text.roundPortable(
+          aggregate(prs, lit(0.0), (acc, p) =>
+            acc + coalesce(element_at(bgLm, p.getField("bg")),
+                           element_at(uniLm, p.getField("w2")),
+                           lit(oovLp))) / (nTok - 1), 4)).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** CORPUS DATASHEET — the per-source summary every curation run
     * prints before and after each stage (the "datasheet for a
     * dataset" practice): document and token counts, exact median doc
@@ -724,7 +871,7 @@ object TextAnalysis {
   /** [[bm25ModelOf]] memoized per (session, corpus dir) — a serving
     * session scoring many queries fits the statistics once
     * ([[graft.core.ModelCache]]; fingerprint-invalidated). */
-  private def bm25ModelFor(spark: SparkSession, dir: String): Bm25Model =
+  private[graft] def bm25ModelFor(spark: SparkSession, dir: String): Bm25Model =
     graft.core.ModelCache.corpusModel(spark, "bm25_stats",
       s"$dir/documents.parquet") { bm25ModelOf(Tables.documents(spark, dir)) }
 
@@ -746,6 +893,183 @@ object TextAnalysis {
       lit(idf) * tf / (tf + norm)
     }.reduce(_ + _)
     docs.select(col("doc_id"), score.as("score_raw"))
+  }
+
+  /** The request batch of the batch-retrieval gate — deterministic
+    * fixture queries over the synthetic vocabulary. */
+  private val Bm25BatchQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark table query",
+    1L -> "stream window agg",
+    2L -> "fast vector scan")
+
+  /** BM25 against a QUERY TABLE — the serving surface [[qTextBm25]]'s
+    * fixed literal query generalizes to: a request BATCH arrives as a
+    * (q_id, q_text) frame and every query gets its top-[[Bm25TopK]]
+    * in one corpus pass. */
+  def qTextBm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25Batch(Tables.documents(spark, dir),
+      Bm25BatchQueries.toDF("q_id", "q_text"),
+      bm25ModelFor(spark, dir))
+  }
+
+  /** The batch scorer. Scale shape, stage by stage: query terms are a
+    * bounded driver read (it is a request batch, not data); per-term
+    * document frequencies come from ONE filtered corpus projection
+    * (`filter` runs BEFORE `explode`, so only matched terms leave the
+    * scan — a no-hit corpus moves zero rows); scoring is the posting
+    * frame joined to the BROADCAST (q_id, term, idf) plan, partially
+    * aggregated per (q_id, doc_id); per-query top-k is one window over
+    * that bounded aggregate. The corpus is touched once; nothing
+    * shuffles but matched (doc, term) rows.
+    *
+    * Float determinism: the single-query gate kept bit-exactness by
+    * summing terms in FIXED query order as one expression — impossible
+    * for a data-driven term join, where aggregation order is scheduler
+    * chosen. Here each term contribution is HALF-UP rounded to 6
+    * decimals and cast to DECIMAL(20,6) before the sum: decimal
+    * addition is exact and order-independent, so both engines produce
+    * identical scores whatever order their partials merge in. */
+  private[graft] def bm25Batch(documents: DataFrame, queries: DataFrame,
+                               m: Bm25Model): DataFrame = {
+    import documents.sparkSession.implicits._
+    // bounded collect: the request batch's terms (qtf = in-query count)
+    val qTerms: Seq[(Long, String, Int)] = queries
+      .select(col("q_id").cast("long"), Text.tokens(col("q_text")).as("ts"))
+      .collect()
+      .flatMap(r => r.getSeq[String](1).groupBy(identity).toSeq
+        .map { case (t, g) => (r.getLong(0), t, g.size) })
+      .sortBy(x => (x._1, x._2)).toSeq
+    val allTerms = qTerms.map(_._2).distinct
+    // per-term document frequency over the FULL batch vocabulary —
+    // one filtered pass (reuses the memoized stats for n/avgdl)
+    val docs = documents
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val dfMap: Map[String, Long] = docs
+      .select(explode(array_distinct(
+        filter(col("toks"), t => t.isin(allTerms: _*)))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qPlan = qTerms.map { case (q, t, qtf) =>
+      val dfT = dfMap.getOrElse(t, 0L)
+      (q, t, qtf.toDouble,
+        math.log(1.0 + (m.nDocs - dfT + 0.5) / (dfT + 0.5)))
+    }.toDF("q_id", "term", "qtf", "idf")
+    val posting = docs
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isin(allTerms: _*))).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val norm = lit(Bm25K1) * (lit(1.0 - Bm25B) +
+      lit(Bm25B) * col("dl") / lit(math.max(m.avgdl, 1e-9)))
+    val contrib = col("idf") * col("qtf") * col("tf") / (col("tf") + norm)
+    val scored = posting.join(broadcast(qPlan), "term")
+      .withColumn("c",
+        Text.roundPortable(contrib, 6).cast("decimal(20,6)"))
+      .groupBy("q_id", "doc_id").agg(sum("c").as("score_dec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("score_dec"), col("doc_id"))
+    scored.where(col("score_dec") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= Bm25TopK)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        Text.roundPortable(col("score_dec").cast("double"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  // --- persisted inverted index (the IVF story for text) ----------
+  // Scoring by corpus scan is wrong at 100 TB exactly like flat ANN
+  // scan was: a SERVED retrieval corpus persists postings ONCE and
+  // answers query batches by reading only the matching term buckets.
+
+  private val TextIndexBuckets = 32
+
+  /** Build the posting-list index: one (term, doc) count shuffle,
+    * persisted BUCKETED BY TERM (equality/IN filters on `term` prune
+    * whole file buckets — SelectedBucketsCount, the IVF cell-pruning
+    * contract), plus a one-row stats table (N, avgdl — the same
+    * definition [[bm25ModelOf]] fits, so indexed and scan scores are
+    * bit-identical). Build-once with the corpus-fingerprint stamp
+    * ([[graft.operators.Similarity]]'s convention): an unchanged
+    * corpus re-enters search directly. */
+  def buildTextIndex(spark: SparkSession, dir: String, name: String): Unit = {
+    val stamp = graft.core.ModelCache.fingerprint(
+      s"$dir/documents.parquet") + "|bm25idx"
+    if (spark.catalog.tableExists(name) &&
+        spark.catalog.tableExists(s"${name}_stats") &&
+        graft.sources.Readers.tableProp(spark, name, "graft.fingerprint")
+          .contains(stamp)) return
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    graft.sources.Readers.saveBucketedTable(postings, name,
+      TextIndexBuckets, "term")
+    graft.sources.Readers.replaceTable(
+      docs.agg(count(lit(1)).as("n"),
+        coalesce(avg("dl"), lit(0.0)).as("avgdl")),
+      s"${name}_stats")
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('graft.fingerprint'='$stamp')")
+  }
+
+  /** Search the posting index for a query batch: the scan is PRUNED
+    * to the buckets holding the batch's terms; per-term document
+    * frequency is a window count over the pruned postings — the
+    * bucketed table already satisfies the window's required
+    * distribution, so df costs NO exchange; idf folds in-plan; then
+    * the [[bm25Batch]] decimal aggregation and per-query top-k. The
+    * corpus is never scanned — per-batch cost is bounded by the
+    * matched posting lists. */
+  private[graft] def searchTextIndex(spark: SparkSession, name: String,
+                                     queries: DataFrame): DataFrame = {
+    val qTerms: Seq[(Long, String, Int)] = queries
+      .select(col("q_id").cast("long"), Text.tokens(col("q_text")).as("ts"))
+      .collect()
+      .flatMap(r => r.getSeq[String](1).groupBy(identity).toSeq
+        .map { case (t, g) => (r.getLong(0), t, g.size) })
+      .sortBy(x => (x._1, x._2)).toSeq
+    val allTerms = qTerms.map(_._2).distinct
+    val statsRow = spark.table(s"${name}_stats").head
+    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    import spark.implicits._
+    val qPlan = qTerms.map { case (q, t, qtf) => (q, t, qtf.toDouble) }
+      .toDF("q_id", "term", "qtf")
+    val posting = spark.table(name)
+      .where(col("term").isin(allTerms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = lit(Bm25K1) * (lit(1.0 - Bm25B) +
+      lit(Bm25B) * col("dl") / lit(math.max(avgdl, 1e-9)))
+    val contrib = idf * col("qtf") * col("tf") / (col("tf") + norm)
+    val scored = posting.join(broadcast(qPlan), "term")
+      .withColumn("c",
+        Text.roundPortable(contrib, 6).cast("decimal(20,6)"))
+      .groupBy("q_id", "doc_id").agg(sum("c").as("score_dec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("score_dec"), col("doc_id"))
+    scored.where(col("score_dec") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= Bm25TopK)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        Text.roundPortable(col("score_dec").cast("double"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The build→search round trip as a gate — SAME oracle as
+    * [[qTextBm25Batch]] (two plans, one semantics: the
+    * dedup_clusters_dist precedent), so the pruned-index path is
+    * hash-checked against the corpus-scan scorer. */
+  def qTextBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buildTextIndex(spark, dir, "bm25_index")
+    searchTextIndex(spark, "bm25_index",
+      Bm25BatchQueries.toDF("q_id", "q_text"))
   }
 
   /** HYBRID RETRIEVAL with reciprocal-rank fusion — the production

@@ -56,6 +56,15 @@ object Readers {
     df.write.mode("overwrite").saveAsTable(name)
   }
 
+  /** One table property, or None when the table does not carry it
+    * (`SHOW TBLPROPERTIES t('k')` answers a missing key with a
+    * "does not have property" message row rather than no rows). */
+  def tableProp(spark: org.apache.spark.sql.SparkSession, name: String,
+                key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $name('$key')")
+      .collect().headOption.map(_.getString(1))
+      .filterNot(_.contains("does not have property"))
+
   /** Bucketed-and-sorted catalog write — the co-location contract
     * behind both the no-shuffle fact joins (BucketingSpec) and the
     * IVF index's prunable cells: rows sharing `bucketCol` land in the

@@ -249,7 +249,20 @@ object ScaleProbe {
         // banded pair generation + exact verify; candidate volume
         // ~bands·(bits+1)·n²/2^bits is the adversarial-case cost the
         // [lshplant] table prices at the bits-rule switch
-        "dedup_embedding_lsh")
+        "dedup_embedding_lsh",
+        // pure regex projections — scan-linear by construction
+        "text_pii_redact", "text_normalize",
+        // segment df count + co-partitioned join-back + reassembly
+        "text_boilerplate",
+        // two curations + pack + REAL shard export (memoized after
+        // rep 1) + fingerprint diff + datasheet
+        "pipeline_release_audit",
+        // filtered posting build + broadcast query plan + decimal agg
+        "text_bm25_batch",
+        // non-id-key two-phase prefix sum ((quality, id-range) bucket)
+        "pack_curriculum",
+        // bigram-count shuffle train (memoized) + map-only pair score
+        "text_bigram_logprob")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -51,4 +51,36 @@ class ContainmentDedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("containment_ab") == 1.0)
     assert(out.head.getAs[Double]("containment_ba") == 1.0)
   }
+
+  test("the size predicate prunes candidates but never a pair that verifies") {
+    // the shape the predicate exists for: a LARGE doc whose PREFIX
+    // includes a shingle also held by much SMALLER docs — candidates
+    // in the (big prefix a, small posting b) direction violate
+    // ns_b ≥ ⌈t·ns_a⌉ and can never verify, so pruning them is free.
+    // Prefixes are rarest-first (df ascending), so the big doc's body
+    // is shared by all 40 fillers (df≈41 — common) while the marker's
+    // df is 6 (big + 5 tinies): big's 3-shingle prefix = its two
+    // unique boundary windows + the marker, putting the marker in
+    // play against the tiny marker-holders.
+    val marker = "aa1 aa2 aa3"
+    val body = (1 to 20).map(j => s"zz_$j").mkString(" ")
+    val big = s"$body $marker"
+    val tinies = (0 until 5).map(k => (200L + k, s"$marker b_$k"))
+    val fillers = (1L to 40L).map(i => (i, s"$body f${i}_a f${i}_b f${i}_c"))
+    val dir = corpusDir(fillers ++ tinies :+ (300L, big))
+    val d = graft.Tables.documents(spark, dir)
+    val pruned = Dedup.containmentCandidates(d, sizePrune = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unpruned = Dedup.containmentCandidates(d, sizePrune = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.subsetOf(unpruned))
+    assert(pruned.size < unpruned.size,
+      s"predicate should bite on this fixture: ${pruned.size} vs ${unpruned.size}")
+    // losslessness: every pair the FULL candidate set verifies is
+    // still found when the search runs over the pruned candidates
+    val verified = Dedup.qDedupContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(pruned),
+      s"pruning lost verified pairs: ${(verified -- pruned).mkString(",")}")
+  }
 }

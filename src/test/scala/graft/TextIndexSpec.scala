@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicInteger
+import graft.operators.TextAnalysis
+
+/** The persisted BM25 posting-index contract (the IVF-index spec for
+  * text): build once, then a query batch reads only the file buckets
+  * holding its terms — never the corpus, never a rebuild. The
+  * text_bm25_indexed oracle gate proves the VALUES equal the
+  * corpus-scan batch scorer; this spec proves the PLAN is the index
+  * plan and the build is build-once.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val IndexName = "bm25_index_spec"
+
+  private lazy val built: Unit =
+    TextAnalysis.buildTextIndex(spark, sf, IndexName)
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+
+  private def search() = {
+    built
+    TextAnalysis.searchTextIndex(spark, IndexName,
+      Seq((0L, "spark table query")).toDF("q_id", "q_text"))
+  }
+
+  test("search prunes the posting scan to the query terms' buckets") {
+    val bucketed = fileScans(search()).filter(_.relation.bucketSpec.isDefined)
+    assert(bucketed.nonEmpty, "no bucketed posting scan in the search plan")
+    val s = bucketed.head
+    val total = s.relation.bucketSpec.get.numBuckets
+    val selected = s.optionalBucketSet
+      .getOrElse(fail(s"no bucket pruning on the posting scan: $s"))
+      .cardinality()
+    assert(selected < total, s"scan reads every file bucket ($selected/$total)")
+  }
+
+  test("the per-term df window rides the bucketing: no exchange below it") {
+    // the posting table is hash-distributed on term, which satisfies
+    // the df window's required distribution — a plan that re-shuffled
+    // the postings for df would pay an exchange per query batch
+    val plan = search().queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val scanIdx = plan.lastIndexOf("FileScan")
+    assert(winIdx >= 0 && scanIdx >= 0)
+    val between = plan.substring(winIdx, scanIdx)
+    assert(!between.contains("Exchange hashpartitioning(term"),
+      "df window re-shuffled the bucketed postings")
+  }
+
+  test("build is build-once: an unchanged corpus re-enters with zero jobs") {
+    built
+    val n = new AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      TextAnalysis.buildTextIndex(spark, sf, IndexName)
+      // settle the async listener bus
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(n.get() == 0, s"re-entry ran ${n.get()} jobs on an unchanged corpus")
+  }
+
+  test("indexed search equals the corpus-scan batch scorer row for row") {
+    built
+    val q = Seq((0L, "spark table query"), (1L, "fast vector scan"))
+      .toDF("q_id", "q_text")
+    val viaIndex = TextAnalysis.searchTextIndex(spark, IndexName, q)
+      .collect().toSeq
+    val viaScan = TextAnalysis.bm25Batch(
+        Tables.documents(spark, sf), q,
+        graft.operators.TextAnalysis.bm25ModelFor(spark, sf))
+      .collect().toSeq
+    assert(viaIndex == viaScan)
+  }
+}

@@ -97,6 +97,7 @@ object SparkEntry {
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
     "text_bigram_logprob"  -> (TextAnalysis.qTextBigramLogprob _),
+    "text_quality_calibrate" -> (TextAnalysis.qQualityCalibrate _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
     "text_bm25"            -> (TextAnalysis.qTextBm25 _),
     "q_hybrid_search"      -> (TextAnalysis.qHybridSearch _),
@@ -1685,6 +1686,19 @@ object SparkEntry {
            coalesce(s.n_oov, 0) AS n_oov,
            floor(coalesce(s.alp, 0.0) * 10000 + 0.5) / 10000 AS avg_logprob
          FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
+    // per-source quality percent-rank: the engine computes it from
+    // the (source, quality) histogram (skew-free), the oracle from
+    // the window definition — identical by the ties-share-min rule
+    "text_quality_calibrate" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         q AS (SELECT doc_id, source,
+             floor((0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS quality
+           FROM d)
+         SELECT doc_id, source, quality,
+           floor(percent_rank() OVER (PARTITION BY source ORDER BY quality) * 10000 + 0.5) / 10000 AS pct_rank
+         FROM q ORDER BY doc_id""",
     // bigram LM with unigram backoff: bigram conditional over the
     // FULL w1 count; scored per adjacent pair; mean over n-1 pairs
     "text_bigram_logprob" ->

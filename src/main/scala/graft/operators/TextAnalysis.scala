@@ -116,6 +116,46 @@ object TextAnalysis {
       .select(col("doc_id"), qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
 
+  /** PER-SOURCE QUALITY CALIBRATION — percent-rank of each document's
+    * quality within its source: heterogeneous sources score on
+    * different scales (a forum and an encyclopedia never share a
+    * threshold), so curation recipes calibrate per source before any
+    * global cut (the FineWeb per-dump-threshold practice).
+    *
+    * Semantics = `percent_rank() OVER (PARTITION BY source ORDER BY
+    * quality)` — but that plan is one window partition per SOURCE,
+    * and source cardinality is tiny while sources are huge: a
+    * handful of corpus-sized partitions, the exact skew the prefix
+    * sums dodge. Because quality is HALF-UP rounded to 4 decimals,
+    * the rank only depends on the (source, quality) HISTOGRAM —
+    * metadata-sized (|sources|·10⁴ rows at most). So: one
+    * partial-agg histogram shuffle, a cumulative count over the
+    * histogram (a window over the tiny frame), and a BROADCAST join
+    * back — per-doc work is map-only, no corpus-sized window ever
+    * materializes. percent_rank ties share the minimum rank:
+    * pct = (docs strictly below) / (n_source − 1), 0.0 for a
+    * single-doc source. */
+  def qQualityCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qualityScoreCol.as("quality"))
+    val hist = docs.groupBy("source", "quality")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
+    val ranks = hist
+      .withColumn("below", sum("c").over(wCum) - col("c"))
+      .withColumn("n_src", sum("c").over(wSrc))
+      .select(col("source"), col("quality"),
+        Text.roundPortable(
+          when(col("n_src") === 1, lit(0.0))
+            .otherwise(col("below").cast("double") / (col("n_src") - 1)),
+          4).as("pct_rank"))
+    docs.join(broadcast(ranks), Seq("source", "quality"))
+      .select(col("doc_id"), col("source"), col("quality"), col("pct_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021, table A1 adapted):
     * per-document boolean flags for the classic pretraining quality
     * rules plus the conjunction `keep`. Flags, not a filtered subset —
@@ -1003,18 +1043,54 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    val postings = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    graft.sources.Readers.saveBucketedTable(postings, name,
+    graft.sources.Readers.saveBucketedTable(postingRowsOf(docs), name,
       TextIndexBuckets, "term")
+    // stats persist as (n, sum_dl), NOT (n, avgdl): doc lengths are
+    // integer-valued doubles, so their sums are EXACT (up to 2^53
+    // tokens — orders beyond a 100 TB corpus) and COMPOSE under
+    // append — n and sum add; an avg would drift in its last ulp and
+    // break append ≡ rebuild bit-parity. avgdl = sum_dl/n at search
+    // equals the model path's avg(dl) exactly for the same reason.
     graft.sources.Readers.replaceTable(
       docs.agg(count(lit(1)).as("n"),
-        coalesce(avg("dl"), lit(0.0)).as("avgdl")),
+        coalesce(sum("dl"), lit(0.0)).as("sum_dl")),
       s"${name}_stats")
     spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
       s"('graft.fingerprint'='$stamp')")
+  }
+
+  /** Posting rows of a (doc_id, toks, dl) frame — shared by build and
+    * append so an appended doc's rows are exactly a rebuild's. */
+  private def postingRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** INCREMENTAL posting-index maintenance — the text twin of
+    * [[graft.operators.Similarity.appendToIvfIndex]]: a batch of new
+    * documents appends its posting rows (one batch-sized pass; the
+    * standing postings are untouched) and the stats row updates
+    * ALGEBRAICALLY (counts and exact integer-double sums add — no
+    * corpus re-read). The build-once stamp is overwritten: an
+    * appended index no longer equals a fresh dir build. */
+  def appendToTextIndex(spark: SparkSession, name: String,
+                        batch: DataFrame): Unit = {
+    val docs = batch
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    postingRowsOf(docs)
+      .write.bucketBy(TextIndexBuckets, "term").sortBy("term")
+      .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(name)
+    val b = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0.0)).as("sum_dl")).head
+    val old = spark.table(s"${name}_stats").head
+    import spark.implicits._
+    graft.sources.Readers.replaceTable(
+      Seq((old.getLong(0) + b.getLong(0),
+        old.getDouble(1) + b.getDouble(1))).toDF("n", "sum_dl"),
+      s"${name}_stats")
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('graft.fingerprint'='appended')")
   }
 
   /** Search the posting index for a query batch: the scan is PRUNED
@@ -1035,7 +1111,9 @@ object TextAnalysis {
       .sortBy(x => (x._1, x._2)).toSeq
     val allTerms = qTerms.map(_._2).distinct
     val statsRow = spark.table(s"${name}_stats").head
-    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    val nDocs = statsRow.getLong(0)
+    val avgdl =
+      if (nDocs == 0) 0.0 else statsRow.getDouble(1) / nDocs
     import spark.implicits._
     val qPlan = qTerms.map { case (q, t, qtf) => (q, t, qtf.toDouble) }
       .toDF("q_id", "term", "qtf")

@@ -71,6 +71,43 @@ class TextIndexSpec extends SparkSpec {
     assert(n.get() == 0, s"re-entry ran ${n.get()} jobs on an unchanged corpus")
   }
 
+  test("incremental append equals a full rebuild, stats included") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val half = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val incName = "bm25_index_inc_spec"
+    val fullName = "bm25_index_full_spec"
+    // build on half, append the other half
+    graft.sources.Readers.dropTableAndDir(spark, incName)
+    graft.sources.Readers.dropTableAndDir(spark, s"${incName}_stats")
+    // (build path is dir-keyed; drive the same plumbing on frames)
+    val prep = (d: org.apache.spark.sql.DataFrame) => d
+    TextAnalysis.buildTextIndex(spark, sf, fullName) // full corpus
+    // incremental: replicate build on `half` via append onto an
+    // empty-but-typed table, then append `rest`
+    spark.sql(s"DROP TABLE IF EXISTS $incName")
+    spark.table(fullName).where(lit(false))
+      .write.bucketBy(32, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(incName)
+    import spark.implicits._
+    graft.sources.Readers.replaceTable(
+      Seq((0L, 0.0)).toDF("n", "sum_dl"), s"${incName}_stats")
+    TextAnalysis.appendToTextIndex(spark, incName, prep(half))
+    TextAnalysis.appendToTextIndex(spark, incName, prep(rest))
+    // stats must be BIT-identical (exact integer-double sums compose)
+    val si = spark.table(s"${incName}_stats").head
+    val sf2 = spark.table(s"${fullName}_stats").head
+    assert(si.getLong(0) == sf2.getLong(0) &&
+           si.getDouble(1) == sf2.getDouble(1),
+      s"stats diverged: $si vs $sf2")
+    // and search results must match row for row
+    val q = Seq((0L, "spark table query")).toDF("q_id", "q_text")
+    val viaInc = TextAnalysis.searchTextIndex(spark, incName, q).collect().toSeq
+    val viaFull = TextAnalysis.searchTextIndex(spark, fullName, q).collect().toSeq
+    assert(viaInc == viaFull)
+  }
+
   test("indexed search equals the corpus-scan batch scorer row for row") {
     built
     val q = Seq((0L, "spark table query"), (1L, "fast vector scan"))

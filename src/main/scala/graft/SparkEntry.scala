@@ -139,6 +139,7 @@ object SparkEntry {
     "stream_dedup_incremental" -> (graft.streaming.StreamReplays.qStreamIncrementalDedup _),
     "stream_chunk_pack"    -> (graft.streaming.StreamReplays.qStreamChunkPack _),
     "stream_ann_search"    -> (graft.streaming.StreamReplays.qStreamAnnSearch _),
+    "stream_bm25_search"   -> (graft.streaming.StreamReplays.qStreamBm25Search _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "mm_embed_ann"         -> (Multimodal.qMultimodalEmbedAnn _),
@@ -426,6 +427,10 @@ object SparkEntry {
     // the one-shot search: sq8 / indexed / streamed — one oracle,
     // three execution shapes
     "stream_ann_search" -> OracleSqlBase("sim_ivf_sq8"),
+    // micro-batched text queries against the standing posting index
+    // concatenate to the one-shot batch search (three plans, one
+    // semantics with text_bm25_batch / text_bm25_indexed)
+    "stream_bm25_search" -> OracleSqlBase("text_bm25_batch"),
     // the SQL-surface twins (SqlSurface.scala) must land on exactly
     // the rows of their DataFrame twins — one oracle each, two entry
     // surfaces

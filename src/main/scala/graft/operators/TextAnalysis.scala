@@ -1095,12 +1095,16 @@ object TextAnalysis {
 
   /** Search the posting index for a query batch: the scan is PRUNED
     * to the buckets holding the batch's terms; per-term document
-    * frequency is a window count over the pruned postings — the
-    * bucketed table already satisfies the window's required
-    * distribution, so df costs NO exchange; idf folds in-plan; then
-    * the [[bm25Batch]] decimal aggregation and per-query top-k. The
-    * corpus is never scanned — per-batch cost is bounded by the
-    * matched posting lists. */
+    * frequency is a partial-aggregated count over the pruned postings
+    * BROADCAST-joined back — never a window, whose unbounded frame
+    * would buffer a hot term's ENTIRE posting list in one task (a
+    * stopword query at 100 TB). The bucketed table satisfies the
+    * groupBy's required distribution, so df adds no exchange of the
+    * postings either — just a second bucket-pruned scan, which is
+    * the standard two-pass BM25 anyway (df must precede scoring);
+    * idf folds in-plan; then the [[bm25Batch]] decimal aggregation
+    * and per-query top-k. The corpus is never scanned — per-batch
+    * cost is bounded by the matched posting lists. */
   private[graft] def searchTextIndex(spark: SparkSession, name: String,
                                      queries: DataFrame): DataFrame = {
     val qTerms: Seq[(Long, String, Int)] = queries
@@ -1117,9 +1121,11 @@ object TextAnalysis {
     import spark.implicits._
     val qPlan = qTerms.map { case (q, t, qtf) => (q, t, qtf.toDouble) }
       .toDF("q_id", "term", "qtf")
-    val posting = spark.table(name)
+    val pruned = spark.table(name)
       .where(col("term").isin(allTerms: _*))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val dfFrame = pruned.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val posting = pruned.join(broadcast(dfFrame), "term")
     val idf = log(lit(1.0) +
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = lit(Bm25K1) * (lit(1.0 - Bm25B) +

@@ -141,6 +141,50 @@ object StreamReplays {
       .orderBy("q_id", "rank")
   }
 
+  /** SERVED-INDEX RETRIEVAL: text queries stream in micro-batches
+    * against the STANDING BM25 posting index (built once before the
+    * stream starts — [[graft.operators.TextAnalysis.buildTextIndex]]'s
+    * build/serve split, the text twin of [[qStreamAnnSearch]]). Each
+    * micro-batch runs the real bucket-pruned search
+    * ([[graft.operators.TextAnalysis.searchTextIndex]]): per-batch
+    * cost is the batch's term collect + a scan of only its terms'
+    * file buckets — the corpus is never rescanned, the index never
+    * rebuilt. Top-k is per-query and a query lives wholly in one
+    * micro-batch, so batch outputs CONCATENATE to the one-shot batch
+    * search — same oracle as text_bm25_batch / text_bm25_indexed
+    * (three plans, one semantics). */
+  def qStreamBm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.operators.TextAnalysis.buildTextIndex(spark, dir,
+      "bm25_stream_index")
+    val queries = Seq(
+      (0L, "spark table query"),
+      (1L, "stream window agg"),
+      (2L, "fast vector scan"))
+    val out = ArrayBuffer[(Long, Long, Long, Double)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("q_id", "q_text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = graft.operators.TextAnalysis.searchTextIndex(
+            spark, "bm25_stream_index", batch)
+          // harness-side collect: draining one micro-batch's OUTPUT rows
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    try {
+      queries.grouped(2).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    out.toSeq.toDF("q_id", "rank", "doc_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
   /** CONTINUOUS training-data assembly: the train-split corpus
     * streams in doc_id order; each micro-batch is chunked
     * ([[graft.operators.TextAnalysis.chunkDocs]], map-only) and

@@ -262,7 +262,12 @@ object ScaleProbe {
         // non-id-key two-phase prefix sum ((quality, id-range) bucket)
         "pack_curriculum",
         // bigram-count shuffle train (memoized) + map-only pair score
-        "text_bigram_logprob")
+        "text_bigram_logprob",
+        // (source, quality)-histogram rank + broadcast join back —
+        // never a corpus-sized window partition
+        "text_quality_calibrate",
+        // build-once posting index + bucket-pruned query batch
+        "text_bm25_indexed")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -42,17 +42,23 @@ class TextIndexSpec extends SparkSpec {
     assert(selected < total, s"scan reads every file bucket ($selected/$total)")
   }
 
-  test("the per-term df window rides the bucketing: no exchange below it") {
-    // the posting table is hash-distributed on term, which satisfies
-    // the df window's required distribution — a plan that re-shuffled
-    // the postings for df would pay an exchange per query batch
+  test("df never shuffles or window-buffers the postings") {
+    // df is a partial-aggregated count broadcast-joined back; the
+    // bucketed table satisfies the groupBy distribution, so the
+    // postings are never re-shuffled — and never window-buffered (an
+    // unbounded-frame window would hold a hot term's whole posting
+    // list in one task: the stopword-query hazard at 100 TB)
     val plan = search().queryExecution.executedPlan.toString
-    val winIdx = plan.indexOf("Window")
-    val scanIdx = plan.lastIndexOf("FileScan")
-    assert(winIdx >= 0 && scanIdx >= 0)
-    val between = plan.substring(winIdx, scanIdx)
-    assert(!between.contains("Exchange hashpartitioning(term"),
-      "df window re-shuffled the bucketed postings")
+    assert(!plan.contains("Exchange hashpartitioning(term"),
+      "df aggregation re-shuffled the bucketed postings")
+    // and no Window buffers posting rows: the only windows in the
+    // search plan rank per-QUERY results (partitionBy q_id)
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window [") &&
+        !l.contains("windowspecdefinition(q_id"))
+      .toSeq
+    assert(windowLines.isEmpty,
+      s"non-per-query window in the search plan: $windowLines")
   }
 
   test("build is build-once: an unchanged corpus re-enters with zero jobs") {

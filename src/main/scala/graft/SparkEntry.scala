@@ -108,6 +108,10 @@ object SparkEntry {
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
     "text_source_overlap"  -> (TextAnalysis.qSourceOverlap _),
+    "text_overlap_kmv"     -> (TextAnalysis.qTextOverlapKmv _),
+    "text_ngram_novelty"   -> (TextAnalysis.qTextNgramNovelty _),
+    "text_vocab_coverage"  -> (TextAnalysis.qTextVocabCoverage _),
+    "text_source_cardinality" -> (TextAnalysis.qTextSourceCardinality _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
@@ -140,6 +144,7 @@ object SparkEntry {
     "stream_chunk_pack"    -> (graft.streaming.StreamReplays.qStreamChunkPack _),
     "stream_ann_search"    -> (graft.streaming.StreamReplays.qStreamAnnSearch _),
     "stream_bm25_search"   -> (graft.streaming.StreamReplays.qStreamBm25Search _),
+    "stream_overlap_kmv"   -> (graft.streaming.StreamReplays.qStreamOverlapKmv _),
     "mm_decode"            -> (Multimodal.qMultimodalDecode _),
     "mm_frames"            -> (Multimodal.qMultimodalFrames _),
     "mm_embed_ann"         -> (Multimodal.qMultimodalEmbedAnn _),
@@ -167,6 +172,7 @@ object SparkEntry {
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
     "emb_project_rp"       -> (Vectors.qEmbProjectRp _),
+    "emb_gram"             -> (Vectors.qEmbGram _),
     "q_value_histogram"    -> (Vectors.qValueHistogram _),
   )
 
@@ -423,6 +429,9 @@ object SparkEntry {
     "text_bm25_indexed" -> OracleSqlBase("text_bm25_batch"),
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
+    // the per-batch k-min merges land on EXACTLY the one-shot sketch
+    // (k-min(union) identity), so the estimates match the batch twin
+    "stream_overlap_kmv" -> OracleSqlBase("text_overlap_kmv"),
     // micro-batched queries against the standing index concatenate to
     // the one-shot search: sq8 / indexed / streamed — one oracle,
     // three execution shapes
@@ -1389,6 +1398,19 @@ object SparkEntry {
       """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    // coverage of the V most frequent types at 5 candidate sizes
+    "text_vocab_coverage" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d) GROUP BY 1),
+         r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM c),
+         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+         v AS (SELECT unnest([16, 64, 256, 1024, 4096]) AS vocab_size)
+         SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+                count(*) AS n_types_used,
+                floor((CAST(sum(r.cnt) AS DOUBLE) / t.total) * 10000 + 0.5) / 10000 AS coverage,
+                floor((1.0 - CAST(sum(r.cnt) AS DOUBLE) / t.total) * 10000 + 0.5) / 10000 AS oov_rate
+         FROM v JOIN r ON r.rk <= v.vocab_size CROSS JOIN t
+         GROUP BY v.vocab_size, t.total ORDER BY vocab_size""",
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          e AS (SELECT doc_id, unnest(toks) AS token FROM d),
@@ -1780,6 +1802,65 @@ object SparkEntry {
          FROM ov JOIN sz za ON za.source = ov.source_a
                  JOIN sz zb ON zb.source = ov.source_b
          ORDER BY source_a, source_b""",
+    // KMV sketch overlap: same md5 hash order in both engines, so the
+    // k-min sketch — and therefore the estimate — is bit-identical
+    "text_overlap_kmv" ->
+      """WITH d AS (SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT DISTINCT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END)) AS sh FROM d),
+         h AS (SELECT source, md5(sh) AS h FROM s),
+         sk AS (SELECT source, h FROM
+                  (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+                WHERE rn <= 32),
+         srcs AS (SELECT DISTINCT source FROM sk),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b
+                   FROM srcs a JOIN srcs b ON a.source < b.source),
+         u AS (SELECT source_a, source_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                 SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+                 FROM pairs p JOIN sk s ON s.source = p.source_a
+                 UNION ALL
+                 SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+                 FROM pairs p JOIN sk s ON s.source = p.source_b)
+               GROUP BY 1, 2, 3),
+         r AS (SELECT source_a, source_b, in_a * in_b AS in_both,
+                      row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+               FROM u)
+         SELECT source_a, source_b,
+                floor((CAST(sum(in_both) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS kmv_jaccard
+         FROM r WHERE rn <= 32 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // (k−1)/h_k cardinality from the same sketch; degrades to the
+    // exact count when the source has fewer than k distinct shingles
+    "text_source_cardinality" ->
+      """WITH d AS (SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT DISTINCT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END)) AS sh FROM d),
+         h AS (SELECT source, md5(sh) AS h FROM s),
+         sk AS (SELECT source, h FROM
+                  (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+                WHERE rn <= 32),
+         g AS (SELECT source, count(*) AS n_sketch, max(h) AS mh FROM sk GROUP BY 1)
+         SELECT source, n_sketch,
+                floor((CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+                       ELSE 31.0 / (CAST(('0x' || substr(mh, 1, 12)) AS BIGINT) / 281474976710656.0) END) * 100 + 0.5) / 100 AS est_distinct
+         FROM g ORDER BY source""",
+    // df=1 fraction per doc; docs under 3 tokens kept via left join
+    "text_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END)) AS sh FROM d),
+         f AS (SELECT sh, count(*) AS df FROM s GROUP BY 1),
+         p AS (SELECT doc_id, count(*) AS n_shingles,
+                      CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+               FROM s JOIN f USING (sh) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(p.n_shingles, 0) AS n_shingles,
+                coalesce(p.n_unique, 0) AS n_unique,
+                floor((CASE WHEN p.n_shingles IS NULL THEN 0.0
+                       ELSE CAST(p.n_unique AS DOUBLE) / p.n_shingles END) * 10000 + 0.5) / 10000 AS novelty
+         FROM d LEFT JOIN p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
     // Gopher-style repetition signals; max_run via run-boundary gaps
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
@@ -2672,6 +2753,14 @@ object SparkEntry {
              v[i] * (CASE WHEN substr(md5('rp|' || dim || '|' || (i - 1)), 1, 1) < '8'
                           THEN 1.0 ELSE -1.0 END))) / 4.0) * 10000 + 0.5) / 10000 AS val
          FROM e CROSS JOIN j ORDER BY vec_id, dim""",
+    // second-moment matrix, upper triangle in long format; the oracle
+    // pays the 64²-per-row cross join the partial-agg plan avoids
+    "emb_gram" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         idx AS (SELECT unnest(range(64)) AS j),
+         jk AS (SELECT a.j AS j, b.j AS k FROM idx a CROSS JOIN idx b WHERE b.j >= a.j)
+         SELECT j, k, floor(sum(v[j + 1] * v[k + 1]) * 10000 + 0.5) / 10000 AS g
+         FROM e CROSS JOIN jk GROUP BY j, k ORDER BY j, k""",
     // SQ8 scalar quantization: code sum is an exact integer checksum
     // of all 64 codes; MSE fold runs in array order in both engines
     "emb_quantize_sq8" ->

@@ -487,6 +487,144 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  private[graft] val KmvK = 32
+
+  /** Pairwise source overlap by K-minimum-values sketch — the
+    * at-scale replacement for [[sourceOverlap]]'s exact shingle
+    * self-join. The exact operator's cost center is the equality
+    * join across the full distinct-shingle universe (a corpus-sized
+    * shuffle whose skew follows shingle df); KMV collapses each
+    * source to its k lexicographically-smallest shingle hashes —
+    * after the one distinct-shingle pass (the same first shuffle the
+    * exact operator already pays), every pairwise comparison touches
+    * k rows per source, independent of corpus size. Jaccard is
+    * estimated on the k smallest of the UNION of two sketches:
+    * ρ = |∩ within that prefix| / |prefix| (Beyer et al.'s KMV
+    * estimator with md5 as the portable uniform hash — deterministic,
+    * so the DuckDB oracle replays the identical sketch).
+    *
+    * Sketches are mergeable (k-min of a union = k-min of sketch
+    * concatenation), so source appends re-sketch only the delta —
+    * the incremental-append posture every index in this repo follows.
+    * At 100 TB the sketch table is sources×k rows; the pairwise stage
+    * is driver-negligible and the plan never joins shingle-to-shingle
+    * across sources. */
+  def qTextOverlapKmv(spark: SparkSession, dir: String): DataFrame =
+    overlapKmv(Tables.documents(spark, dir), KmvK)
+
+  private[graft] def kmvSketch(documents: DataFrame, k: Int): DataFrame = {
+    val hashed = documents
+      .select(col("source"), explode(Text.shingles3(col("text"))).as("sh"))
+      .distinct()
+      .select(col("source"), md5(col("sh")).as("h"))
+    kmvMerge(hashed, k)
+  }
+
+  /** k-min re-rank of (source, h) rows — both the sketch build's
+    * final step and the APPEND path's merge (k-min of a union of
+    * sketches IS the sketch of the union; KmvNoveltySpec and the
+    * stream_overlap_kmv gate both lean on this identity). */
+  private[graft] def kmvMerge(rows: DataFrame, k: Int): DataFrame =
+    rows.distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .drop("rn")
+
+  private[graft] def overlapKmv(documents: DataFrame, k: Int): DataFrame =
+    kmvEstimate(kmvSketch(documents, k), k)
+
+  /** Pairwise Jaccard estimates from a standing sketch table —
+    * sources×k rows in, sources²/2 rows out; corpus-independent. */
+  private[graft] def kmvEstimate(sk: DataFrame, k: Int): DataFrame = {
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // presence-marked union of the two sketches per pair; the k
+    // smallest of that union estimate the Jaccard
+    val ua = pairs.join(sk.as("sa"), col("sa.source") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("sa.h").as("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val ub = pairs.join(sk.as("sb"), col("sb.source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("sb.h").as("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    ua.unionByName(ub)
+      .groupBy("source_a", "source_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source_a", "source_b").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("source_a", "source_b")
+      .agg(Text.roundPortable(
+        sum(col("in_a") * col("in_b")).cast("double") / count(lit(1)), 4)
+        .as("kmv_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // 16^12 — the 48-bit hash-prefix space mapping md5 hex to a
+  // uniform fraction in [0,1): conv(substr(h,1,12),16,10) / 2^48
+  private val HashFracSpace = 281474976710656.0
+
+  /** Per-source distinct-shingle cardinality estimate from the SAME
+    * KMV sketch [[overlapKmv]] builds — the k-minimum-values
+    * estimator (k−1)/h_k with h_k the k-th smallest hash mapped into
+    * [0,1). A source with fewer than k distinct shingles carries its
+    * sketch EXACTLY, so the estimate degrades to the true count.
+    * Together with the pairwise overlap this makes the sketch table
+    * a complete per-source vocabulary profile: cardinality, and
+    * every pairwise intersection, from sources×k rows — at 100 TB
+    * the profile refreshes from sketch merges alone, with no
+    * COUNT(DISTINCT) shuffle over the shingle universe.
+    * (KmvNoveltySpec prices the estimator against exact counts.) */
+  def qTextSourceCardinality(spark: SparkSession, dir: String): DataFrame =
+    kmvCardinality(kmvSketch(Tables.documents(spark, dir), KmvK), KmvK)
+
+  private[graft] def kmvCardinality(sk: DataFrame, k: Int): DataFrame =
+    sk.groupBy("source")
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("mh"))
+      .select(col("source"), col("n_sketch"),
+        Text.roundPortable(
+          when(col("n_sketch") < k, col("n_sketch").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (conv(substring(col("mh"), 1, 12), 16, 10).cast("double") /
+                lit(HashFracSpace))), 2)
+          .as("est_distinct"))
+      .orderBy("source")
+
+  /** Per-document n-gram novelty — the memorization-risk face of the
+    * df statistic: what fraction of a doc's distinct 3-gram shingles
+    * appear NOWHERE else in the corpus (df = 1). Boilerplate-heavy or
+    * templated docs score near 0; unique prose scores near 1 — the
+    * complement of what the dedup family removes, used to weight
+    * sampling toward novel text. Plan: one distinct-shingle explode,
+    * one df aggregation keyed on the shingle (the exact shuffle
+    * text_tfidf already pays — same skew posture: df follows shingle
+    * popularity, AQE splits the hot keys), one join back, one per-doc
+    * rollup. Docs with < 3 tokens have no shingles and surface with
+    * novelty 0 via the left join, not silently dropped. */
+  def qTextNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir))
+
+  private[graft] def ngramNovelty(docs: DataFrame): DataFrame = {
+    val e = docs
+      .select(col("doc_id"), explode(Text.shingles3(col("text"))).as("sh"))
+    val df = e.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = e.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        Text.roundPortable(
+          when(col("n_shingles").isNull, lit(0.0))
+            .otherwise(col("n_unique").cast("double") / col("n_shingles")), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** The production ingestion shape: flag incoming (already
     * shingled) training docs against a STANDING eval-shingle store —
     * computed once, cached, reused by every batch or micro-batch
@@ -600,6 +738,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("token"))
       .limit(20)
+
+  private val VocabSizes = Seq(16L, 64L, 256L, 1024L, 4096L)
+
+  /** Vocabulary coverage curve — the tokenizer-design question
+    * ("how big a vocab before OOV is negligible?") as one query: for
+    * each candidate vocab size V, the fraction of ALL corpus token
+    * OCCURRENCES covered by the V most frequent types (ties broken
+    * by token text, so the curve is deterministic). BPE sizing
+    * (text_bpe_merges) and UNK-rate budgeting read straight off it.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-agg token
+    * count (the word-count shuffle every frequency op here pays);
+    * everything after runs on the TYPE table, which is agg-output-
+    * sized (vocab grows sub-linearly in corpus size), so the global
+    * rank window over it is the GroupedTopK-subtotal situation —
+    * metadata-scale rows in one partition by design, never corpus
+    * rows. Coverage joins the ranked types against the 5 literal
+    * sizes and reduces; the corpus is touched exactly once. */
+  def qTextVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(desc("cnt"), col("token"))))
+    val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_types"))
+    VocabSizes.toDF("vocab_size")
+      .join(ranked, col("rk") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_types_used"), sum("cnt").as("covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("n_types_used"),
+        Text.roundPortable(col("covered").cast("double") / col("total"), 4)
+          .as("coverage"),
+        Text.roundPortable(lit(1.0) - col("covered").cast("double") / col("total"), 4)
+          .as("oov_rate"))
+      .orderBy("vocab_size")
+  }
 
   // Context-window chunking: 32-token chunks on a 24-token stride
   // (8-token overlap). Fixture docs run 10-99 tokens, so the rule's

@@ -42,6 +42,61 @@ object StreamReplays {
     out.toSeq
   }
 
+  /** [[replay]] for (doc_id, text, source) feeds. */
+  private def replay3[T](spark: SparkSession, docs: Seq[(Long, String, String)],
+                         nChunks: Int)(
+      perBatch: DataFrame => Seq[T]): Seq[T] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = ArrayBuffer[T]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "source")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out.synchronized { out ++= perBatch(batch) }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(math.max(1, (docs.size + nChunks - 1) / nChunks))
+        .foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    out.toSeq
+  }
+
+  /** CONTINUOUS corpus-overlap monitoring: docs stream in
+    * micro-batches; the standing state is the per-source KMV sketch
+    * (sources×k rows — MODEL-sized, like the BM25 stats or the
+    * k-means centroids, so holding and re-merging it per batch is a
+    * driver-state update, not a corpus operation). Each batch is
+    * sketched alone and k-min-merged into the standing sketch —
+    * k-min(union) = k-min(sketch ∪ sketch) makes the final state
+    * EXACTLY the one-shot sketch for any batch split
+    * (KmvNoveltySpec proves the identity; this gate pins the rows
+    * against the same DuckDB oracle as text_overlap_kmv). Per-batch
+    * cost: shingle+sketch the batch (batch-sized) + a sources×2k
+    * merge — corpus size never re-enters. */
+  def qStreamOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = graft.operators.TextAnalysis.KmvK
+    val docs = graft.Tables.documents(spark, dir)
+    val feed = docs.select("doc_id", "text", "source").orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String, String)].collect().toSeq
+    var standing: Seq[(String, String)] = Vector.empty
+    replay3(spark, feed, nChunks = 3) { batch =>
+      val merged = graft.operators.TextAnalysis.kmvMerge(
+        graft.operators.TextAnalysis.kmvSketch(batch, k)
+          .unionByName(standing.toDF("source", "h")), k)
+      // harness-side collect: the standing sketch IS driver model
+      // state (sources×k rows), re-materialized for the next batch
+      standing = merged.collect()
+        .map(r => (r.getString(0), r.getString(1))).toVector
+      Seq.empty[Unit]
+    }
+    graft.operators.TextAnalysis.kmvEstimate(standing.toDF("source", "h"), k)
+  }
+
   /** Streaming twin of the text_decontaminate gate (same oracle):
     * training docs stream in three micro-batches against the standing
     * eval-shingle store. */

@@ -146,6 +146,22 @@ object ScaleProbe {
         // per-source DISTINCT vocab then self-join: fan-out bounded
         // by the fixed source count; one shuffle on (source, shingle)
         "text_source_overlap",
+        // KMV sketch twin: the distinct-shingle pass grows with the
+        // corpus, everything after is sources×k rows — the gap to
+        // text_source_overlap above IS the sketch's value
+        "text_overlap_kmv",
+        // (k−1)/h_k cardinality off the same sketch — no
+        // COUNT(DISTINCT) shuffle over the shingle universe
+        "text_source_cardinality",
+        // df shuffle + join-back, the text_tfidf growth class
+        "text_ngram_novelty",
+        // one word-count shuffle; the rank window sees only the TYPE
+        // table, which grows sub-corpus (replica-suffixed vocab)
+        "text_vocab_coverage",
+        // single partial-agg fold to a d² buffer: one corpus scan,
+        // shuffle volume fixed at 32 KiB/partition — must be ~linear
+        // with a near-zero shuffle share
+        "emb_gram",
         // hashed classifier inference: shuffle-free per-doc projection
         "text_quality_classifier",
         // the model-shaped corpus build (classifier gate + bloom

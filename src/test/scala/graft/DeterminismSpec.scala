@@ -29,7 +29,8 @@ class DeterminismSpec extends SparkSpec {
     "pack_sequences_precounted", // column-fed two-phase prefix sum
     "q_mix_epochs",        // quota-driven hash-threshold copies
     "sim_knn_graph_scaled", // √n-cell candidates + per-vector heap top-k
-    "pipeline_epoch_pack") // resample + hash order + two-phase prefix sum
+    "pipeline_epoch_pack", // resample + hash order + two-phase prefix sum
+    "text_overlap_kmv")    // md5-ranked k-min sketch + pair rank
 
   test("hash-ranked / iterative / quota gates are identical across shuffle parallelism") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

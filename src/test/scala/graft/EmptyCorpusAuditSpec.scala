@@ -36,7 +36,7 @@ class EmptyCorpusAuditSpec extends SparkSpec {
   // the audit to the batch query surface.
   private val skip = Set(
     "stream_sessions", "stream_dedup_incremental", "stream_decontaminate",
-    "stream_chunk_pack", "stream_ann_search")
+    "stream_chunk_pack", "stream_ann_search", "stream_overlap_kmv")
 
   SparkEntry.queries.keys.toSeq.sorted
     .filterNot(skip)

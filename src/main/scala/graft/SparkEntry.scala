@@ -112,6 +112,7 @@ object SparkEntry {
     "text_ngram_novelty"   -> (TextAnalysis.qTextNgramNovelty _),
     "text_vocab_coverage"  -> (TextAnalysis.qTextVocabCoverage _),
     "text_source_cardinality" -> (TextAnalysis.qTextSourceCardinality _),
+    "eval_token_f1"        -> (EvalScoring.qEvalTokenF1 _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
@@ -1845,6 +1846,32 @@ object SparkEntry {
                 floor((CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
                        ELSE 31.0 / (CAST(('0x' || substr(mh, 1, 12)) AS BIGINT) / 281474976710656.0) END) * 100 + 0.5) / 100 AS est_distinct
          FROM g ORDER BY source""",
+    // SQuAD-style scoring: normalized exact match + multiset token F1
+    // over deterministic (pred, ref) pairs (every 5th doc vs itself,
+    // the rest vs their id-successor)
+    "eval_token_f1" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         p AS (SELECT a.doc_id AS pair_id, a.text AS pred, b.text AS ref
+               FROM d a JOIN d b ON b.doc_id = CASE WHEN a.doc_id % 5 = 0 THEN a.doc_id ELSE a.doc_id + 1 END),
+         n AS (SELECT pair_id,
+                 lower(regexp_replace(trim(pred), '\s+', ' ', 'g')) AS pn,
+                 lower(regexp_replace(trim(ref), '\s+', ' ', 'g')) AS rn
+               FROM p),
+         t AS (SELECT pair_id, pn, rn,
+                 list_filter(string_split_regex(pn, '\s+'), x -> x != '') AS pt,
+                 list_filter(string_split_regex(rn, '\s+'), x -> x != '') AS rt
+               FROM n),
+         o AS (SELECT pair_id, pn, rn, len(pt) AS np, len(rt) AS nr,
+                 coalesce(CAST(list_sum(list_transform(list_distinct(pt), tk ->
+                   least(len(list_filter(pt, x -> x = tk)),
+                         len(list_filter(rt, x -> x = tk))))) AS BIGINT), 0) AS ov
+               FROM t)
+         SELECT pair_id,
+                CAST(CASE WHEN pn = rn THEN 1 ELSE 0 END AS BIGINT) AS exact_match,
+                ov AS n_overlap,
+                floor((CASE WHEN np + nr = 0 THEN 0.0
+                       ELSE 2.0 * ov / (np + nr) END) * 10000 + 0.5) / 10000 AS token_f1
+         FROM o ORDER BY pair_id""",
     // df=1 fraction per doc; docs under 3 tokens kept via left join
     "text_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),

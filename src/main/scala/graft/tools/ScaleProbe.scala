@@ -153,6 +153,9 @@ object ScaleProbe {
         // (k−1)/h_k cardinality off the same sketch — no
         // COUNT(DISTINCT) shuffle over the shingle universe
         "text_source_cardinality",
+        // per-pair scalar projection (normalize + tokenize + multiset
+        // fold inside the row) — must be scan-linear like q_hash_split
+        "eval_token_f1",
         // df shuffle + join-back, the text_tfidf growth class
         "text_ngram_novelty",
         // one word-count shuffle; the rank window sees only the TYPE
@@ -299,7 +302,7 @@ object ScaleProbe {
     // and planted-tight-pair tables below (always on in a full sweep;
     // re-probing one operator shouldn't pay the ~1-min recall sweeps)
     val pseudo = Set("recall", "plant", "searchrecall", "clusterquality",
-      "packlen", "twolevel", "pq", "lsh", "lshplant", "containment")
+      "packlen", "twolevel", "pq", "lsh", "lshplant", "containment", "kmv")
     val probes = only match {
       case Some(names) =>
         val unknown = names -- allProbes.map(_._1).toSet -- pseudo
@@ -678,6 +681,44 @@ object ScaleProbe {
     if (only.forall(_("containment"))) {
       containmentTable(src, "1x")
       containmentTable(dst, s"${factor}x")
+    }
+
+    // KMV estimator quality at scale: sketch-estimated pairwise
+    // source Jaccard vs the exact self-join it replaces — the error
+    // should stay in the ~1/√k band while the exact side's cost grows
+    // with the shingle universe and the sketch side's pairwise stage
+    // stays sources×k.
+    def kmvTable(dir: String, label: String): Unit = {
+      val docs = Tables.load(spark, dir, "documents")
+      val t0 = System.nanoTime()
+      val est = graft.operators.TextAnalysis.overlapKmv(docs, 32)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+      val secE = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val vocab = docs.select(col("source"),
+          explode(graft.functions.Text.shingles3(col("text"))).as("sh"))
+        .distinct()
+      val sizes = vocab.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val shared = vocab.as("a").join(vocab.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb")).count()
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val secX = (System.nanoTime() - t1) / 1e9
+      val errs = est.map { case (k, e) =>
+        val inter = shared.getOrElse(k, 0L).toDouble
+        val exact = inter / (sizes(k._1) + sizes(k._2) - inter)
+        math.abs(e - exact)
+      }
+      println(f"[kmv] $label%-6s pairs=${est.size}%4d " +
+        f"mae=${errs.sum / errs.size}%.4f maxerr=${errs.max}%.4f " +
+        f"time sketch=$secE%6.2f s exact=$secX%6.2f s")
+    }
+    if (only.forall(_("kmv"))) {
+      kmvTable(src, "1x")
+      kmvTable(dst, s"${factor}x")
     }
 
     // Adaptive-prefix execution check: at ≥30× the documents corpus

@@ -134,6 +134,7 @@ object SparkEntry {
     "dedup_exact_sql"      -> (SqlSurface.qDedupExactSql _),
     "q_temperature_mix_sql" -> (SqlSurface.qTemperatureMixSql _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
+    "q_shuffle_audit"      -> (Packing.qShuffleAudit _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
     "stream_running_totals" -> (StreamingAnalogs.qStreamRunningTotals _),
     "stream_province_top3" -> (StreamingAnalogs.qStreamProvinceTop3 _),
@@ -2148,6 +2149,24 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS position
          FROM documents ORDER BY doc_id""",
+    // adjacent same-source rate over the hash order vs the exact
+    // without-replacement expectation; ratio ≈ 1 = no source clumping
+    "q_shuffle_audit" ->
+      """WITH p AS (SELECT doc_id, source,
+                    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+                    FROM documents),
+         adj AS (SELECT a.source AS sa, b.source AS sb
+                 FROM p a JOIN p b ON b.pos = a.pos + 1),
+         o AS (SELECT count(*) AS n_adj,
+                      CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS same_adj
+               FROM adj),
+         c AS (SELECT CAST(sum(ns * (ns - 1)) AS DOUBLE) AS num, CAST(sum(ns) AS BIGINT) AS nn
+               FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+         SELECT c.nn AS n_docs, o.n_adj, o.same_adj,
+                floor((CAST(o.same_adj AS DOUBLE) / o.n_adj) * 1000000 + 0.5) / 1000000 AS observed_rate,
+                floor((c.num / (c.nn * (c.nn - 1))) * 1000000 + 0.5) / 1000000 AS expected_rate,
+                floor(((CAST(o.same_adj AS DOUBLE) / o.n_adj) / (c.num / (c.nn * (c.nn - 1)))) * 10000 + 0.5) / 10000 AS clump_ratio
+         FROM o CROSS JOIN c""",
     "stream_blacklist" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS date, user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id, count(*) AS n

@@ -240,4 +240,38 @@ object Packing {
         (col("offset") + col("intra_rank") - 1).as("position"))
       .orderBy("doc_id")
   }
+
+  /** Shuffle-quality audit of the deterministic training order: the
+    * adjacent same-source rate over [[qGlobalShuffle]]'s positions vs
+    * the rate a uniform random order would give (Σ nₛ(nₛ−1)/n(n−1) —
+    * the exact without-replacement adjacency probability). A ratio
+    * near 1.0 certifies the hash order doesn't clump sources — the
+    * badly-shuffled-corpus failure mode where a training run sees an
+    * hour of one crawl dump at a time. Adjacency is computed by a
+    * position self-join (pos ↔ pos+1) — one co-partitioned shuffle —
+    * NEVER a corpus-wide single-partition window; the expected-rate
+    * side is a source histogram, metadata-sized. */
+  def qShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val pos = globalShuffleRanked(docs, hashPrefixLenFor(n))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val a = pos.select(col("position").as("p"), col("source").as("s_a"))
+    val b = pos.select((col("position") - 1).as("p"), col("source").as("s_b"))
+    val obs = a.join(b, "p")
+      .agg(count(lit(1)).as("n_adj"),
+        sum(when(col("s_a") === col("s_b"), 1L).otherwise(0L)).as("same_adj"))
+    val exp = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum(col("ns") * (col("ns") - 1)).cast("double").as("num"),
+        sum("ns").as("nn"))
+    obs.crossJoin(exp).select(
+      col("nn").as("n_docs"), col("n_adj"), col("same_adj"),
+      graft.functions.Text.roundPortable(
+        col("same_adj").cast("double") / col("n_adj"), 6).as("observed_rate"),
+      graft.functions.Text.roundPortable(
+        col("num") / (col("nn") * (col("nn") - lit(1L))), 6).as("expected_rate"),
+      graft.functions.Text.roundPortable(
+        (col("same_adj").cast("double") / col("n_adj")) /
+          (col("num") / (col("nn") * (col("nn") - lit(1L)))), 4).as("clump_ratio"))
+  }
 }

@@ -218,6 +218,10 @@ object ScaleProbe {
         // pure per-row projection — the zero-shuffle baseline: any
         // super-linear growth here is environment, not plan
         "q_hash_split",
+        // hash order + position self-join (pos ↔ pos+1) + histogram
+        // expectation — must track q_global_shuffle, never a global
+        // single-partition window
+        "q_shuffle_audit",
         // one token-count shuffle to train + map-only scoring
         "text_unigram_logprob",
         // map-only window explode: rows grow ~n_tokens/stride

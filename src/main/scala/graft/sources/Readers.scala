@@ -42,6 +42,37 @@ object Readers {
     }.load()
   }
 
+  /** JSON-lines ingest with corrupt-record quarantine — the
+    * production posture for crawl/vendor feeds where a malformed
+    * line is routine and must neither kill the job (FAILFAST) nor
+    * vanish silently (DROPMALFORMED). PERMISSIVE parsing captures
+    * each unparseable line verbatim in a corrupt-record column;
+    * callers get (good rows in the declared schema, quarantined raw
+    * lines) and ship the quarantine to an audit sink. Both sides are
+    * partitions of one scan — no second read of the input.
+    *
+    * Spark requires the corrupt column to be selectable only when it
+    * is declared in the schema, and filtering on it alone requires a
+    * cached/materialized parse (the parser short-circuits otherwise)
+    * — both handled here so callers can't hit the
+    * `queries on raw JSON when referenced columns only include the
+    * internal corrupt record column` analysis error. */
+  def jsonWithQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "_graft_corrupt"
+    val full = spark.read
+      .schema(schema.add(corruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache() // one parse serves both partitions of the split
+    val good = full.where(org.apache.spark.sql.functions.col(corruptCol).isNull)
+      .drop(corruptCol)
+    val bad = full.where(org.apache.spark.sql.functions.col(corruptCol).isNotNull)
+      .select(org.apache.spark.sql.functions.col(corruptCol).as("raw_line"))
+    (good, bad)
+  }
+
   /** Catalog table write+read (reference: saveAsTable("top3_sales"),
     * RowNumberWindowFunction.java:54-56). */
   def saveTable(df: DataFrame, name: String): Unit =

@@ -93,6 +93,7 @@ object SparkEntry {
     "text_langid"          -> (TextAnalysis.qTextLangid _),
     "text_fingerprint"     -> (TextAnalysis.qTextFingerprint _),
     "text_top_tokens"      -> (TextAnalysis.qTopTokens _),
+    "text_heavy_hitters"   -> (TextAnalysis.qHeavyHitters _),
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "eval_token_f1"        -> (EvalScoring.qEvalTokenF1 _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
+    "emb_outliers"         -> (Clustering.qEmbOutliers _),
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
     "dedup_semantic_scaled" -> (Clustering.qSemanticDedupScaled _),
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "q_hash_split"         -> (Mixing.qHashSplit _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
+    "q_corpus_drift"       -> (Pipeline.qCorpusDrift _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_curriculum"      -> (Packing.qCurriculumPack _),
     "pack_boundaries"      -> (Packing.qPackBoundaries _),
@@ -143,6 +146,7 @@ object SparkEntry {
     "stream_sessions"      -> (graft.streaming.StatefulSessions.qStreamSessions _),
     "stream_decontaminate" -> (graft.streaming.StreamReplays.qStreamDecontaminate _),
     "stream_dedup_incremental" -> (graft.streaming.StreamReplays.qStreamIncrementalDedup _),
+    "stream_dedup_watermark" -> (graft.streaming.StreamReplays.qStreamDedupWatermark _),
     "stream_chunk_pack"    -> (graft.streaming.StreamReplays.qStreamChunkPack _),
     "stream_ann_search"    -> (graft.streaming.StreamReplays.qStreamAnnSearch _),
     "stream_bm25_search"   -> (graft.streaming.StreamReplays.qStreamBm25Search _),
@@ -431,6 +435,11 @@ object SparkEntry {
     "text_bm25_indexed" -> OracleSqlBase("text_bm25_batch"),
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
+    // a twice-replayed feed through dropDuplicatesWithinWatermark
+    // must leave exactly the distinct key pairs
+    "stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // the per-batch k-min merges land on EXACTLY the one-shot sketch
     // (k-min(union) identity), so the estimates match the batch twin
     "stream_overlap_kmv" -> OracleSqlBase("text_overlap_kmv"),
@@ -1400,6 +1409,14 @@ object SparkEntry {
       """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents)
          SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM d)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    // every token with cnt·200 ≥ N — the MG candidates are layout-
+    // dependent but the exact-verified output is this closed form
+    "text_heavy_hitters" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         t AS (SELECT unnest(toks) AS token FROM d),
+         n AS (SELECT count(*) AS total FROM t)
+         SELECT token, count(*) AS cnt FROM t, n GROUP BY token, total
+         HAVING count(*) * 200 >= total ORDER BY cnt DESC, token""",
     // coverage of the V most frequent types at 5 candidate sizes
     "text_vocab_coverage" ->
       """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
@@ -1486,6 +1503,30 @@ object SparkEntry {
     // corpus version diff: full-outer join of (id, md5) projections
     // of the synthetic previous version vs current; unchanged rows
     // excluded — the release-audit delta
+    // PSI over fixed 100-char length buckets between the same two
+    // synthetic versions q_corpus_diff compares; Laplace-smoothed
+    // shares so empty buckets stay finite
+    "q_corpus_drift" ->
+      """WITH cur AS (SELECT text FROM documents),
+         v1 AS (SELECT CASE WHEN doc_id % 10 = 3 THEN text || ' v1' ELSE text END AS text
+                FROM documents WHERE doc_id % 10 != 7
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 10 = 4),
+         b1 AS (SELECT least(CAST(floor(length(text) / 100.0) AS BIGINT), 9) AS bucket,
+                       count(*) AS c1 FROM v1 GROUP BY 1),
+         b2 AS (SELECT least(CAST(floor(length(text) / 100.0) AS BIGINT), 9) AS bucket,
+                       count(*) AS c2 FROM cur GROUP BY 1),
+         g AS (SELECT unnest(range(0, 10)) AS bucket),
+         j AS (SELECT g.bucket, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+               FROM g LEFT JOIN b1 USING (bucket) LEFT JOIN b2 USING (bucket)),
+         p AS (SELECT bucket, c1, c2,
+                      (c1 + 1) / (sum(c1) OVER () + 10) AS p1,
+                      (c2 + 1) / (sum(c2) OVER () + 10) AS p2 FROM j)
+         SELECT bucket, c1, c2,
+                floor(p1 * 1000000 + 0.5) / 1000000 AS p1,
+                floor(p2 * 1000000 + 0.5) / 1000000 AS p2,
+                floor((p2 - p1) * ln(p2 / p1) * 1000000 + 0.5) / 1000000 AS psi_term
+         FROM p ORDER BY bucket""",
     "q_corpus_diff" ->
       """WITH cur AS (SELECT doc_id, text FROM documents),
          v1 AS (SELECT doc_id,
@@ -1914,6 +1955,20 @@ object SparkEntry {
     // precedent — two plans, one semantics
     "emb_kmeans" -> KmeansOracleSql,
     "emb_kmeans_joined" -> KmeansOracleSql,
+    // outlier flag = top ⌈10%⌉ of own cluster by rounded dist DESC
+    // (rank-based: no FP threshold recomputed engine-side)
+    "emb_outliers" -> (kmeansCtes("8") +
+      """,
+         asg AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+                        floor(d * 10000 + 0.5) / 10000 AS dist
+                 FROM rf WHERE rn = 1),
+         rk AS (SELECT vec_id, cluster, dist,
+                       row_number() OVER (PARTITION BY cluster
+                         ORDER BY dist DESC, vec_id) AS r,
+                       count(*) OVER (PARTITION BY cluster) AS nc
+                FROM asg)
+         SELECT vec_id, cluster, dist, (r <= (nc + 9) / 10) AS outlier
+         FROM rk ORDER BY vec_id"""),
     // SemDeDup: fixed-k gate shares the kmeans config above; the
     // scaled gate derives k = max(8, ⌈√n⌉) from the same corpus in
     // SQL, so the √n plan is the hash-checked one

@@ -174,6 +174,35 @@ object Clustering {
       kmeansJoinedFit(prepared(Tables.embeddings(spark, dir)), k, iters)
     }
 
+  /** EMBEDDING OUTLIER PRUNING — the per-cluster distance tail as a
+    * data-quality flag: a vector is an outlier when it ranks in the
+    * top ⌈10 %⌉ of its own cluster by distance-to-centroid (rounded
+    * dist DESC, exact ties to the lower vec_id). This is the standard
+    * embedding-space pruning signal (mislabeled / off-distribution
+    * examples sit far from every prototype); SemDeDup prunes the
+    * near-duplicate CORE of a cluster, this flags its frayed EDGE —
+    * the two ends of the same cluster-geometry curation story.
+    *
+    * Rank-based (not a distance threshold) deliberately: the flag is
+    * exactly determined by the rounded distances both engines already
+    * agree on — no floating threshold recomputed with a different
+    * summation order on each side. Scale shape: the fit is the
+    * memoized Lloyd model; the flagging adds ONE window over the
+    * assignment keyed by cluster — k partitions of ~n/k rows, the
+    * same distribution the assignment shuffle already produced. */
+  def qEmbOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = qEmbKmeans(spark, dir) // vec_id, cluster, rounded dist
+    val w = Window.partitionBy("cluster").orderBy(desc("dist"), col("vec_id"))
+    val wc = Window.partitionBy("cluster")
+    asg
+      .withColumn("r", row_number().over(w))
+      .withColumn("nc", count(lit(1)).over(wc))
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        (col("r") <= (col("nc") + lit(9)) / lit(10)).as("outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Core with k and the iteration count exposed (spec dial: more
     * iterations must not increase within-cluster sum of squares). */
   private[graft] def kmeans(embeddings: DataFrame, k: Int,

@@ -336,6 +336,63 @@ object Pipeline {
     corpusDiff(v1, docs)
   }
 
+  /** CORPUS DRIFT — the population-stability index (PSI) between two
+    * release versions' document-length distributions, the governance
+    * twin of [[corpusDiff]]: diff answers "WHICH docs changed", drift
+    * answers "did the SHAPE of the corpus move" (a release whose
+    * diff is large but whose PSI is ~0 swapped content in place; a
+    * small diff with a big PSI quietly changed the length mix — the
+    * thing that silently shifts a token-budget mix or pack density
+    * downstream). PSI = Σ (p₂−p₁)·ln(p₂/p₁) over fixed length
+    * buckets, reported per bucket; buckets are FIXED-EDGE (100-char
+    * steps capped at bucket 9) so two engines — and two releases —
+    * always histogram identically, and shares are Laplace-smoothed
+    * ((c+1)/(n+B)) so an empty bucket on one side stays finite.
+    *
+    * Scale shape: one map-only projection + a B-bucket partial agg
+    * per version — the cheapest two-pass comparison after the
+    * fingerprint diff; the PSI math runs on the B-row bucket table
+    * (metadata-scale, one partition by design). */
+  private[graft] def corpusDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = v1.sparkSession
+    val B = 10
+    def hist(v: DataFrame, cName: String): DataFrame = v
+      .select(least(floor(length(col("text")) / lit(100.0)), lit(9.0))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cName))
+    val grid = spark.range(0, B).select(col("id").as("bucket"))
+    val all = Window.partitionBy() // B-row bucket table: metadata-scale
+    val joined = grid
+      .join(hist(v1, "c1"), Seq("bucket"), "left")
+      .join(hist(v2, "c2"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("c1", "c2"))
+      .withColumn("p1", (col("c1") + 1) / (sum("c1").over(all) + B))
+      .withColumn("p2", (col("c2") + 1) / (sum("c2").over(all) + B))
+    joined.select(col("bucket"), col("c1"), col("c2"),
+        graft.functions.Text.roundPortable(col("p1"), 6).as("p1"),
+        graft.functions.Text.roundPortable(col("p2"), 6).as("p2"),
+        graft.functions.Text.roundPortable(
+          (col("p2") - col("p1")) * log(col("p2") / col("p1")), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  /** The gate composes [[corpusDrift]] over the SAME synthetic
+    * previous release [[qCorpusDiff]] builds, so the two governance
+    * views are gated against one versioning rule. */
+  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val v1 = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 3,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      .unionByName(
+        docs.where(pmod(col("doc_id"), lit(10)) === 4)
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
+    corpusDrift(v1, docs)
+  }
+
   /** Sequences per training shard in the release audit — sized so
     * the sf fixtures yield a handful of shards (enough to exercise
     * boundary-spanning sequences) while the per-shard manifest stays

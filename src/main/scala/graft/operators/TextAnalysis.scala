@@ -739,6 +739,84 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("token"))
       .limit(20)
 
+  /** Heavy-hitter threshold denominator: the gate reports every token
+    * whose occurrence count is ≥ N/HhDen of the N corpus token
+    * occurrences. */
+  private[graft] val HhDen = 200
+
+  /** TWO-PASS DISTRIBUTED HEAVY HITTERS — every token with frequency
+    * ≥ N/[[HhDen]], computed WITHOUT ever shuffling the full token
+    * stream (the scale problem with a plain word-count at 100 TB is
+    * the type table itself: billions of distinct tail tokens shuffled
+    * and aggregated to answer a question about the top ~dozens).
+    *
+    * Pass 1 runs a Misra–Gries summary with [[HhDen]] counters inside
+    * each partition (mapPartitions is warranted: the summary is
+    * genuinely imperative per-partition state, O(m) memory). MG's
+    * guarantee — any item with partition count > n_p/(m+1) survives —
+    * plus the averaging argument (Σ count_p ≥ Σ n_p/h implies some
+    * partition has count_p ≥ n_p/h > n_p/(h+1)) makes the union of
+    * partition summaries a SUPERSET of every global heavy hitter, for
+    * ANY partition layout (HeavyHittersSpec pins this adversarially).
+    * Pass 2 exactly counts ONLY the candidate set: a broadcast
+    * semi-join keeps candidate occurrences (map-side, pushed into the
+    * scan side), and the groupBy's partial agg bounds the shuffle at
+    * candidates×partitions rows. False candidates die on the exact
+    * threshold, so the output is deterministic — exactly the tokens
+    * with cnt·h ≥ N — regardless of how MG's layout-dependent
+    * candidate set varied.
+    *
+    * The pass-1 summary collect is bounded driver model state
+    * (≤ (m+1) rows per partition — the centroid-collect precedent),
+    * carrying the per-partition token totals on a sentinel row so the
+    * threshold N needs no extra corpus scan. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir), HhDen)
+
+  private[graft] def heavyHitters(documents: DataFrame, h: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokens = documents.select(explode(toks).as("token"))
+    // pass 1: per-partition MG summaries + sentinel partition totals
+    // (bounded collect: ≤ (h+1) rows/partition of driver model state)
+    val summary = tokens.as[String]
+      .mapPartitions(it => misraGries(it, h))
+      .collect()
+    val total = summary.collect { case ("", np) => np }.sum
+    val candidates = summary.collect { case (t, _) if t.nonEmpty => t }
+      .distinct.toSeq.toDF("token")
+    // pass 2: exact counts of the candidate tokens only
+    tokens.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(h.toLong) >= lit(total))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  /** Misra–Gries summary with `m` counters over one partition:
+    * streams in O(m) memory; returns candidate tokens (count 0L —
+    * only identity matters) plus a sentinel ("", n_p) row carrying
+    * the partition's token total. Guarantee: any token occurring
+    * more than n_p/(m+1) times in the partition is in the summary. */
+  private[graft] def misraGries(it: Iterator[String],
+                                m: Int): Iterator[(String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    var np = 0L
+    while (it.hasNext) {
+      val t = it.next()
+      np += 1
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < m => counts.update(t, 1L)
+        case None =>
+          // decrement-all step: amortized O(1) per input token
+          for ((k, c) <- counts.toList) {
+            if (c == 1L) counts.remove(k) else counts.update(k, c - 1)
+          }
+      }
+    }
+    counts.keysIterator.map((_, 0L)) ++ Iterator(("", np))
+  }
+
   private val VocabSizes = Seq(16L, 64L, 256L, 1024L, 4096L)
 
   /** Vocabulary coverage curve — the tokenizer-design question

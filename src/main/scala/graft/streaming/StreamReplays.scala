@@ -152,6 +152,57 @@ object StreamReplays {
       .orderBy("doc_id")
   }
 
+  /** STREAMING EXACT DEDUP VIA THE ENGINE PRIMITIVE —
+    * `dropDuplicatesWithinWatermark`, the Structured Streaming
+    * operator a production ingest pipeline reaches for FIRST (the
+    * signature-based incremental gates above cover NEAR-dup; exact
+    * key dedup belongs to the engine's own watermarked state store,
+    * not hand-rolled state). The feed replays the events fixture
+    * TWICE in event-time order — every row re-arrives as an exact
+    * duplicate — through six micro-batches; the watermark delay
+    * (4000 h) exceeds the fixture's 720 h span, so no key is evicted
+    * mid-replay and no row is late: the engine must drop ALL
+    * second-pass rows plus in-pass repeats, leaving exactly the
+    * distinct (user_id, event_type) pairs the oracle counts.
+    *
+    * Output projects the DEDUP KEYS only: which physical row of a
+    * key's occurrences survives is engine/arrival-order detail, the
+    * key set is the semantics. Scale shape: state is one row per
+    * distinct key (watermark-bounded in production — the delay is a
+    * retention dial, not a correctness crutch); per-batch cost is
+    * the batch vs state-store lookup, never a corpus rescan. */
+  def qStreamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val feed = graft.Tables.eventsNorm(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_sec"))
+      .orderBy("ts_sec", "user_id", "event_type")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String, Long)].collect().toSeq
+    val out = ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("user_id", "event_type", "ts_sec")
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .withWatermark("event_time", "4000 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // harness-side collect: draining one micro-batch's OUTPUT rows
+        val rows = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    try {
+      val passes = feed ++ feed // the duplicate injection
+      passes.grouped(math.max(1, (passes.size + 5) / 6))
+        .foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    out.toSeq.toDF("user_id", "event_type").orderBy("user_id", "event_type")
+  }
+
   /** SERVED-INDEX ANN: query vectors stream in micro-batches against
     * the STANDING materialized IVF+SQ8 index (built once before the
     * stream starts — the build/serve split of

@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_semantic_scaled" -> (Clustering.qSemanticDedupScaled _),
     "q_temperature_mix"    -> (Mixing.qTemperatureMix _),
     "q_token_budget_mix"   -> (Mixing.qTokenBudgetMix _),
+    "q_budget_waterfill"   -> (Mixing.qBudgetWaterfill _),
     "q_mix_epochs"         -> (Mixing.qMixEpochs _),
     "q_quality_sample"     -> (Mixing.qQualitySample _),
     "q_hash_split"         -> (Mixing.qHashSplit _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "pipeline_epoch_pack"  -> (Pipeline.qEpochPack _),
     "pipeline_release_audit" -> (Pipeline.qReleaseAudit _),
     "q_funnel"             -> (Sessions.qFunnel _),
+    "q_sequence_examples"  -> (Sessions.qSequenceExamples _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
     "emb_quantize_sq8"     -> (Vectors.qEmbQuantizeSq8 _),
     "emb_project_rp"       -> (Vectors.qEmbProjectRp _),
@@ -1996,6 +1998,35 @@ object SparkEntry {
     // ∝ √(token mass), largest-remainder in whole tokens, quotas
     // filled greedily in md5 order (running sum must fit the quota).
     // Zero-token docs are dropped up front (they can't consume budget
+    // waterfilling: min(n_s, c) with c solved by the monotone-prefix
+    // closed form; capped residue floor'd, remainder +1 to the
+    // lexicographically-first capped sources — Σ alloc = budget exact
+    "q_budget_waterfill" ->
+      """WITH c AS (SELECT source,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS i,
+                 CAST(count(*) OVER () AS BIGINT) AS s_all
+               FROM c),
+         u AS (SELECT *, (cum + n_tok * (s_all - i) <= 26000) AS uncapped FROM w),
+         st AS (SELECT *,
+                 CAST(sum(CASE WHEN uncapped THEN n_tok ELSE 0 END) OVER () AS BIGINT) AS k_tok,
+                 CAST(sum(CASE WHEN uncapped THEN 0 ELSE 1 END) OVER () AS BIGINT) AS n_capped
+                FROM u),
+         cp AS (SELECT *,
+                 CASE WHEN n_capped > 0
+                   THEN CAST(floor((26000 - k_tok) / n_capped) AS BIGINT)
+                   ELSE 0 END AS cap_base,
+                 CAST(row_number() OVER (PARTITION BY uncapped ORDER BY source) AS BIGINT) AS rc
+                FROM st)
+         SELECT source, n_tok,
+                CAST(CASE WHEN uncapped THEN n_tok
+                     ELSE cap_base + CASE WHEN rc <= (26000 - k_tok - cap_base * n_capped)
+                                          THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+                NOT uncapped AS capped
+         FROM cp ORDER BY source""",
     // but would pass the ≤-quota filter forever) and weights are
     // integer-scaled — both mirrored from the Spark plan
     "q_token_budget_mix" ->
@@ -2808,6 +2839,20 @@ object SparkEntry {
            UNION ALL SELECT 'release_tokens', source, CAST(sum(n_bpe_tokens) AS BIGINT)
              FROM bpe GROUP BY source)
          ORDER BY entry, k""",
+    // next-event training pairs: context = previous 3 event types in
+    // timeline order, short histories dropped (not padded)
+    "q_sequence_examples" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                    epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         g AS (SELECT user_id, event_id, ts_sec, event_type,
+                      lag(event_type, 1) OVER w AS h1,
+                      lag(event_type, 2) OVER w AS h2,
+                      lag(event_type, 3) OVER w AS h3
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, ts_sec,
+                h3 || ' ' || h2 || ' ' || h1 AS context,
+                event_type AS target
+         FROM g WHERE h3 IS NOT NULL ORDER BY user_id, event_id""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts,
                     epoch_ns(ts)//1000000000 AS ts_sec FROM events),

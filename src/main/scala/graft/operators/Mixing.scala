@@ -76,6 +76,76 @@ object Mixing {
 
   private val TokenBudget = 20000L
 
+  // sized between the fixtures' min source and total token mass so
+  // the gate exercises BOTH regimes (small sources ride free, large
+  // ones share the cap)
+  private[graft] val WaterfillBudget = 26000L
+
+  /** WATERFILLING BUDGET ALLOCATION — the anti-over-representation
+    * mixing rule: split a global token budget across sources by
+    * CAPPING the largest ones at a common level c and letting every
+    * smaller source keep all its tokens — alloc_s = min(n_s, c) with
+    * c chosen so Σ alloc = budget. Temperature/√-mass mixing
+    * (qTokenBudgetMix) reshapes ALL sources; waterfilling is the
+    * rule for "nothing may dominate, the tail rides free" (the
+    * per-domain cap practice in crawl curation). Integer-exact: the
+    * capped sources share the residual budget evenly, floor'd, with
+    * the remainder distributed +1 to the lexicographically-first
+    * capped sources — so Σ alloc = budget EXACTLY when the corpus
+    * exceeds it, alloc = n_s everywhere otherwise.
+    *
+    * The closed form needs no driver solve: sort sources by n_s
+    * ascending; a source is uncapped iff its prefix sum plus n_s ×
+    * (sources remaining) fits the budget — that predicate is
+    * MONOTONE along the sort (difference telescopes to
+    * (S−i)(n_{i+1}−n_i) ≥ 0), so the uncapped set is a prefix and
+    * one pass of window functions finds the cap level and residue.
+    * Scale shape: ONE partial-agg shuffle builds the source
+    * histogram; everything after runs on the metadata-sized source
+    * table (the single-partition windows see sources-many rows —
+    * the GroupedTopK-subtotal situation, never corpus rows). */
+  def qBudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tok"))
+    waterfill(counts, WaterfillBudget)
+  }
+
+  /** Core over a prepared (source, n_tok) histogram — metadata-sized
+    * by contract (one row per source). */
+  private[graft] def waterfill(counts: DataFrame, budget: Long): DataFrame = {
+    val byAsc = Window.partitionBy().orderBy(col("n_tok"), col("source"))
+    val wCum = byAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("cum", sum("n_tok").over(wCum))
+      .withColumn("i", row_number().over(byAsc).cast("long"))
+      .withColumn("s_all", count(lit(1)).over(wAll))
+      .withColumn("uncapped",
+        col("cum") + col("n_tok") * (col("s_all") - col("i")) <= budget)
+      .withColumn("k_tok",
+        sum(when(col("uncapped"), col("n_tok")).otherwise(0L)).over(wAll))
+      .withColumn("n_capped",
+        sum(when(col("uncapped"), 0L).otherwise(1L)).over(wAll))
+      .withColumn("cap_base",
+        when(col("n_capped") > 0,
+          floor((lit(budget) - col("k_tok")) / col("n_capped")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("cap_rem",
+        lit(budget) - col("k_tok") - col("cap_base") * col("n_capped"))
+      .withColumn("rc",
+        row_number().over(Window.partitionBy("uncapped").orderBy("source"))
+          .cast("long"))
+      .select(col("source"), col("n_tok"),
+        when(col("uncapped"), col("n_tok"))
+          .otherwise(col("cap_base") +
+            when(col("rc") <= col("cap_rem"), 1L).otherwise(0L))
+          .as("alloc"),
+        (!col("uncapped")).as("capped"))
+      .orderBy("source")
+  }
+
   /** Token-budget mixing — [[qTemperatureMix]]'s sibling that budgets
     * what training actually consumes: allocate a global TOKEN budget
     * across sources ∝ √(source token mass) (largest-remainder in

@@ -168,4 +168,32 @@ object Sessions {
                 col("pv") / col("prev_pv"), 4).as("convert_rate"))
       .orderBy("split")
   }
+
+  /** NEXT-EVENT SEQUENCE EXAMPLES — supervised training pairs built
+    * from event history: for every event with ≥ 3 predecessors in
+    * its user's timeline, (context = the previous 3 event types in
+    * order, target = this event's type). This is the sequence-model
+    * training-data constructor (session-recommendation / next-action
+    * prediction) — the event-log analog of what [[graft.operators.TextAnalysis]]'s
+    * chunker does for documents: raw logs in, fixed-shape examples
+    * out. Short histories are DROPPED, not padded — a padded prefix
+    * teaches the model the pad token; the first 3 events per user
+    * are context for later examples, never examples themselves.
+    *
+    * Scale shape: one user_id shuffle for the ordered window — the
+    * same single exchange every sessionization here pays (and lag
+    * windows never materialize the whole user history per row; state
+    * is the 3-row frame tail). */
+  def qSequenceExamples(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.eventsNorm(spark, dir)
+      .withColumn("h1", lag("event_type", 1).over(w))
+      .withColumn("h2", lag("event_type", 2).over(w))
+      .withColumn("h3", lag("event_type", 3).over(w))
+      .where(col("h3").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        concat_ws(" ", col("h3"), col("h2"), col("h1")).as("context"),
+        col("event_type").as("target"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -114,6 +114,7 @@ object SparkEntry {
     "text_vocab_coverage"  -> (TextAnalysis.qTextVocabCoverage _),
     "text_source_cardinality" -> (TextAnalysis.qTextSourceCardinality _),
     "eval_token_f1"        -> (EvalScoring.qEvalTokenF1 _),
+    "eval_majority_vote"   -> (EvalScoring.qEvalMajorityVote _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "emb_outliers"         -> (Clustering.qEmbOutliers _),
@@ -1916,6 +1917,20 @@ object SparkEntry {
                 floor((CASE WHEN np + nr = 0 THEN 0.0
                        ELSE 2.0 * ov / (np + nr) END) * 10000 + 0.5) / 10000 AS token_f1
          FROM o ORDER BY pair_id""",
+    // 3 synthetic raters corrupt lang→'zz' at rater·5% via the
+    // hash24 draw; majority with ties to the smaller label
+    "eval_majority_vote" ->
+      """WITH v AS (SELECT doc_id AS item_id, r,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id * 3 + r AS VARCHAR)), 1, 6)) AS BIGINT) * 20
+                     < 16777216 * r
+                THEN 'zz' ELSE lang END AS label
+           FROM documents, (SELECT unnest([1, 2, 3]) AS r)),
+         c AS (SELECT item_id, label, count(*) AS cnt FROM v GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, label) AS rk,
+                       sum(cnt) OVER (PARTITION BY item_id) AS n_raters FROM c)
+         SELECT item_id, label AS maj_label, CAST(cnt AS BIGINT) AS n_agree,
+                (cnt = n_raters) AS unanimous
+         FROM rk WHERE rk = 1 ORDER BY item_id""",
     // df=1 fraction per doc; docs under 3 tokens kept via left join
     "text_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),

@@ -70,4 +70,56 @@ object EvalScoring {
     val refs = docs.select(col("doc_id").as("ref_id"), col("text").as("ref"))
     scorePairs(pred.join(refs, "ref_id").select("pair_id", "pred", "ref"))
   }
+
+  // 16^6 — the hash24 space (the q_quality_sample draw convention)
+  private val Hash24Space = 16777216L
+
+  /** MAJORITY-VOTE LABEL AGGREGATION — the annotation-QA reducer for
+    * multiply-labeled data (RLHF preference collection, quality
+    * raters, weak supervision): per item, the modal label across
+    * raters, how many raters back it, and whether the panel was
+    * unanimous. Ties break to the lexicographically-smaller label so
+    * the vote is deterministic for any rater count.
+    *
+    * Scale shape: ONE (item, label) partial-agg shuffle (rater rows
+    * combine map-side) + the arg-max as a (cnt DESC, label) window
+    * per item over label-count rows — labels per item ≤ raters, so
+    * the window frames are panel-sized, never corpus-sized.
+    *
+    * The fixture carries no annotations, so the gate SYNTHESIZES a
+    * deterministic 3-rater panel (the PII-injection precedent): each
+    * rater starts from the doc's `lang` and corrupts it to "zz"
+    * when the proven cross-engine hash24(doc_id·3 + rater) draw
+    * falls under rater·5 % — rater 1 is the careful one, rater 3 the
+    * sloppy one, and both agreement regimes execute. */
+  def qEvalMajorityVote(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val votes = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array(lit(1), lit(2), lit(3))).as("rater"))
+      .withColumn("draw",
+        conv(substring(md5((col("doc_id") * 3 + col("rater")).cast("string")),
+          1, 6), 16, 10).cast("long"))
+      .withColumn("label",
+        when(col("draw") * 20 < lit(Hash24Space) * col("rater"), lit("zz"))
+          .otherwise(col("lang")))
+    majorityVote(votes.select(col("doc_id").as("item_id"),
+      col("rater"), col("label")))
+  }
+
+  /** Core over an (item_id, rater, label) frame. */
+  private[graft] def majorityVote(votes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("item_id")
+      .orderBy(desc("cnt"), col("label"))
+    votes
+      .groupBy("item_id", "label").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_raters", sum("cnt").over(Window.partitionBy("item_id")))
+      .where(col("rk") === 1)
+      .select(col("item_id"), col("label").as("maj_label"),
+        col("cnt").as("n_agree"),
+        (col("cnt") === col("n_raters")).as("unanimous"))
+      .orderBy("item_id")
+  }
 }

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_corpus_report"      -> (TextAnalysis.qCorpusReport _),
     "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
+    "text_sft_spans"       -> (TextAnalysis.qSftSpans _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
@@ -1806,6 +1807,28 @@ object SparkEntry {
     // context-window chunking: 32-token windows on a 24-token stride,
     // chunk count max(1, ceil((n-32)/24)+1) so short docs yield one
     // chunk and the tail window survives (possibly short)
+    // alternating 10-token turns; piece = "<|role|>" + chunk (tags
+    // 8/13 chars); spans are cumulative rendered offsets; loss on
+    // assistant turns only
+    "text_sft_spans" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         t AS (SELECT doc_id, toks,
+                 unnest(range(0, CAST(floor((len(toks) - 1) / 10.0) AS BIGINT) + 1)) AS turn_idx
+               FROM d WHERE len(toks) > 0),
+         c AS (SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                 array_to_string(toks[(turn_idx * 10 + 1):(turn_idx * 10 + 10)], ' ') AS chunk
+               FROM t),
+         p AS (SELECT doc_id, turn_idx, chunk,
+                 CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                 CAST(length(chunk) + CASE WHEN turn_idx % 2 = 0 THEN 8 ELSE 13 END AS BIGINT) AS piece_len
+               FROM c),
+         s AS (SELECT *, CAST(coalesce(sum(piece_len) OVER (PARTITION BY doc_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_char
+               FROM p)
+         SELECT doc_id, turn_idx, role, chunk, start_char,
+                start_char + piece_len AS end_char,
+                (role = 'assistant') AS loss
+         FROM s ORDER BY doc_id, turn_idx""",
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          c AS (SELECT doc_id, toks, greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1) AS n_chunks FROM d),

@@ -879,6 +879,56 @@ object TextAnalysis {
   def qTextChunk(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.documents(spark, dir)).orderBy("doc_id", "chunk_id")
 
+  private val SftTurnTokens = 10
+
+  /** SFT CHAT-TURN RENDERING WITH LOSS-MASK SPANS — the
+    * instruction-tuning data-prep step: flatten a multi-turn
+    * conversation into ONE training string with role tags and emit,
+    * per turn, the character span it occupies and whether loss
+    * applies there (assistant turns train, user turns are context —
+    * the standard SFT masking rule). Downstream, a tokenizer maps
+    * char spans to token masks; the span bookkeeping — exact
+    * cumulative offsets over rendered pieces — is the part that
+    * belongs in the engine.
+    *
+    * The fixture has no conversations, so the gate derives a
+    * deterministic dialogue per document ([[qTextPiiRedact]]'s
+    * synthesize-then-operate precedent): consecutive
+    * [[SftTurnTokens]]-token windows become alternating user /
+    * assistant turns; piece = "<|role|>" + chunk, rendered doc =
+    * concat of pieces, span = [Σ prior piece lengths, +piece length).
+    *
+    * Scale shape: one explode to turn rows (~n_tokens/10 per doc) +
+    * ONE doc-keyed window for the offsets — frames are
+    * conversation-sized; no shuffle beyond the doc_id exchange. */
+  def qSftSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(SftTurnTokens.toDouble))
+            .cast("int"))).as("turn_idx"))
+      .select(col("doc_id"), col("turn_idx").cast("long").as("turn_idx"),
+        concat_ws(" ", slice(col("toks"),
+          col("turn_idx") * SftTurnTokens + 1, lit(SftTurnTokens))).as("chunk"))
+      .withColumn("role",
+        when(pmod(col("turn_idx"), lit(2)) === 0, "user")
+          .otherwise("assistant"))
+      // "<|user|>" is 8 chars, "<|assistant|>" 13
+      .withColumn("piece_len", (length(col("chunk")) +
+        when(col("role") === "user", 8).otherwise(13)).cast("long"))
+      .withColumn("start_char",
+        coalesce(sum("piece_len").over(w), lit(0L)).cast("long"))
+      .select(col("doc_id"), col("turn_idx"), col("role"), col("chunk"),
+        col("start_char"),
+        (col("start_char") + col("piece_len")).as("end_char"),
+        (col("role") === "assistant").as("loss"))
+      .orderBy("doc_id", "turn_idx")
+  }
+
   /** [[qTextChunk]] over any (doc_id, text) frame — the composable
     * surface pipelines chunk through (extra columns are dropped). */
   private[graft] def chunkDocs(documents: DataFrame): DataFrame = {

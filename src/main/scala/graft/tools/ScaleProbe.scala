@@ -290,7 +290,30 @@ object ScaleProbe {
         // never a corpus-sized window partition
         "text_quality_calibrate",
         // build-once posting index + bucket-pruned query batch
-        "text_bm25_indexed")
+        "text_bm25_indexed",
+        // MG candidate pass (map-only, (m+1) rows/partition out) +
+        // exact verify of candidates only — both scans row-linear,
+        // the verify shuffle bounded at candidates×partitions
+        "text_heavy_hitters",
+        // two map-only length histograms + PSI math on 10 bucket rows
+        "q_corpus_drift",
+        // memoized Lloyd fit + ONE cluster-keyed window over the
+        // assignment — should track emb_kmeans plus a window pass
+        "emb_outliers",
+        // one source-histogram partial agg; the waterfill windows see
+        // sources-many rows — must be scan-linear like q_corpus_report
+        "q_budget_waterfill",
+        // one user_id window shuffle (the sessionize exchange); lag
+        // state is the 3-row frame tail — row-linear
+        "q_sequence_examples",
+        // one (item,label) partial-agg shuffle + panel-sized windows
+        "eval_majority_vote",
+        // engine state-store dedup: per-batch cost = batch vs state
+        // lookup; state rows = distinct keys, never corpus rows
+        "stream_dedup_watermark",
+        // one explode to turn rows + a doc-keyed offsets window —
+        // the text_chunk growth class
+        "text_sft_spans")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

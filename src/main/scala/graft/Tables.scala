@@ -86,7 +86,7 @@ object Tables {
     val nanos = eventsTsIsNanos(s, d)
     if (nanos) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    val tsSec = raw.schema("ts").dataType match {
+    val tsUs = raw.schema("ts").dataType match {
       // LongType can only mean the footer-confirmed NANOS encoding
       // (a plain INT64-micros column with no logical type would also
       // surface as LongType, but then `nanos` is false and we fail
@@ -95,14 +95,18 @@ object Tables {
         require(nanos, s"events.ts in $d is INT64 without a TIMESTAMP(NANOS) " +
           "logical type; cannot infer its unit — regenerate the fixture with " +
           "an annotated timestamp")
-        expr("ts div 1000000000")
+        expr("ts div 1000")
       // NTZ→LTZ cast is a no-op under the pinned UTC session zone;
       // unix_micros then reads the exact instant; div truncates toward
       // zero (equivalent to DuckDB's flooring // for the positive
       // fixture instants)
-      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
     }
-    raw.withColumn("ts_sec", tsSec)
+    // ts_us carries the FULL instant (micros) for operators that need
+    // sub-second event order (ts_us, event_id) ≡ (ts, event_id);
+    // ts_sec is the second-truncated twin every aggregate keys on
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts_sec", expr("ts_us div 1000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

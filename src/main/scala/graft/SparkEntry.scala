@@ -106,6 +106,7 @@ object SparkEntry {
     "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_sft_spans"       -> (TextAnalysis.qSftSpans _),
+    "text_fertility"       -> (TextAnalysis.qTextFertility _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
     "q_corpus_drift"       -> (Pipeline.qCorpusDrift _),
+    "q_zorder_layout"      -> (Layout.qZorderLayout _),
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_curriculum"      -> (Packing.qCurriculumPack _),
     "pack_boundaries"      -> (Packing.qPackBoundaries _),
@@ -1511,6 +1513,18 @@ object SparkEntry {
     // corpus version diff: full-outer join of (id, md5) projections
     // of the synthetic previous version vs current; unchanged rows
     // excluded — the release-audit delta
+    // Morton interleave of (user_id, corpus-hour) → per-cell (z>>8)
+    // occupancy + exact x/y bounding boxes; the interleave SQL is
+    // generated from the same bit recipe the Column side unrolls
+    "q_zorder_layout" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         h0 AS (SELECT min(ts_sec) AS m FROM e),
+         xy AS (SELECT event_id, user_id AS x, (ts_sec - m) // 3600 AS y FROM e, h0),
+         z AS (SELECT *, ${operators.Layout.zValueSql("x", "y")} AS zv FROM xy)
+         SELECT zv >> 8 AS cell, count(*) AS n_events,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY 1 ORDER BY cell""",
     // PSI over fixed 100-char length buckets between the same two
     // synthetic versions q_corpus_diff compares; Laplace-smoothed
     // shares so empty buckets stay finite
@@ -1848,6 +1862,18 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // BPE tokens per whitespace word, rolled per source
+    "text_fertility" ->
+      """WITH d AS (SELECT source,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS bpe,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS ws
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                floor(CAST(sum(bpe) AS DOUBLE) / sum(ws) * 10000 + 0.5) / 10000 AS fertility
+         FROM d GROUP BY source ORDER BY source""",
     // eval slice = doc_id ≡ 0 (mod 20); n_shared = distinct word
     // 4-grams a training doc shares with any eval doc
     "text_decontaminate" ->

@@ -237,6 +237,31 @@ object TextAnalysis {
       .select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** TOKENIZER FERTILITY per source — BPE tokens per whitespace word,
+    * the standard tokenizer-audit statistic: fertility near 1 means
+    * the vocab fits the text; high fertility marks sources (usually
+    * languages/scripts the merges never saw) that will pay more
+    * sequence length per word and silently eat a token-budgeted mix
+    * (q_token_budget_mix allocates by BPE mass, so a high-fertility
+    * source gets fewer DOCUMENTS for the same budget — this gate is
+    * where that skew becomes visible). One partial-agg shuffle of
+    * two per-doc counters; the ratio math runs on source rows. */
+  def qTextFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        bpeTokenCount(col("text")).as("bpe"),
+        size(toks).cast("long").as("ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe").as("bpe_tokens"),
+        sum("ws").as("ws_tokens"))
+      .select(col("source"), col("n_docs"), col("bpe_tokens"),
+        col("ws_tokens"),
+        Text.roundPortable(
+          col("bpe_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("fertility"))
+      .orderBy("source")
+
   /** Train/eval decontamination: flag training documents that share
     * any word 4-gram with the held-out eval slice (here: doc_id ≡ 0
     * mod 20 stands in for the benchmark set). The canonical LLM

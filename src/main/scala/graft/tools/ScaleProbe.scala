@@ -313,7 +313,15 @@ object ScaleProbe {
         "stream_dedup_watermark",
         // one explode to turn rows + a doc-keyed offsets window —
         // the text_chunk growth class
-        "text_sft_spans")
+        "text_sft_spans",
+        // 32 codegen'd shift/mask terms + one cell partial agg —
+        // scan-linear; cells grow with the occupied grid, not rows
+        "q_zorder_layout",
+        // two per-doc counters + one source partial agg
+        "text_fertility",
+        // keyed state = last 3 types/user; per-row state lookup like
+        // stream_dedup_watermark — expected row-linear
+        "stream_sequence_examples")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -107,6 +107,7 @@ object SparkEntry {
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_sft_spans"       -> (TextAnalysis.qSftSpans _),
     "text_fertility"       -> (TextAnalysis.qTextFertility _),
+    "text_skipgram_pmi"    -> (TextAnalysis.qSkipgramPmi _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "text_source_cardinality" -> (TextAnalysis.qTextSourceCardinality _),
     "eval_token_f1"        -> (EvalScoring.qEvalTokenF1 _),
     "eval_majority_vote"   -> (EvalScoring.qEvalMajorityVote _),
+    "eval_preference_pairs" -> (EvalScoring.qPreferencePairs _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "emb_outliers"         -> (Clustering.qEmbOutliers _),
@@ -1862,6 +1864,30 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // forward skip-gram pairs at offsets +1/+2 (DuckDB lambda index
+    // is 1-based where Spark's is 0-based — both read "the next and
+    // next-next token"); PMI over pair/unigram shares, min count 5,
+    // top 50 by (pmi DESC, w, c)
+    "text_skipgram_pmi" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         pr AS (SELECT p[1] AS w, p[2] AS c FROM
+                 (SELECT unnest(list_filter(flatten(list_transform(toks, (t, i) -> [
+                    CASE WHEN i + 1 <= len(toks) THEN [t, toks[i + 1]] END,
+                    CASE WHEN i + 2 <= len(toks) THEN [t, toks[i + 2]] END])),
+                    x -> x IS NOT NULL)) AS p FROM d)),
+         pc AS (SELECT w, c, count(*) AS n_wc FROM pr GROUP BY 1, 2),
+         uni AS (SELECT t, count(*) AS n_t FROM
+                  (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+         tot AS (SELECT (SELECT sum(n_wc) FROM pc) AS p_total,
+                        (SELECT sum(n_t) FROM uni) AS n_total)
+         SELECT pc.w, pc.c, pc.n_wc,
+                floor(ln((CAST(pc.n_wc AS DOUBLE) / p_total) /
+                  ((CAST(uw.n_t AS DOUBLE) / n_total) *
+                   (CAST(uc.n_t AS DOUBLE) / n_total))) * 10000 + 0.5) / 10000 AS pmi
+         FROM pc JOIN uni uw ON pc.w = uw.t JOIN uni uc ON pc.c = uc.t
+         CROSS JOIN tot
+         WHERE pc.n_wc >= 5
+         ORDER BY pmi DESC, pc.w, pc.c LIMIT 50""",
     // BPE tokens per whitespace word, rolled per source
     "text_fertility" ->
       """WITH d AS (SELECT source,
@@ -1970,6 +1996,45 @@ object SparkEntry {
                 floor((CASE WHEN np + nr = 0 THEN 0.0
                        ELSE 2.0 * ov / (np + nr) END) * 10000 + 0.5) / 10000 AS token_f1
          FROM o ORDER BY pair_id""",
+    // per prompt: candidates = 3 id-successors scored by token F1 vs
+    // the prompt text; chosen/rejected = best/worst (ties: smaller/
+    // larger cand_id); pairs kept only with a strictly positive margin
+    "eval_preference_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         p AS (SELECT a.doc_id AS prompt_id, a.doc_id + r.r AS cand_id,
+                      b.text AS pred, a.text AS ref
+               FROM d a CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) r
+               JOIN d b ON b.doc_id = a.doc_id + r.r),
+         n AS (SELECT prompt_id, cand_id,
+                 lower(regexp_replace(trim(pred), '\s+', ' ', 'g')) AS pn,
+                 lower(regexp_replace(trim(ref), '\s+', ' ', 'g')) AS rn
+               FROM p),
+         t AS (SELECT prompt_id, cand_id,
+                 list_filter(string_split_regex(pn, '\s+'), x -> x != '') AS pt,
+                 list_filter(string_split_regex(rn, '\s+'), x -> x != '') AS rt
+               FROM n),
+         o AS (SELECT prompt_id, cand_id, len(pt) AS np, len(rt) AS nr,
+                 coalesce(CAST(list_sum(list_transform(list_distinct(pt), tk ->
+                   least(len(list_filter(pt, x -> x = tk)),
+                         len(list_filter(rt, x -> x = tk))))) AS BIGINT), 0) AS ov
+               FROM t),
+         s AS (SELECT prompt_id, cand_id,
+                 floor((CASE WHEN np + nr = 0 THEN 0.0
+                        ELSE 2.0 * ov / (np + nr) END) * 10000 + 0.5) / 10000 AS token_f1
+               FROM o),
+         rk AS (SELECT *,
+                 row_number() OVER (PARTITION BY prompt_id ORDER BY token_f1 DESC, cand_id) AS rb,
+                 row_number() OVER (PARTITION BY prompt_id ORDER BY token_f1, cand_id DESC) AS rw
+                FROM s),
+         pair AS (SELECT prompt_id,
+                 max(CASE WHEN rb = 1 THEN cand_id END) AS chosen_id,
+                 max(CASE WHEN rb = 1 THEN token_f1 END) AS chosen_f1,
+                 max(CASE WHEN rw = 1 THEN cand_id END) AS rejected_id,
+                 max(CASE WHEN rw = 1 THEN token_f1 END) AS rejected_f1
+                FROM rk GROUP BY prompt_id)
+         SELECT prompt_id, chosen_id, rejected_id, chosen_f1, rejected_f1,
+                floor((chosen_f1 - rejected_f1) * 10000 + 0.5) / 10000 AS margin
+         FROM pair WHERE chosen_f1 > rejected_f1 ORDER BY prompt_id""",
     // 3 synthetic raters corrupt lang→'zz' at rater·5% via the
     // hash24 draw; majority with ties to the smaller label
     "eval_majority_vote" ->

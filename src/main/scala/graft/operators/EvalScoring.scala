@@ -38,25 +38,87 @@ object EvalScoring {
         least(size(filter(p, x => x === t)), size(filter(r, x => x === t)))),
       lit(0), (acc, x) => acc + x)
 
-  /** Score a (pair_id, pred, ref) frame: normalized exact match +
-    * token F1. Pure per-row projection. */
-  private[graft] def scorePairs(pairs: DataFrame): DataFrame = {
-    val scored = pairs
+  /** Append the scoring columns (np/nr/ov and rounded `token_f1`) to
+    * any frame carrying `pred`/`ref` — the reusable per-row reward
+    * kernel ([[scorePairs]] and the preference-pair builder share
+    * it). */
+  private[graft] def withF1(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("pt", Text.tokens(norm(col("pred"))))
       .withColumn("rt", Text.tokens(norm(col("ref"))))
       .withColumn("np", size(col("pt")))
       .withColumn("nr", size(col("rt")))
       .withColumn("ov", multisetOverlap(col("pt"), col("rt")))
+      .withColumn("token_f1", Text.roundPortable(
+        when(col("np") + col("nr") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("ov") / (col("np") + col("nr"))), 4))
+
+  /** Score a (pair_id, pred, ref) frame: normalized exact match +
+    * token F1. Pure per-row projection. */
+  private[graft] def scorePairs(pairs: DataFrame): DataFrame = {
+    val scored = withF1(pairs)
     scored.select(
       col("pair_id"),
       when(norm(col("pred")) === norm(col("ref")), 1L).otherwise(0L)
         .as("exact_match"),
       col("ov").cast("long").as("n_overlap"),
-      Text.roundPortable(
-        when(col("np") + col("nr") === 0, lit(0.0))
-          .otherwise(lit(2.0) * col("ov") / (col("np") + col("nr"))), 4)
-        .as("token_f1"))
+      col("token_f1"))
       .orderBy("pair_id")
+  }
+
+  /** PREFERENCE-PAIR CONSTRUCTION — the DPO/RLHF data builder: per
+    * prompt, (chosen, rejected) = the best- and worst-scoring
+    * candidate responses under a reward, pairs kept only when the
+    * margin is strictly positive (a tie teaches nothing). Ties
+    * break deterministically (best → smaller candidate id, worst →
+    * larger), so any candidate panel yields one reproducible pair.
+    *
+    * Scale shape: the reward is the per-row [[withF1]] kernel (no
+    * shuffle); pair selection is two panel-sized rank windows keyed
+    * by prompt — the majority-vote shape, frames bounded by
+    * candidates-per-prompt, never corpus rows.
+    *
+    * The fixture has no generations, so the gate derives a
+    * deterministic candidate panel: for each prompt doc, the texts
+    * of its 3 id-successors stand in as candidate responses and the
+    * prompt's own text as the reference — the eval_token_f1 pairing
+    * convention, widened to a panel. */
+  def qPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val panel = docs.select(col("doc_id").as("prompt_id"),
+        col("text").as("ref"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("r"))
+      .withColumn("cand_id", col("prompt_id") + col("r"))
+      .join(docs.select(col("doc_id").as("cand_id"),
+        col("text").as("pred")), "cand_id")
+      .select("prompt_id", "cand_id", "pred", "ref")
+    preferencePairs(panel)
+  }
+
+  /** Core over a (prompt_id, cand_id, pred, ref) candidate panel. */
+  private[graft] def preferencePairs(panel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = withF1(panel)
+      .select("prompt_id", "cand_id", "token_f1")
+    val best = Window.partitionBy("prompt_id")
+      .orderBy(desc("token_f1"), col("cand_id"))
+    val worst = Window.partitionBy("prompt_id")
+      .orderBy(col("token_f1"), desc("cand_id"))
+    scored
+      .withColumn("rb", row_number().over(best))
+      .withColumn("rw", row_number().over(worst))
+      .groupBy("prompt_id")
+      .agg(
+        max(when(col("rb") === 1, col("cand_id"))).as("chosen_id"),
+        max(when(col("rb") === 1, col("token_f1"))).as("chosen_f1"),
+        max(when(col("rw") === 1, col("cand_id"))).as("rejected_id"),
+        max(when(col("rw") === 1, col("token_f1"))).as("rejected_f1"))
+      .where(col("chosen_f1") > col("rejected_f1"))
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_f1"), col("rejected_f1"),
+        Text.roundPortable(col("chosen_f1") - col("rejected_f1"), 4)
+          .as("margin"))
+      .orderBy("prompt_id")
   }
 
   /** Gate entry: deterministic pairs from `documents` — every 5th

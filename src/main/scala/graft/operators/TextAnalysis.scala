@@ -753,6 +753,63 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** SKIP-GRAM + PMI PAIR EXTRACTION — the word2vec-style training
+    * co-occurrence constructor: forward (w, c) pairs within a ±2
+    * window, scored by pointwise mutual information
+    * ln((n_wc/P)/((n_w/N)(n_c/N))), min-count-filtered, top-k by
+    * PMI. The pair table is BOTH a training-data artifact (skip-gram
+    * pairs feed embedding training directly) and a corpus diagnostic
+    * (top-PMI pairs are the collocations).
+    *
+    * Scale shape: pair GENERATION is map-only — pairs come from the
+    * token array itself (indexed transform + get, all inside
+    * whole-stage codegen), never from a position self-join, so the
+    * corpus is scanned once and the only shuffles are the pair-count
+    * and unigram-count partial aggs (bounded by the OBSERVED pair /
+    * type vocabularies, sub-corpus growth). N and P ride in as
+    * one-row broadcast aggregates; top-k is TakeOrderedAndProject. */
+  def qSkipgramPmi(spark: SparkSession, dir: String): DataFrame =
+    skipgramPmi(Tables.documents(spark, dir))
+
+  /** Core over any frame with a `text` column. */
+  private[graft] def skipgramPmi(documents: DataFrame): DataFrame = {
+    val docs = documents.select(toks.as("toks"))
+    // forward pairs at offsets +1/+2, built inside the row (transform
+    // index is 0-based; get() is 0-based and null past the end)
+    val pairsCol = flatten(transform(col("toks"), (t, i) =>
+      filter(array(
+        struct(t.as("w"), get(col("toks"), i + 1).as("c")),
+        struct(t.as("w"), get(col("toks"), i + 2).as("c"))),
+        s => s.getField("c").isNotNull)))
+    val pairs = docs.select(explode(pairsCol).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+      .groupBy("w", "c").agg(count(lit(1)).as("n_wc"))
+    val uni = docs.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val totals = pairs.agg(sum("n_wc").as("p_total")).crossJoin(
+      uni.agg(sum("n_t").as("n_total")))
+    // unigram joins stay vocab-keyed shuffle joins (the type table is
+    // sub-corpus but unbounded — AQE broadcasts when it measures
+    // small); only the one-row totals frame is a declared broadcast
+    pairs
+      .where(col("n_wc") >= PmiMinCount)
+      .join(uni.withColumnRenamed("t", "w")
+        .withColumnRenamed("n_t", "n_w"), "w")
+      .join(uni.withColumnRenamed("t", "c")
+        .withColumnRenamed("n_t", "n_c"), "c")
+      .crossJoin(broadcast(totals))
+      .select(col("w"), col("c"), col("n_wc"),
+        Text.roundPortable(
+          log((col("n_wc").cast("double") / col("p_total")) /
+            ((col("n_w").cast("double") / col("n_total")) *
+             (col("n_c").cast("double") / col("n_total")))), 4).as("pmi"))
+      .orderBy(desc("pmi"), col("w"), col("c"))
+      .limit(PmiTopK)
+  }
+
   /** Corpus-level token frequency (explode + count — the reference's
     * flatMap+reduceByKey word-count shape,
     * UserVisitSessionAnalyzeSpark.java:1398-1441). */

@@ -321,7 +321,12 @@ object ScaleProbe {
         "text_fertility",
         // keyed state = last 3 types/user; per-row state lookup like
         // stream_dedup_watermark — expected row-linear
-        "stream_sequence_examples")
+        "stream_sequence_examples",
+        // map-only in-row pair generation + pair/unigram partial aggs
+        // (bounded by OBSERVED vocabularies, sub-corpus growth)
+        "text_skipgram_pmi",
+        // per-row F1 reward + panel-sized rank windows per prompt
+        "eval_preference_pairs")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -427,4 +427,51 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isEmpty,
       s"doc-level window still partitions by source alone:\n$p")
   }
+
+  test("heavy-hitter verify broadcasts the candidate set as a semi-join; one hash exchange total") {
+    val p = planOf("text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // only the candidate-token groupBy shuffles — never the full
+    // token stream on its own
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("sequence examples pay exactly the one user_id window exchange") {
+    val p = planOf("q_sequence_examples")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("skip-gram pairs generate in-row: no position self-join, no cartesian") {
+    val p = planOf("text_skipgram_pmi")
+    assert(!p.contains("CartesianProduct"), p)
+    // pair rows come from Generate (explode of the in-row pair
+    // array), never from a tokens⋈tokens position join: every join
+    // in the plan keys on the token string (vocab side)
+    assert(p.contains("Generate explode"), p)
+    assert(!"Join.*pos".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("z-order cell summary is map-only into one partial-agg exchange") {
+    val p = planOf("q_zorder_layout")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("fertility is one scan, one source agg exchange, no join") {
+    val p = planOf("text_fertility")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("outlier flag rides the map-only assignment: no join, windows only") {
+    val p = planOf("emb_outliers")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
 }

@@ -81,6 +81,7 @@ object SparkEntry {
     "sim_knn_graph"        -> (Similarity.qSimKnnGraph _),
     "sim_knn_graph_scaled" -> (Similarity.qSimKnnGraphScaled _),
     "sim_mutual_knn_clusters" -> (Similarity.qSimMutualKnnClusters _),
+    "sim_pagerank_knn"     -> (Graph.qPagerankKnn _),
     "text_stats"           -> (TextAnalysis.qTextStats _),
     "text_pii_redact"      -> (TextAnalysis.qTextPiiRedact _),
     "text_bm25_batch"      -> (TextAnalysis.qTextBm25Batch _),
@@ -309,6 +310,29 @@ object SparkEntry {
        clusters AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
                     FROM tc GROUP BY a)
        SELECT vec_id, cluster_id FROM clusters ORDER BY vec_id"""
+
+  /** PageRank over the scaled k-NN edges: the knn CTEs produce `r`;
+    * two unrolled contribution rounds, each re-rounded to 6dp. */
+  private val PagerankKnnOracleSql: String =
+    "WITH " + knnGraphCtes(
+      "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings") + s""",
+       ed AS (SELECT q_id AS src, neighbor_id AS dst FROM r WHERE "rank" <= 3),
+       dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       nd AS (SELECT src AS vec_id FROM ed UNION SELECT dst FROM ed),
+       r0 AS (SELECT vec_id, 1.0 AS pr FROM nd),
+       c1 AS (SELECT ed.dst AS vec_id, sum(r0.pr / dg.deg) AS s
+              FROM ed JOIN dg USING (src) JOIN r0 ON r0.vec_id = ed.src
+              GROUP BY 1),
+       r1 AS (SELECT nd.vec_id,
+                floor((0.15 + 0.85 * coalesce(c1.s, 0)) * 1000000 + 0.5) / 1000000 AS pr
+              FROM nd LEFT JOIN c1 USING (vec_id)),
+       c2 AS (SELECT ed.dst AS vec_id, sum(r1.pr / dg.deg) AS s
+              FROM ed JOIN dg USING (src) JOIN r1 ON r1.vec_id = ed.src
+              GROUP BY 1),
+       r2 AS (SELECT nd.vec_id,
+                floor((0.15 + 0.85 * coalesce(c2.s, 0)) * 1000000 + 0.5) / 1000000 AS pr
+              FROM nd LEFT JOIN c2 USING (vec_id))
+       SELECT vec_id, pr AS "rank" FROM r2 ORDER BY vec_id"""
 
   private val KmeansOracleSql: String = kmeansCtes("8") +
     """
@@ -1242,6 +1266,9 @@ object SparkEntry {
     // thresholdless graph clustering: mutual k-NN edges + connected
     // components (the scaled knn CTEs feed the text-cluster closure)
     "sim_mutual_knn_clusters" -> MutualKnnClustersOracleSql,
+    // 2 PageRank rounds over the same scaled k-NN top-3 edges;
+    // per-round HALF-UP 6dp rounding (the kmeans determinism rule)
+    "sim_pagerank_knn" -> PagerankKnnOracleSql,
     // persisted two-level index: the sim_ivf_2level_scaled assignment
     // algebra + the SQ8 reconstruct-and-score step (corpus side scored
     // on its stored-code reconstruction, queries full-precision)

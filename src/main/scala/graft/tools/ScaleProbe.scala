@@ -326,7 +326,11 @@ object ScaleProbe {
         // (bounded by OBSERVED vocabularies, sub-corpus growth)
         "text_skipgram_pmi",
         // per-row F1 reward + panel-sized rank windows per prompt
-        "eval_preference_pairs")
+        "eval_preference_pairs",
+        // per round: one edges⋈ranks join + one dst-keyed partial agg
+        // over localCheckpoint'ed frames — tracks sim_knn_graph_scaled
+        // (the edge derivation) plus 2 bounded rounds
+        "sim_pagerank_knn")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

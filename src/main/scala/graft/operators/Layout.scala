@@ -54,7 +54,10 @@ object Layout {
     * give. One partial-agg shuffle on the cell key. */
   def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.eventsNorm(spark, dir)
-    val hour0 = e.agg(min(col("ts_sec"))).head().getLong(0)
+    // empty corpus ⇒ min is NULL ⇒ anchor at 0 (the summary is empty
+    // regardless; the anchor only shifts y for occupied rows)
+    val hour0Row = e.agg(min(col("ts_sec"))).head()
+    val hour0 = if (hour0Row.isNullAt(0)) 0L else hour0Row.getLong(0)
     zCellSummary(
       e.select(col("event_id"), col("user_id").as("x"),
         ((col("ts_sec") - lit(hour0)) / lit(3600L)).cast("long").as("y")))

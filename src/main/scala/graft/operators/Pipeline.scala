@@ -353,19 +353,31 @@ object Pipeline {
     * per version — the cheapest two-pass comparison after the
     * fingerprint diff; the PSI math runs on the B-row bucket table
     * (metadata-scale, one partition by design). */
-  private[graft] def corpusDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+  private[graft] val DriftBuckets = 10
+
+  /** The fixed-edge length histogram both drift surfaces share:
+    * counts per 100-char bucket capped at [[DriftBuckets]]−1. Counts
+    * are ADDITIVE, so per-batch histograms merge exactly — what makes
+    * the streaming monitor equal the one-shot computation. */
+  private[graft] def driftHist(v: DataFrame, cName: String): DataFrame = v
+    .select(least(floor(length(col("text")) / lit(100.0)),
+      lit((DriftBuckets - 1).toDouble)).cast("long").as("bucket"))
+    .groupBy("bucket").agg(count(lit(1)).as(cName))
+
+  private[graft] def corpusDrift(v1: DataFrame, v2: DataFrame): DataFrame =
+    driftFromHists(v1.sparkSession,
+      driftHist(v1, "c1"), driftHist(v2, "c2"))
+
+  /** PSI tail over two prepared bucket histograms. */
+  private[graft] def driftFromHists(spark: SparkSession,
+      h1: DataFrame, h2: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = v1.sparkSession
-    val B = 10
-    def hist(v: DataFrame, cName: String): DataFrame = v
-      .select(least(floor(length(col("text")) / lit(100.0)), lit(9.0))
-        .cast("long").as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(cName))
+    val B = DriftBuckets
     val grid = spark.range(0, B).select(col("id").as("bucket"))
     val all = Window.partitionBy() // B-row bucket table: metadata-scale
     val joined = grid
-      .join(hist(v1, "c1"), Seq("bucket"), "left")
-      .join(hist(v2, "c2"), Seq("bucket"), "left")
+      .join(h1, Seq("bucket"), "left")
+      .join(h2, Seq("bucket"), "left")
       .na.fill(0L, Seq("c1", "c2"))
       .withColumn("p1", (col("c1") + 1) / (sum("c1").over(all) + B))
       .withColumn("p2", (col("c2") + 1) / (sum("c2").over(all) + B))
@@ -378,19 +390,24 @@ object Pipeline {
       .orderBy("bucket")
   }
 
-  /** The gate composes [[corpusDrift]] over the SAME synthetic
-    * previous release [[qCorpusDiff]] builds, so the two governance
-    * views are gated against one versioning rule. */
-  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
-    val v1 = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+  /** The synthetic PREVIOUS release both drift gates (and their
+    * streaming twin) compare against — the [[qCorpusDiff]] versioning
+    * rule, factored so every governance gate derives one v1. */
+  private[graft] def syntheticPreviousVersion(docs: DataFrame): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(10)) === 3,
           concat(col("text"), lit(" v1"))).otherwise(col("text")))
       .unionByName(
         docs.where(pmod(col("doc_id"), lit(10)) === 4)
           .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
-    corpusDrift(v1, docs)
+
+  /** The gate composes [[corpusDrift]] over the SAME synthetic
+    * previous release [[qCorpusDiff]] builds, so the two governance
+    * views are gated against one versioning rule. */
+  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    corpusDrift(syntheticPreviousVersion(docs), docs)
   }
 
   /** Sequences per training shard in the release audit — sized so

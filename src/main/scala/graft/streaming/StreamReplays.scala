@@ -152,6 +152,36 @@ object StreamReplays {
       .orderBy("doc_id")
   }
 
+  /** CONTINUOUS DRIFT MONITORING — the streaming twin of
+    * q_corpus_drift (same oracle): the CURRENT release streams in
+    * micro-batches while the previous release's histogram is the
+    * static reference. Standing state is the 10-bucket length
+    * histogram — MODEL-sized like the KMV sketches — and bucket
+    * counts merge ADDITIVELY, so the post-stream histogram (and
+    * therefore the PSI) is EXACTLY the one-shot computation for any
+    * batch split. Per-batch cost: one batch-sized histogram job +
+    * a ≤10-entry driver merge; corpus size never re-enters. */
+  def qStreamCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val h1 = graft.operators.Pipeline.driftHist(
+      graft.operators.Pipeline.syntheticPreviousVersion(docs), "c1")
+    val feed = docs.orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String)].collect().toSeq
+    // standing histogram: ≤ DriftBuckets entries of driver model state
+    var standing = Map.empty[Long, Long]
+    replay(spark, feed, nChunks = 3) { batch =>
+      val h = graft.operators.Pipeline.driftHist(batch, "c").collect()
+      standing = h.foldLeft(standing) { (m, r) =>
+        m.updated(r.getLong(0), m.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+      }
+      Seq.empty[Unit]
+    }
+    graft.operators.Pipeline.driftFromHists(spark, h1,
+      standing.toSeq.toDF("bucket", "c2"))
+  }
+
   /** STREAMING EXACT DEDUP VIA THE ENGINE PRIMITIVE —
     * `dropDuplicatesWithinWatermark`, the Structured Streaming
     * operator a production ingest pipeline reaches for FIRST (the

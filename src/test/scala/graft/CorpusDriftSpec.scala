@@ -34,6 +34,13 @@ class CorpusDriftSpec extends SparkSpec {
     assert(terms.sum > 0.01)
   }
 
+  test("the streaming monitor's merged histogram equals the one-shot PSI") {
+    val batch = Pipeline.qCorpusDrift(spark, sf).collect().map(_.toSeq)
+    val stream = graft.streaming.StreamReplays.qStreamCorpusDrift(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("empty-versus-corpus drift stays finite (Laplace smoothing)") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = Pipeline.corpusDrift(empty, docs).collect()

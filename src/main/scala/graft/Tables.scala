@@ -102,10 +102,19 @@ object Tables {
       // fixture instants)
       case _ => expr("unix_micros(cast(ts as timestamp))")
     }
-    // ts_us carries the FULL instant (micros) for operators that need
-    // sub-second event order (ts_us, event_id) ≡ (ts, event_id);
-    // ts_sec is the second-truncated twin every aggregate keys on
-    raw.withColumn("ts_us", tsUs)
+    // ts_ord is the FULL-precision ordering key — the raw nanos long
+    // on a NANOS fixture, micros otherwise — so (ts_ord, event_id)
+    // ordering ≡ (ts, event_id) on EVERY fixture generation (ts_us
+    // alone would truncate sub-microsecond bits of a nanos fixture
+    // and could silently reorder same-microsecond events); ts_us is
+    // the micros instant, ts_sec the second-truncated twin every
+    // aggregate keys on
+    val tsOrd = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts") // nanos
+      case _ => tsUs
+    }
+    raw.withColumn("ts_ord", tsOrd)
+      .withColumn("ts_us", tsUs)
       .withColumn("ts_sec", expr("ts_us div 1000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
   }

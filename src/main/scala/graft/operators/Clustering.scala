@@ -192,7 +192,12 @@ object Clustering {
     * same distribution the assignment shuffle already produced. */
   def qEmbOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val asg = qEmbKmeans(spark, dir) // vec_id, cluster, rounded dist
+    // the UNSORTED assignment core: inheriting qEmbKmeans' output
+    // sort would range-exchange + sort the corpus only for the
+    // cluster window to destroy it (the knnTopK no-inherited-sort
+    // convention)
+    val emb = prepared(Tables.embeddings(spark, dir))
+    val asg = kmeansAssignCore(emb, kmeansModelFor(spark, dir, K, Iters)._1)
     val w = Window.partitionBy("cluster").orderBy(desc("dist"), col("vec_id"))
     val wc = Window.partitionBy("cluster")
     asg
@@ -243,6 +248,13 @@ object Clustering {
     * analysis (the NearestCells empty-quantizer contract,
     * literal-model edition). */
   private def kmeansAssignWith(emb: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame =
+    kmeansAssignCore(emb, cents).orderBy("vec_id")
+
+  /** The assignment WITHOUT the presentation sort — consumers that
+    * re-key (the outlier window) take this so they never inherit a
+    * corpus-wide sort they immediately destroy. */
+  private def kmeansAssignCore(emb: DataFrame,
       cents: Seq[(Int, Array[Double])]): DataFrame = {
     if (cents.isEmpty)
       return emb.where(lit(false)).select(
@@ -252,7 +264,6 @@ object Clustering {
         col("vec_id"),
         best.getField("c_id").cast("long").as("cluster"),
         Text.roundPortable(best.getField("d"), Scale).as("dist"))
-      .orderBy("vec_id")
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the

@@ -26,8 +26,15 @@ import graft.Tables
   */
 object Layout {
 
-  /** Bits interleaved per dimension (z spans 2·ZBits bits). */
-  val ZBits = 16
+  /** Bits interleaved per dimension (z spans 2·ZBits = 62 bits —
+    * the widest interleave a signed 64-bit z can hold without
+    * touching the sign bit). Dimensions must be non-negative and
+    * < 2³¹; bits above ZBits would alias distant rows into one cell
+    * and silently void the pruning guarantee, which is why this is
+    * 31 and not a "plenty for the fixture" 16 — the 10× probe
+    * replicates user_id into the 10⁸–10⁹ range and a 16-bit
+    * interleave would have run fully aliased there. */
+  val ZBits = 31
 
   /** Morton interleave of the low [[ZBits]] bits of x and y:
     * bit i of x lands at 2i, bit i of y at 2i+1. Unrolled or-chain —

@@ -321,19 +321,9 @@ object Pipeline {
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     // the synthetic PREVIOUS version: %10==7 docs absent (→ added in
     // v2), %10==3 docs carried an older text (→ changed), and a
-    // retired id range present only in v1 (→ removed)
-    val v1 = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(10)) === 3,
-          concat(col("text"), lit(" v1"))).otherwise(col("text")))
-      .unionByName(
-        docs.where(pmod(col("doc_id"), lit(10)) === 4)
-          // 1e10 offset (the lshplant convention): provably disjoint
-          // from genuine doc_ids at any fixture scale — a 1e6 offset
-          // would collide on a corpus whose ids reach a million and
-          // manufacture spurious changed/removed rows
-          .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
-    corpusDiff(v1, docs)
+    // retired 1e10-offset id range present only in v1 (→ removed) —
+    // ONE rule shared with the drift gates ([[syntheticPreviousVersion]])
+    corpusDiff(syntheticPreviousVersion(docs), docs)
   }
 
   /** CORPUS DRIFT — the population-stability index (PSI) between two

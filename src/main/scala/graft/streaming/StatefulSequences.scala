@@ -17,8 +17,8 @@ import scala.collection.mutable.ListBuffer
   * cardinality by user churn, or adds a TTL timeout for retired
   * users).
   *
-  * Per batch, a user's new events are sorted by the full-instant
-  * (ts_us, event_id) order — the exact order the batch window
+  * Per batch, a user's new events are sorted by the full-precision
+  * (ts_ord, event_id) order — the exact order the batch window
   * declares — merged through the carried state, and an example is
   * emitted for every event with 3 predecessors. Because the replay
   * feeds micro-batches in event-time order, cross-batch merge ≡ the
@@ -27,21 +27,23 @@ import scala.collection.mutable.ListBuffer
   */
 object StatefulSequences {
 
-  case class Ev(user_id: Long, event_id: Long, ts_us: Long,
-                event_type: String)
+  case class Ev(user_id: Long, event_id: Long, ts_ord: Long,
+                ts_sec: Long, event_type: String)
   case class Hist(types: Seq[String])
   case class Example(user_id: Long, event_id: Long, ts_sec: Long,
                      context: String, target: String)
 
-  /** Merge one batch of a user's events (sorted) through the carried
-    * 3-type history. */
+  /** Merge one batch of a user's events (sorted by the full-precision
+    * `ts_ord` ordering key — NOT a truncated instant, so the order is
+    * the batch window's (ts, event_id) on every fixture generation)
+    * through the carried 3-type history. */
   def stateFn(user: Long, evs: Iterator[Ev],
               state: GroupState[Hist]): Iterator[Example] = {
     val out = ListBuffer[Example]()
     var hist = state.getOption.map(_.types).getOrElse(Seq.empty)
-    evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+    evs.toSeq.sortBy(e => (e.ts_ord, e.event_id)).foreach { e =>
       if (hist.length == 3)
-        out += Example(user, e.event_id, e.ts_us / 1000000L,
+        out += Example(user, e.event_id, e.ts_sec,
           hist.mkString(" "), e.event_type)
       hist = (hist :+ e.event_type).takeRight(3)
     }
@@ -71,14 +73,15 @@ object StatefulSequences {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val feed = graft.Tables.eventsNorm(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
-      .orderBy("ts_us", "event_id")
+      .select(col("user_id"), col("event_id"), col("ts_ord"),
+        col("ts_sec"), col("event_type"))
+      .orderBy("ts_ord", "event_id")
       // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, Long, Long, String)].collect().toSeq
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
     val out = ListBuffer[Example]()
-    val input = MemoryStream[(Long, Long, Long, String)]
+    val input = MemoryStream[(Long, Long, Long, Long, String)]
     val q = examples(
-        input.toDS().map(t => Ev(t._1, t._2, t._3, t._4)))
+        input.toDS().map(t => Ev(t._1, t._2, t._3, t._4, t._5)))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Example], _: Long) =>

@@ -469,9 +469,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
-  test("outlier flag rides the map-only assignment: no join, windows only") {
+  test("outlier flag rides the UNSORTED map-only assignment: no join, one cluster exchange, one output sort") {
     val p = planOf("emb_outliers")
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
+    // inheriting qEmbKmeans' presentation sort would add a second
+    // range exchange the cluster window immediately destroys
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(ranges == 1, s"expected 1 range exchange (output sort), got $ranges:\n$p")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashes == 1, s"expected 1 hash exchange (cluster window), got $hashes:\n$p")
   }
 }

@@ -157,6 +157,7 @@ object SparkEntry {
     "stream_dedup_watermark" -> (graft.streaming.StreamReplays.qStreamDedupWatermark _),
     "stream_sequence_examples" -> (graft.streaming.StatefulSequences.qStreamSequenceExamples _),
     "stream_corpus_drift"  -> (graft.streaming.StreamReplays.qStreamCorpusDrift _),
+    "stream_heavy_hitters" -> (graft.streaming.StreamReplays.qStreamHeavyHitters _),
     "stream_chunk_pack"    -> (graft.streaming.StreamReplays.qStreamChunkPack _),
     "stream_ann_search"    -> (graft.streaming.StreamReplays.qStreamAnnSearch _),
     "stream_bm25_search"   -> (graft.streaming.StreamReplays.qStreamBm25Search _),
@@ -479,6 +480,8 @@ object SparkEntry {
     "stream_sequence_examples" -> OracleSqlBase("q_sequence_examples"),
     // additively-merged batch histograms must equal the one-shot PSI
     "stream_corpus_drift" -> OracleSqlBase("q_corpus_drift"),
+    // MG-merged candidates + exact verify = the batch closed form
+    "stream_heavy_hitters" -> OracleSqlBase("text_heavy_hitters"),
     // the per-batch k-min merges land on EXACTLY the one-shot sketch
     // (k-min(union) identity), so the estimates match the batch twin
     "stream_overlap_kmv" -> OracleSqlBase("text_overlap_kmv"),

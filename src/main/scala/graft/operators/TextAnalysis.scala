@@ -875,10 +875,32 @@ object TextAnalysis {
   }
 
   /** Misra–Gries summary with `m` counters over one partition:
-    * streams in O(m) memory; returns candidate tokens (count 0L —
-    * only identity matters) plus a sentinel ("", n_p) row carrying
-    * the partition's token total. Guarantee: any token occurring
-    * more than n_p/(m+1) times in the partition is in the summary. */
+    * streams in O(m) memory; returns (token, residual count) rows —
+    * the batch path uses only the identities, the streaming twin
+    * [[graft.streaming.StreamReplays.qStreamHeavyHitters]] merges the
+    * residuals — plus a sentinel ("", n_p) row carrying the
+    * partition's token total. Guarantee: any token occurring more
+    * than n_p/(m+1) times in the partition is in the summary. */
+  /** MERGE two MG summaries under a shared counter budget `m`: add
+    * counts, then if more than `m` counters survive, subtract the
+    * (m+1)-largest count from every counter and drop the non-positive
+    * ones (Agarwal et al.'s mergeable-summaries rule). Each input's
+    * undercount error ≤ n_i/(m+1) ADDS, so the merged summary still
+    * contains every item with total count > N/(m+1) — what makes the
+    * streaming twin's candidate set a superset of the true heavy
+    * hitters for ANY batch split. */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+                             m: Int): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (acc, (k, c)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + c)
+    }
+    if (sum.size <= m) sum
+    else {
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(m)
+      sum.collect { case (k, c) if c > cut => k -> (c - cut) }
+    }
+  }
+
   private[graft] def misraGries(it: Iterator[String],
                                 m: Int): Iterator[(String, Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
@@ -896,7 +918,7 @@ object TextAnalysis {
           }
       }
     }
-    counts.keysIterator.map((_, 0L)) ++ Iterator(("", np))
+    counts.iterator ++ Iterator(("", np))
   }
 
   private val VocabSizes = Seq(16L, 64L, 256L, 1024L, 4096L)

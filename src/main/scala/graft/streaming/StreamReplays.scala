@@ -152,6 +152,56 @@ object StreamReplays {
       .orderBy("doc_id")
   }
 
+  /** CONTINUOUS HEAVY-HITTER MONITORING — the streaming twin of
+    * text_heavy_hitters (same oracle): docs stream in micro-batches;
+    * the standing state is ONE Misra–Gries summary of ≤ h counters
+    * (driver model-sized). Each batch runs the per-partition MG pass
+    * (batch-sized job), and every partition summary is folded into
+    * the standing summary with the mergeable-summaries rule
+    * ([[graft.operators.TextAnalysis.mgMerge]]: add counts, cut by
+    * the (h+1)-largest on overflow). MG summaries are MERGEABLE with
+    * total undercount ≤ N/(h+1) for ANY merge tree, so the standing
+    * candidate set is a superset of every true ≥ N/h hitter
+    * regardless of the batch split — the exact verify pass at close
+    * then yields the same closed-form rows as the batch gate.
+    * Per-batch cost: batch tokens + a ≤(h+1)·partitions driver
+    * merge; the one corpus-wide job is the final verify. */
+  def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = graft.operators.TextAnalysis.HhDen
+    val docs = graft.Tables.documents(spark, dir)
+    val feed = docs.select("doc_id", "text").orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String)].collect().toSeq
+    // standing MG summary + running token total: driver model state
+    var standing = Map.empty[String, Long]
+    var total = 0L
+    replay(spark, feed, nChunks = 3) { batch =>
+      val parts = batch
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+        .as[String]
+        .mapPartitions(it => graft.operators.TextAnalysis.misraGries(it, h))
+        // harness-side collect: ≤ (h+1) rows per partition (MG summaries)
+        .collect()
+      total += parts.collect { case ("", np) => np }.sum
+      parts.foreach { case (t, c) =>
+        if (t.nonEmpty)
+          standing = graft.operators.TextAnalysis.mgMerge(
+            standing, Map(t -> c), h)
+      }
+      Seq.empty[Unit]
+    }
+    // close-the-books verify: exact counts of the standing candidates
+    val tokens = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+    tokens
+      .join(broadcast(standing.keys.toSeq.toDF("token")),
+        Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(h.toLong) >= lit(total))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
   /** CONTINUOUS DRIFT MONITORING — the streaming twin of
     * q_corpus_drift (same oracle): the CURRENT release streams in
     * micro-batches while the previous release's histogram is the

@@ -63,4 +63,29 @@ class HeavyHittersSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.heavyHitters(empty, 100).collect().isEmpty)
   }
+
+  test("mgMerge keeps every item above N/(m+1) across an adversarial merge chain") {
+    // a true heavy item spread thin across many summaries must
+    // survive the overflow cuts: 20 summaries, each with "hot" at 6
+    // plus 4 distinct cold entries at 5 — N = 520, m = 4,
+    // hot total = 120 > 520/5 = 104
+    val summaries = (0 until 20).map { i =>
+      Map("hot" -> 6L) ++ (0 until 4).map(j => s"cold${i}_$j" -> 5L)
+    }
+    val merged = summaries.foldLeft(Map.empty[String, Long]) {
+      (acc, s) => s.foldLeft(acc) { case (a, (k, c)) =>
+        TextAnalysis.mgMerge(a, Map(k -> c), 4)
+      }
+    }
+    assert(merged.size <= 4)
+    assert(merged.contains("hot"), s"merged=$merged")
+  }
+
+  test("streaming MG monitor equals the batch gate (same rows)") {
+    val batch = TextAnalysis.qHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val stream = graft.streaming.StreamReplays.qStreamHeavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream == batch)
+  }
 }

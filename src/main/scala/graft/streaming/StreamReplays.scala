@@ -222,6 +222,9 @@ object StreamReplays {
     // standing histogram: ≤ DriftBuckets entries of driver model state
     var standing = Map.empty[Long, Long]
     replay(spark, feed, nChunks = 3) { batch =>
+      // the batch histogram is ≤ DriftBuckets rows of driver MODEL
+      // state (the KMV standing-sketch class), merged additively:
+      // harness-side collect
       val h = graft.operators.Pipeline.driftHist(batch, "c").collect()
       standing = h.foldLeft(standing) { (m, r) =>
         m.updated(r.getLong(0), m.getOrElse(r.getLong(0), 0L) + r.getLong(1))

@@ -330,7 +330,13 @@ object ScaleProbe {
         // per round: one edges⋈ranks join + one dst-keyed partial agg
         // over localCheckpoint'ed frames — tracks sim_knn_graph_scaled
         // (the edge derivation) plus 2 bounded rounds
-        "sim_pagerank_knn")
+        "sim_pagerank_knn",
+        // per-batch histogram + ≤10-entry driver merge; PSI math on
+        // the 10-row bucket table
+        "stream_corpus_drift",
+        // per-batch MG summaries + driver merge; one corpus-wide
+        // exact-verify job at close
+        "stream_heavy_hitters")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

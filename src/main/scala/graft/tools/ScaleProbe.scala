@@ -34,7 +34,11 @@ object ScaleProbe {
     // events.ts is INT64 nanos — read as long (replicas then store long)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    // optional arg 3: replicate ONLY these tables (a 100× run of
+    // document-family probes shouldn't pay a 100× lineitem build)
+    val onlyTables: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     def replicate(name: String, transform: (DataFrame, Int) => DataFrame): Unit = {
+      if (onlyTables.exists(!_.contains(name))) return
       val out = s"$dst/$name.parquet"
       if (!new java.io.File(out).exists()) {
         val base = Tables.load(spark, src, name)
@@ -80,12 +84,22 @@ object ScaleProbe {
     // same way) while decorrelating cross-replica pairs (a verbatim
     // copy would give every vector 9 exact duplicates and inflate the
     // true near-dup output ~700×).
-    replicate("embeddings", (df, i) =>
+    replicate("embeddings", (df, i) => {
+      // circular shift by i (mod dim); replicas ≥ 64 ALSO negate —
+      // negation preserves intra-replica cosines exactly while
+      // decorrelating against the same-shift replica (cos(−a, b) =
+      // −cos(a, b)), giving 128 distinct isometries so a ×100 build
+      // never re-issues a verbatim copy
+      val s = i % 64
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, 64 - s),
+                    slice(col("embedding"), 1, s))
+      val moved = if (i < 64) shifted
+                  else transform(shifted, x => -x)
       df.withColumn("vec_id", col("vec_id") + lit(i * KEY))
-        .withColumn("embedding",
-          if (i == 0) col("embedding")
-          else concat(slice(col("embedding"), i + 1, 64 - i),
-                      slice(col("embedding"), 1, i))))
+        .withColumn("embedding", if (i == 0) col("embedding") else moved)
+    })
 
     // dedup_embedding_blocked is the oracle-PINNED fixed config
     // (8 centroids at any n — candidate pairs ~n²/centroids by

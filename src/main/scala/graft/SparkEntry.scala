@@ -109,6 +109,7 @@ object SparkEntry {
     "text_sft_spans"       -> (TextAnalysis.qSftSpans _),
     "text_fertility"       -> (TextAnalysis.qTextFertility _),
     "text_skipgram_pmi"    -> (TextAnalysis.qSkipgramPmi _),
+    "text_code_detect"     -> (TextAnalysis.qTextCodeDetect _),
     "text_decontaminate"   -> (TextAnalysis.qDecontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.qDecontaminateBloom _),
     "text_repetition"      -> (TextAnalysis.qTextRepetition _),
@@ -1921,6 +1922,22 @@ object SparkEntry {
          CROSS JOIN tot
          WHERE pc.n_wc >= 5
          ORDER BY pmi DESC, pc.w, pc.c LIMIT 50""",
+    // structural-symbol density, thresholded at 3% of chars; code
+    // block injected on doc_id %6 == 0 (the PII-injection precedent)
+    "text_code_detect" ->
+      """WITH r AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 6 = 0
+             THEN ' def f(x): return {"k": x[0], "n": len(x)}; for (i = 0; i < 10; i++) { y[i] = x[i] <=> z; }'
+             ELSE '' END AS raw
+           FROM documents),
+         s AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(raw, '[{}()\[\];=:<>]')) AS BIGINT) AS n_symbols,
+                 floor(CAST(len(regexp_extract_all(raw, '[{}()\[\];=:<>]')) AS DOUBLE)
+                   / length(raw) * 10000 + 0.5) / 10000 AS symbol_ratio
+               FROM r)
+         SELECT doc_id, n_symbols, symbol_ratio,
+                (symbol_ratio >= 0.03) AS is_code
+         FROM s ORDER BY doc_id""",
     // BPE tokens per whitespace word, rolled per source
     "text_fertility" ->
       """WITH d AS (SELECT source,

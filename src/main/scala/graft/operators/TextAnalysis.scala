@@ -753,6 +753,39 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  private val CodeSymbolRe = "[{}()\\[\\];=:<>]"
+
+  /** CODE-VS-PROSE DETECTION — the routing filter a mixed crawl runs
+    * before language-specific curation (code wants different dedup
+    * dials, quality rules, and mixing weights than prose; misrouted
+    * code also wrecks prose perplexity filters). The signal is the
+    * structural-symbol density `{}()[];=:<>` per character — prose
+    * sits near zero, code far above — thresholded at 3 %. A pure
+    * per-row projection (regex count inside whole-stage codegen):
+    * the cheapest possible 100 TB shape, like the PII scrubber.
+    *
+    * The fixture is all prose, so the gate INJECTS a deterministic
+    * code block on the doc_id %6 == 0 residue class (the PII-
+    * injection precedent; the oracle injects the same) so BOTH
+    * routing outcomes execute. */
+  def qTextCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(lit(" def f(x): return {\"k\": x[0], \"n\": len(x)};"),
+          lit(" for (i = 0; i < 10; i++) { y[i] = x[i] <=> z; }")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(CodeSymbolRe)).cast("long")
+          .as("n_symbols"),
+        Text.roundPortable(
+          regexp_count(col("raw"), lit(CodeSymbolRe)).cast("double") /
+            length(col("raw")), 4).as("symbol_ratio"))
+      .withColumn("is_code", col("symbol_ratio") >= 0.03)
+      .orderBy("doc_id")
+  }
+
   private val PmiMinCount = 5
   private val PmiTopK = 50
 

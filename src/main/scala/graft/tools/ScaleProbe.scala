@@ -350,7 +350,9 @@ object ScaleProbe {
         "stream_corpus_drift",
         // per-batch MG summaries + driver merge; one corpus-wide
         // exact-verify job at close
-        "stream_heavy_hitters")
+        "stream_heavy_hitters",
+        // pure regex projection — the text_pii_redact class
+        "text_code_detect")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -461,6 +461,15 @@ object SparkEntry {
                 quality_score AS kept_quality, n_members
          FROM m WHERE rn = 1 ORDER BY cluster_id"""
 
+  /** The mediaTable multi-byte injection, mirrored byte-for-byte from
+    * [[operators.Multimodal.MbProbe]] (the Scala constant is
+    * interpolated into the SQL literal, so both engines append the
+    * SAME UTF-8 bytes) — every BLOB-decoding oracle reads docs
+    * through this subquery. */
+  private val MbDocs: String =
+    s"SELECT doc_id, text || CASE WHEN doc_id % ${operators.Multimodal.MbResidue} = 0 " +
+    s"THEN '${operators.Multimodal.MbProbe}' ELSE '' END AS text FROM documents"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = OracleSqlBase ++ Map(
@@ -1498,7 +1507,7 @@ object SparkEntry {
     // fusion 1/(60+rank) summed in fixed (bm25, dense) order; fused
     // top-10 carries both source ranks (NULL where one ranker missed)
     "q_hybrid_search" ->
-      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks FROM documents),
          dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
          s AS (SELECT count(*) AS n, coalesce(avg(dl), 0.0) AS avgdl FROM dd),
          f AS (SELECT
@@ -1525,7 +1534,7 @@ object SparkEntry {
          -- a byte's low hex nibble IS its value mod 16, so bin the
          -- even positions of the hex dump — parity with the Spark
          -- side's UTF-8 getBytes holds for NON-ASCII text too
-         hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents),
+         hx AS (SELECT doc_id, hex(encode(text)) AS h FROM ($MbDocs)),
          e AS (SELECT doc_id, list_transform(range(16),
              k -> CAST(len(list_filter(range(1, len(h) // 2 + 1),
                i -> substr(h, CAST(2 * i AS INT), 1) =
@@ -1534,7 +1543,7 @@ object SparkEntry {
              k -> CAST(len(list_filter(range(1, len(qx) // 2 + 1),
                i -> substr(qx, CAST(2 * i AS INT), 1) =
                     substr('0123456789ABCDEF', CAST(k + 1 AS INT), 1))) AS DOUBLE)) AS qv
-           FROM (SELECT hex(CAST('spark table query' AS BLOB)) AS qx)),
+           FROM (SELECT hex(encode('spark table query')) AS qx)),
          ds AS (SELECT doc_id, list_cosine_similarity(v, qv) AS dsim FROM e CROSS JOIN qh),
          dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dsim DESC, doc_id) AS BIGINT) AS dense_rank FROM ds),
          dn20 AS (SELECT * FROM dn WHERE dense_rank <= 20),
@@ -1932,8 +1941,9 @@ object SparkEntry {
            FROM documents),
          s AS (SELECT doc_id,
                  CAST(len(regexp_extract_all(raw, '[{}()\[\];=:<>]')) AS BIGINT) AS n_symbols,
-                 floor(CAST(len(regexp_extract_all(raw, '[{}()\[\];=:<>]')) AS DOUBLE)
-                   / length(raw) * 10000 + 0.5) / 10000 AS symbol_ratio
+                 floor(CASE WHEN length(raw) > 0
+                     THEN CAST(len(regexp_extract_all(raw, '[{}()\[\];=:<>]')) AS DOUBLE) / length(raw)
+                     ELSE 0.0 END * 10000 + 0.5) / 10000 AS symbol_ratio
                FROM r)
          SELECT doc_id, n_symbols, symbol_ratio,
                 (symbol_ratio >= 0.03) AS is_code
@@ -2500,7 +2510,7 @@ object SparkEntry {
     // sim_ivf_scaled search algebra (√n cells over the documents
     // count, nprobe 2, queries doc_id < 10)
     "mm_embed_ann" ->
-      """WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents),
+      s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM ($MbDocs)),
          e AS (SELECT doc_id AS vec_id, list_transform(range(16),
              k -> CAST(len(list_filter(range(1, len(h) // 2 + 1),
                i -> substr(h, CAST(2 * i AS INT), 1) =
@@ -2527,8 +2537,8 @@ object SparkEntry {
     // alphabet), so parity with the Spark side's (content(i) & 0xff)
     // arithmetic is exact for non-ASCII payloads too
     "mm_decode" ->
-      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
-                octet_length(CAST(text AS BLOB)) AS n FROM documents),
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                octet_length(encode(text)) AS n FROM ($MbDocs)),
          byt AS (SELECT doc_id, n, list_transform(range(1, CAST(n AS INT) + 1),
              i -> (strpos('0123456789ABCDEF', substr(h, CAST(2 * i - 1 AS INT), 1)) * 16
                    + strpos('0123456789ABCDEF', substr(h, CAST(2 * i AS INT), 1)) - 17)) AS bs
@@ -2539,8 +2549,8 @@ object SparkEntry {
            floor(CAST(list_sum(bs) AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_byte
          FROM byt ORDER BY doc_id""",
     "mm_frames" ->
-      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
-                octet_length(CAST(text AS BLOB)) AS n FROM documents),
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                octet_length(encode(text)) AS n FROM ($MbDocs)),
          f0 AS (SELECT doc_id, h, n,
                 CAST(unnest(range(0, (n + 63) // 64)) AS BIGINT) AS frame_idx FROM b),
          f AS (SELECT * FROM f0 WHERE frame_idx % 4 = 0)

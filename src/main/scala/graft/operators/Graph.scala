@@ -42,7 +42,24 @@ object Graph {
     * d·Σ_incoming rank/deg, from a uniform start, `iters` rounds.
     * Nodes with no in-edges settle at 1−d; out-degrees come from the
     * edge list itself. */
-  private[graft] def pagerank(edgesIn: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pagerank(edgesIn: DataFrame, iters: Int): DataFrame =
+    pagerankCore(edgesIn, iters, tol = None)._1
+
+  /** PageRank run to a FIXED POINT: iterate until the largest
+    * per-node rank change falls below `tol` (or `maxIters` rounds, a
+    * hard safety stop — a real centrality signal needs ≥10 rounds or
+    * a convergence criterion, not the gate's 2). The per-round
+    * convergence test is a single scalar `max(|Δ|)` aggregate — a
+    * model-sized driver read, the kmeans-objective precedent — so the
+    * dial costs one extra partial-agg per round, nothing driver-side
+    * grows with the graph. Returns (ranks, roundsRun). */
+  private[graft] def pagerankConverged(
+      edgesIn: DataFrame, tol: Double, maxIters: Int): (DataFrame, Int) =
+    pagerankCore(edgesIn, maxIters, tol = Some(tol))
+
+  private def pagerankCore(
+      edgesIn: DataFrame, iters: Int,
+      tol: Option[Double]): (DataFrame, Int) = {
     val edges = edgesIn.localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -50,20 +67,32 @@ object Graph {
       .union(edges.select(col("dst").as("vec_id")))
       .distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
       val contribs = edges
         .join(deg, "src")
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst").as("vec_id"), (col("rank") / col("deg")).as("c"))
         .groupBy("vec_id").agg(sum("c").as("in_sum"))
-      ranks = nodes.join(contribs, Seq("vec_id"), "left")
+      val next = nodes.join(contribs, Seq("vec_id"), "left")
         .select(col("vec_id"),
           graft.functions.Text.roundPortable(
             lit(1.0 - Damping) +
               lit(Damping) * coalesce(col("in_sum"), lit(0.0)),
             Scale).as("rank"))
         .localCheckpoint()
+      tol.foreach { t =>
+        // scalar max-|Δ| read — model-sized, 0.0 on an empty graph
+        val delta = next.withColumnRenamed("rank", "nr")
+          .join(ranks.withColumnRenamed("rank", "pr"), "vec_id")
+          .agg(coalesce(max(abs(col("nr") - col("pr"))), lit(0.0)))
+          .head().getDouble(0)
+        converged = delta < t
+      }
+      ranks = next
     }
-    ranks.orderBy("vec_id")
+    (ranks.orderBy("vec_id"), round)
   }
 }

@@ -34,13 +34,28 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long,
                    checksum: Long)
 
+  /** Deterministic MULTI-BYTE payload probe (the PII-injection
+    * precedent): a 2-byte (é), 3-byte (CJK), and 4-byte (emoji,
+    * surrogate pair in source) UTF-8 sequence appended to every
+    * doc_id ≡ 0 (mod [[MbResidue]]) payload, so the byte-level
+    * oracles provably execute on non-ASCII bytes — the fixture text
+    * is pure ASCII, which would otherwise leave the "exact for
+    * non-ASCII too" BLOB-parity claims untested. Escapes, not raw
+    * glyphs, so source-encoding drift can't change the bytes. */
+  val MbProbe: String = // " café 数据管道 🧪"
+    " caf\u00e9 \u6570\u636e\u7ba1\u9053 \ud83e\uddea"
+  val MbResidue = 7
+
   /** documents.text → opaque binary payloads (the real pipeline would
-    * read image/audio bytes from object storage). */
+    * read image/audio bytes from object storage); [[MbProbe]] rides
+    * in on the residue class. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), lit("image/stub").as("media_type"),
-              col("text").cast("binary").as("content"))
+              concat(col("text"),
+                when(pmod(col("doc_id"), lit(MbResidue)) === 0, lit(MbProbe))
+                  .otherwise(lit(""))).cast("binary").as("content"))
       .as[MediaRow]
   }
 

@@ -779,9 +779,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(CodeSymbolRe)).cast("long")
           .as("n_symbols"),
+        // empty-doc guard: 0-length text routes to prose (ratio 0.0),
+        // not a NULL ratio / NULL verdict from 0/0
         Text.roundPortable(
-          regexp_count(col("raw"), lit(CodeSymbolRe)).cast("double") /
-            length(col("raw")), 4).as("symbol_ratio"))
+          when(length(col("raw")) > 0,
+            regexp_count(col("raw"), lit(CodeSymbolRe)).cast("double") /
+              length(col("raw"))).otherwise(lit(0.0)), 4)
+          .as("symbol_ratio"))
       .withColumn("is_code", col("symbol_ratio") >= 0.03)
       .orderBy("doc_id")
   }
@@ -883,8 +887,8 @@ object TextAnalysis {
     *
     * The pass-1 summary collect is bounded driver model state
     * (≤ (m+1) rows per partition — the centroid-collect precedent),
-    * carrying the per-partition token totals on a sentinel row so the
-    * threshold N needs no extra corpus scan. */
+    * carrying the per-partition token totals on a typed (None, n_p)
+    * row so the threshold N needs no extra corpus scan. */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(Tables.documents(spark, dir), HhDen)
 
@@ -892,13 +896,13 @@ object TextAnalysis {
     val spark = documents.sparkSession
     import spark.implicits._
     val tokens = documents.select(explode(toks).as("token"))
-    // pass 1: per-partition MG summaries + sentinel partition totals
+    // pass 1: per-partition MG summaries + typed partition-total rows
     // (bounded collect: ≤ (h+1) rows/partition of driver model state)
     val summary = tokens.as[String]
       .mapPartitions(it => misraGries(it, h))
       .collect()
-    val total = summary.collect { case ("", np) => np }.sum
-    val candidates = summary.collect { case (t, _) if t.nonEmpty => t }
+    val total = summary.collect { case (None, np) => np }.sum
+    val candidates = summary.collect { case (Some(t), _) => t }
       .distinct.toSeq.toDF("token")
     // pass 2: exact counts of the candidate tokens only
     tokens.join(broadcast(candidates), Seq("token"), "left_semi")
@@ -907,13 +911,6 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("token"))
   }
 
-  /** Misra–Gries summary with `m` counters over one partition:
-    * streams in O(m) memory; returns (token, residual count) rows —
-    * the batch path uses only the identities, the streaming twin
-    * [[graft.streaming.StreamReplays.qStreamHeavyHitters]] merges the
-    * residuals — plus a sentinel ("", n_p) row carrying the
-    * partition's token total. Guarantee: any token occurring more
-    * than n_p/(m+1) times in the partition is in the summary. */
   /** MERGE two MG summaries under a shared counter budget `m`: add
     * counts, then if more than `m` counters survive, subtract the
     * (m+1)-largest count from every counter and drop the non-positive
@@ -934,8 +931,17 @@ object TextAnalysis {
     }
   }
 
+  /** Misra–Gries summary with `m` counters over one partition:
+    * streams in O(m) memory; returns (Some(token), residual count)
+    * rows — the batch path uses only the identities, the streaming
+    * twin [[graft.streaming.StreamReplays.qStreamHeavyHitters]]
+    * merges the residuals — plus ONE (None, n_p) row carrying the
+    * partition's token total. The total row is TYPED (None), not a
+    * sentinel token, so a tokenizer that admits empty tokens can
+    * never collide with it. Guarantee: any token occurring more than
+    * n_p/(m+1) times in the partition is in the summary. */
   private[graft] def misraGries(it: Iterator[String],
-                                m: Int): Iterator[(String, Long)] = {
+                                m: Int): Iterator[(Option[String], Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     var np = 0L
     while (it.hasNext) {
@@ -951,7 +957,8 @@ object TextAnalysis {
           }
       }
     }
-    counts.iterator ++ Iterator(("", np))
+    counts.iterator.map { case (k, c) => (Some(k): Option[String], c) } ++
+      Iterator((None, np))
   }
 
   private val VocabSizes = Seq(16L, 64L, 256L, 1024L, 4096L)

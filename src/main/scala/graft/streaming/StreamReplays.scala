@@ -183,11 +183,12 @@ object StreamReplays {
         .mapPartitions(it => graft.operators.TextAnalysis.misraGries(it, h))
         // harness-side collect: ≤ (h+1) rows per partition (MG summaries)
         .collect()
-      total += parts.collect { case ("", np) => np }.sum
-      parts.foreach { case (t, c) =>
-        if (t.nonEmpty)
+      total += parts.collect { case (None, np) => np }.sum
+      parts.foreach {
+        case (Some(t), c) =>
           standing = graft.operators.TextAnalysis.mgMerge(
             standing, Map(t -> c), h)
+        case (None, _) => ()
       }
       Seq.empty[Unit]
     }

@@ -33,8 +33,8 @@ class HeavyHittersSpec extends SparkSpec {
       (0 until 200).map(i => s"cold$i")
     val m = 4
     val kept = TextAnalysis.misraGries(stream.iterator, m).toList
-    assert(kept.filter(_._1.isEmpty) == List(("", stream.size.toLong)))
-    val cands = kept.collect { case (t, _) if t.nonEmpty => t }.toSet
+    assert(kept.filter(_._1.isEmpty) == List((None, stream.size.toLong)))
+    val cands = kept.collect { case (Some(t), _) => t }.toSet
     assert(cands.contains("hot"))
     assert(cands.size <= m)
   }

@@ -45,6 +45,25 @@ class MultimodalSpec extends SparkSpec {
     assert(e.embedding(1) == 2f && e.embedding(2) == 1f && e.embedding(3) == 1f)
   }
 
+  test("multi-byte probe rides the media table: residue rows provably carry non-ASCII bytes") {
+    val rows = Multimodal.mediaTable(spark, sf).collect()
+    val probed = rows.filter(_.doc_id % Multimodal.MbResidue == 0)
+    assert(probed.nonEmpty, "no residue-class rows in the fixture")
+    val suffix = Multimodal.MbProbe.getBytes("UTF-8")
+    // the probe includes 2-, 3-, and 4-byte UTF-8 sequences: more
+    // bytes than codepoints, and high-bit bytes present
+    assert(suffix.length >
+      Multimodal.MbProbe.codePointCount(0, Multimodal.MbProbe.length))
+    assert(suffix.exists(b => (b & 0x80) != 0))
+    // every residue row ends with exactly the probe bytes; every
+    // other row stays pure ASCII (the fixture text)
+    assert(probed.forall(r =>
+      r.content.length >= suffix.length &&
+      r.content.takeRight(suffix.length).sameElements(suffix)))
+    assert(rows.filter(_.doc_id % Multimodal.MbResidue != 0)
+      .forall(r => r.content.forall(b => (b & 0x80) == 0)))
+  }
+
   test("embed-and-search returns full top-5 rows for every query against its probed cells") {
     val out = Multimodal.qMultimodalEmbedAnn(spark, sf).collect()
     val byQuery = out.groupBy(_.getLong(0))

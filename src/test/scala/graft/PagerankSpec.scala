@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Graph
 
 /** PageRank on the k-NN graph (sim_pagerank_knn): the oracle gate
@@ -41,5 +42,44 @@ class PagerankSpec extends SparkSpec {
     val out = Graph.qPagerankKnn(spark, sf).collect().map(_.getDouble(1))
     assert(out.forall(_ >= 0.15))
     assert(out.exists(_ > 1.0), "no node accumulated centrality")
+  }
+
+  test("pagerankConverged stops the cycle after one round (already the fixed point)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (ranks, rounds) = Graph.pagerankConverged(edges, tol = 1e-9, maxIters = 50)
+    assert(rounds == 1, s"cycle should converge on the first delta check, ran $rounds")
+    val out = ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+  }
+
+  test("pagerankConverged reaches the star's fixed point and then holds it") {
+    // a,c,d -> b: spokes pin at 1-d after round 1; the hub's recurrence
+    // b = 0.15 + 0.85·(3·0.15) = 0.5325 is stationary from round 2 on,
+    // so the tol stop must fire at round 3 (first round with delta 0).
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val (ranks, rounds) = Graph.pagerankConverged(edges, tol = 1e-9, maxIters = 50)
+    assert(rounds == 3, s"expected the delta-0 stop at round 3, ran $rounds")
+    val out = ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(9L) == 0.5325 && out(1L) == 0.15)
+    // and the converged answer equals the explicitly-iterated one
+    val fixed = run(Seq((1L, 9L), (2L, 9L), (3L, 9L)), 10)
+    assert(out == fixed)
+  }
+
+  test("maxIters is a hard stop when tol is never reached") {
+    // 2-cycle with an injector: ranks oscillate toward the fixed point
+    // slowly; an absurd tol forces the hard stop to bind.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val (_, rounds) = Graph.pagerankConverged(edges, tol = 1e-12, maxIters = 4)
+    assert(rounds == 4)
+  }
+
+  test("converged centrality on the fixture graph needs more than the gate's 2 rounds") {
+    val knn = graft.operators.Similarity.qSimKnnGraphScaled(spark, sf)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val (ranks, rounds) = Graph.pagerankConverged(knn, tol = 1e-4, maxIters = 25)
+    assert(rounds > 2 && rounds <= 25,
+      s"real centrality should take >2 rounds at tol=1e-4, took $rounds")
+    assert(ranks.collect().map(_.getDouble(1)).forall(_ >= 0.15))
   }
 }

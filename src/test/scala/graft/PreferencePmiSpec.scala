@@ -42,6 +42,39 @@ class PreferencePmiSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 20L, 22L, 1.0)))
   }
 
+  test("token F1 multiset overlap is exact on 4k-token generations with skewed dupes") {
+    // the long-generation regime the sort+run-count fold exists for:
+    // pred has 'tok$i' repeated (i%7)+1 times, ref the same token
+    // (i%5)+1 times — overlap = Σ min(i%7+1, i%5+1), computed here
+    // independently of the column fold. ~2.3k/1.7k tokens per side.
+    val n = 600
+    val pred = (0 until n).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i")).mkString(" ")
+    val ref = (0 until n).flatMap(i => Seq.fill(i % 5 + 1)(s"tok$i")).reverse.mkString(" ")
+    val expOv = (0 until n).map(i => math.min(i % 7 + 1, i % 5 + 1)).sum.toLong
+    val np = (0 until n).map(i => i % 7 + 1).sum
+    val nr = (0 until n).map(i => i % 5 + 1).sum
+    val row = EvalScoring.scorePairs(
+        Seq((1L, pred, ref)).toDF("pair_id", "pred", "ref"))
+      .collect().head
+    assert(row.getLong(2) == expOv, s"overlap ${row.getLong(2)} != $expOv")
+    val expF1 = math.floor(2.0 * expOv / (np + nr) * 10000 + 0.5) / 10000
+    assert(row.getDouble(3) == expF1)
+    assert(row.getLong(1) == 0L) // not an exact match
+  }
+
+  test("token F1 handles empty and identical sides") {
+    val byId = EvalScoring.scorePairs(Seq(
+        (1L, "", ""),               // both empty: f1 defined as 0
+        (2L, "a b a", "a a b"),     // same multiset, different order
+        (3L, "a", "")).toDF("pair_id", "pred", "ref"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(byId(1L) == ((1L, 0L, 0.0)))
+    assert(byId(2L) == ((0L, 3L, 1.0)))
+    assert(byId(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("PMI separates an always-adjacent pair from a rarely-adjacent one") {
     // north/pole and alpha/beta have IDENTICAL unigram counts (once
     // per doc each); north-pole are always adjacent, alpha-beta only

@@ -145,6 +145,8 @@ object SparkEntry {
     "pack_sequences_sql"   -> (SqlSurface.qPackSequencesSql _),
     "dedup_exact_sql"      -> (SqlSurface.qDedupExactSql _),
     "q_temperature_mix_sql" -> (SqlSurface.qTemperatureMixSql _),
+    "text_bm25_sql"        -> (SqlSurface.qTextBm25Sql _),
+    "sim_ivf_sql"          -> (SqlSurface.qSimIvfSql _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
     "q_shuffle_audit"      -> (Packing.qShuffleAudit _),
     "stream_blacklist"     -> (StreamingAnalogs.qStreamBlacklist _),
@@ -510,6 +512,10 @@ object SparkEntry {
     "dedup_exact_sql" -> OracleSqlBase("dedup_exact"),
     "dedup_paragraphs_sql" -> OracleSqlBase("dedup_paragraphs"),
     "q_temperature_mix_sql" -> OracleSqlBase("q_temperature_mix"),
+    // serving-family SQL twins: same oracles as the standing-index
+    // DataFrame paths (three plans, one semantics)
+    "text_bm25_sql" -> OracleSqlBase("text_bm25_batch"),
+    "sim_ivf_sql" -> OracleSqlBase("sim_ivf_sq8"),
     // Bloom prefilter is one-sided and exact-verified, so its output
     // must be EXACTLY the unfiltered operator's rows
     "text_decontaminate_bloom" -> OracleSqlBase("text_decontaminate"))

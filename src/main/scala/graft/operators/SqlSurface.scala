@@ -112,6 +112,99 @@ object SqlSurface {
         |FROM kept GROUP BY doc_id, n_segs ORDER BY doc_id""".stripMargin)
   }
 
+  /** BM25 batch retrieval against the STANDING posting index, driven
+    * from SQL — the serving-family twin the r12 verdict asked for: a
+    * SQL-speaking consumer's whole search is one statement over the
+    * catalog tables ([[TextAnalysis.buildTextIndex]]'s `bm25_index` +
+    * its `_stats` row). Same plan family as
+    * [[TextAnalysis.qTextBm25Indexed]]: the posting scan carries a
+    * LITERAL term IN-list (interpolated from the request batch — a
+    * join predicate would not prune buckets at plan time), df is a
+    * partial agg over the pruned postings joined back, per-term
+    * contributions are HALF-UP-6 rounded and summed as
+    * DECIMAL(20,6) (exact, order-independent — the bm25Batch
+    * determinism contract), then one panel-sized rank window. Gated
+    * against the SAME oracle as text_bm25_batch / text_bm25_indexed:
+    * three plans, one semantics. */
+  def qTextBm25Sql(spark: SparkSession, dir: String): DataFrame = {
+    install(spark, dir)
+    TextAnalysis.buildTextIndex(spark, dir, "bm25_index")
+    val batch = TextAnalysis.Bm25BatchQueries
+    val qtRows = batch.flatMap { case (q, text) =>
+      text.split("\\s+").filter(_.nonEmpty).groupBy(identity).toSeq
+        .map { case (t, g) => (q, t, g.length) }
+    }.sortBy(x => (x._1, x._2))
+      .map { case (q, t, n) => s"($q, '$t', $n.0)" }.mkString(", ")
+    val termList = batch.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .distinct.sorted.map(t => s"'$t'").mkString(", ")
+    spark.sql(
+      s"""WITH stats AS (SELECT n, sum_dl / n AS avgdl FROM bm25_index_stats),
+         |qt (q_id, term, qtf) AS (VALUES $qtRows),
+         |pruned AS (SELECT term, doc_id, dl, tf FROM bm25_index
+         |           WHERE term IN ($termList)),
+         |dfp AS (SELECT term, count(*) AS df FROM pruned GROUP BY term),
+         |scored AS (SELECT /*+ BROADCAST(dfp, qt, stats) */ q_id, doc_id,
+         |    sum(CAST(floor((ln(1.0 + (n - df + 0.5) / (df + 0.5)) * qtf * tf /
+         |          (tf + 1.2 * (0.25 + 0.75 * dl / greatest(avgdl, 0.000000001))))
+         |        * 1000000 + 0.5) / 1000000 AS DECIMAL(20,6))) AS score_dec
+         |  FROM pruned JOIN dfp USING (term) JOIN qt USING (term) CROSS JOIN stats
+         |  GROUP BY q_id, doc_id),
+         |r AS (SELECT q_id, doc_id, score_dec,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |        ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored WHERE score_dec > 0)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, rank, doc_id,
+         |       floor(CAST(score_dec AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+  }
+
+  /** The query batch's probe ranking over the standing IVF
+    * centroids, as SQL text (shared by the probe-planning statement
+    * and the search statement so the two can't drift). */
+  private val IvfProbeCte =
+    """q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      |       WHERE vec_id < 10),
+      |rk AS (SELECT q_id, q_vec, c_id,
+      |    row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cosine_similarity(q_vec, c_vec) DESC, c_id) AS rn
+      |  FROM q CROSS JOIN ivf_sq8_index_centroids)""".stripMargin
+
+  /** ANN search against the STANDING SQ8 IVF index from SQL — the
+    * vector serving twin: probe planning ranks the query batch
+    * against the centroids table (the `cosine_similarity` SQL
+    * function is the same Catalyst kernel the DataFrame path uses),
+    * the probed cell ids come back as a batch-sized collect (the
+    * [[Similarity.searchIvfIndex]] shape) and enter the search
+    * statement as a LITERAL bucket IN-list so the bucketed index
+    * scan is pruned to the probed cells; stored codes reconstruct
+    * in-plan (`vmin + code·scl`, the identical expression). Gated
+    * against the SAME oracle as sim_ivf_sq8 / sim_ivf_indexed. */
+  def qSimIvfSql(spark: SparkSession, dir: String): DataFrame = {
+    install(spark, dir)
+    Similarity.buildIvfIndex(spark, dir, "ivf_sq8_index")
+    // phase 1, query planning: probed cells (batch-sized collect)
+    val probed = spark.sql(
+      s"""WITH $IvfProbeCte
+         |SELECT DISTINCT c_id FROM rk WHERE rn <= 1""".stripMargin)
+      .collect().map(_.getLong(0)).sorted
+    spark.sql(
+      s"""WITH $IvfProbeCte,
+         |probe AS (SELECT q_id, q_vec, c_id AS q_bucket FROM rk WHERE rn <= 1),
+         |cells AS (SELECT vec_id, bucket,
+         |    transform(codes, c -> vmin + CAST(c AS DOUBLE) * scl) AS recon
+         |  FROM ivf_sq8_index WHERE bucket IN (${probed.mkString(", ")})),
+         |scored AS (SELECT /*+ BROADCAST(probe) */ q_id,
+         |    vec_id AS neighbor_id, cosine_similarity(q_vec, recon) AS sim
+         |  FROM cells JOIN probe ON bucket = q_bucket AND vec_id != q_id),
+         |r AS (SELECT q_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, neighbor_id,
+         |       floor(sim * 10000 + 0.5) / 10000 AS sim
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+  }
+
   /** Temperature-sampled mixing (T=2 ⇒ √count weights, 200-doc
     * target, largest-remainder integer split, md5-ordered quota fill)
     * from SQL. The quota CTEs run over the handful of strata (window

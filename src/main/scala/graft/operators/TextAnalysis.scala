@@ -1386,7 +1386,7 @@ object TextAnalysis {
 
   /** The request batch of the batch-retrieval gate — deterministic
     * fixture queries over the synthetic vocabulary. */
-  private val Bm25BatchQueries: Seq[(Long, String)] = Seq(
+  private[graft] val Bm25BatchQueries: Seq[(Long, String)] = Seq(
     0L -> "spark table query",
     1L -> "stream window agg",
     2L -> "fast vector scan")

@@ -1177,6 +1177,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much more a TARGET-domain LM likes it than the RAW-corpus
+    * LM — log w(d) = Σ_t [ln p_target(t) − ln p_raw(t)] over the
+    * doc's tokens. Documents with positive weight look like the
+    * target; resampling ∝ w shifts the corpus toward it. The target
+    * here is the English slice (`lang = 'en'`) standing in for "text
+    * resembling the eval domain"; both LMs are the engine's
+    * [[UnigramLm]] (top-[[LmVocab]] vocab + shared OOV mass — the
+    * hashed-ngram feature space of the paper collapses to unigrams at
+    * fixture vocabulary size).
+    *
+    * Scale shape: TWO model fits (each = one token-count shuffle,
+    * V+1 doubles of driver state, [[graft.core.ModelCache]]-memoized),
+    * then scoring is MAP-ONLY — both LMs ride into the projection as
+    * literal maps and each doc folds the logprob DIFFERENCE over its
+    * token array in one codegen'd transform+aggregate. Zero joins on
+    * the scoring side; a 100 TB corpus is scored in one scan. */
+  def qTextDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val raw = unigramLmFor(spark, dir)
+    val tgt = graft.core.ModelCache.corpusModel(spark,
+      s"dsir_target_lm:en:$LmVocab", s"$dir/documents.parquet") {
+      unigramLmOf(docs.where(col("lang") === "en"))
+    }
+    val lmT = typedLit(tgt.logp)
+    val lmR = typedLit(raw.logp)
+    val nTok = size(col("toks"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        when(nTok === 0, lit(0.0)).otherwise(Text.roundPortable(
+          aggregate(transform(col("toks"),
+              t => coalesce(element_at(lmT, t), lit(tgt.oovLp)) -
+                   coalesce(element_at(lmR, t), lit(raw.oovLp))),
+            lit(0.0), (acc, x) => acc + x), 4)).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
   // Bigram-LM dials: the conditional vocabulary (top bigrams kept)
   // next to the unigram [[LmVocab]]; a production dial is ~10⁶
   private val BigramVocab = 32
@@ -1741,10 +1780,19 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE corpus pass: word types + frequencies, then char symbols
+    // localCheckpoint, not cache: each step's rewrite must build on a
+    // LINEAGE-TRUNCATED vocab. Under cache, step k's logical plan
+    // still chains k nested merge-pass selects, and any plan the
+    // cache lookup misses (or a cascading unpersist evicts) hits the
+    // optimizer raw — CollapseProject then inlines each pass, which
+    // references its input ~4 times, so the expression tree grows
+    // 4^steps: invisible at the 3-step gate, an OOM at a 40-step
+    // production-ish table (hit for real by TokenizerSeamSpec).
+    // The connectedComponents loop learned the same lesson (r4).
     var vocab = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
-      .cache()
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     for (step <- 1 to steps) {
       // adjacent pairs weighted by word frequency — a vocab-sized
@@ -1765,19 +1813,19 @@ object TextAnalysis {
           // no adjacent pairs left (empty corpus, or every word fully
           // merged to one symbol): training is DONE — return the
           // merges learned so far instead of dying on the argmax
-          vocab.unpersist()
           return merges.toSeq
         case Some((a, b, cnt)) =>
           merges += ((step.toLong, a, b, a + b, cnt))
-          val prev = vocab
+          // eager localCheckpoint: materializes the rewrite (the old
+          // cache+count pair in one call) and truncates the plan to a
+          // leaf, so every step's queries optimize a ONE-pass plan;
+          // superseded checkpoint blocks are GC'd by the context
+          // cleaner
           vocab = vocab
             .select(bpeMergePass(col("syms"), a, b).as("syms"), col("freq"))
-            .cache()
-          vocab.count()
-          prev.unpersist()
+            .localCheckpoint()
       }
     }
-    vocab.unpersist()
     merges.toSeq
   }
 
@@ -1796,8 +1844,51 @@ object TextAnalysis {
   def qTextBpeApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val merged = bpeMergeTableFor(spark, dir, BpeMergeSteps)
+    bpeApplyMerges(docs, merged.map { case (_, a, b, _, _) => (a, b) })
+  }
+
+  /** Above this merge count, [[bpeApplyWith]] switches from the
+    * nested-fold Column expression to the broadcast-kernel encoder:
+    * each [[bpeMergePass]] references its input expression ~5 times,
+    * so the fold's expression TREE grows ~5× per merge — exponential
+    * in steps. 3 merges (the gate) is ~10² nodes; 40 would be ~10²⁷
+    * and catalyst analysis never returns. No engine codegens a
+    * 30k-merge tokenizer as one expression; past the limit the merge
+    * table rides as broadcast model state instead. */
+  private val ApplyFoldLimit = 6
+
+  /** BPE application with the merge table supplied AS DATA — the
+    * tokenizer's weights-as-table seam (the qualityClassifierWith /
+    * embedWith twin): a merge table trained anywhere (this engine at
+    * higher step counts, or a real tokenizer's exported merges) rides
+    * in as an ordered (step, lhs, rhs) frame and is read with the
+    * bounded model-collect convention (vocab-sized rows of MODEL
+    * state, the k-means precedent). Small tables (≤
+    * [[ApplyFoldLimit]]) tokenize through the IDENTICAL map-only
+    * codegen fold [[qTextBpeApply]] uses; production-sized tables go
+    * through [[bpeApplyMergesBig]] — same semantics per word (spec-
+    * pinned parity), same shuffle-free map-only shape, merge table
+    * broadcast instead of inlined as literals. Either way the seam
+    * leaves the schema and the no-shuffle plan contract unchanged
+    * (TokenizerSeamSpec pins round-trip, parity, and plan). */
+  def bpeApplyWith(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val merged = mergeTable
+      .select(col("step").cast("long"), col("lhs"), col("rhs"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    if (merged.size <= ApplyFoldLimit) bpeApplyMerges(docs, merged)
+    else bpeApplyMergesBig(docs, merged)
+  }
+
+  /** The shared map-only apply projection: every word's characters
+    * fold through the merges in learned order inside whole-stage
+    * codegen; no shuffle on the apply side at all. */
+  private def bpeApplyMerges(docs: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
     val applyAll: Column => Column = syms =>
-      merged.foldLeft(syms) { case (s, (_, a, b, _, _)) => bpeMergePass(s, a, b) }
+      merges.foldLeft(syms) { case (s, (a, b)) => bpeMergePass(s, a, b) }
     docs.select(
         col("doc_id"),
         size(toks).cast("long").as("n_words"),
@@ -1806,6 +1897,65 @@ object TextAnalysis {
         aggregate(
           transform(toks, w => size(applyAll(split(w, "")))),
           lit(0L), (acc, x) => acc + x).as("n_bpe_symbols"))
+      .orderBy("doc_id")
+  }
+
+  /** The large-merge-table apply kernel: tokenization and char
+    * counting stay SQL expressions (bit-identical to
+    * [[bpeApplyMerges]] — the word array is computed by the same
+    * [[toks]] column before the kernel sees it), and only the
+    * per-word merge fold moves into a mapPartitions over the
+    * BROADCAST merge list. Each word runs one greedy left-to-right
+    * pass per merge in learned order — the exact imperative
+    * transcription of [[bpeMergePass]]'s fold (a merged symbol
+    * becomes the running last element and can chain into the next
+    * comparison), so the two paths agree symbol-for-symbol, which
+    * TokenizerSeamSpec pins on a shared table. O(merges × word len)
+    * per word with a cheap both-symbols-present skip; a 30k-merge
+    * production encoder would switch to the rank-heap formulation,
+    * which is equivalent for any genuinely-trained table (a pair
+    * learned at step k can never be created by a merge after k,
+    * because its halves exist only after their own earlier steps).
+    * Map-only: no shuffle, no per-row driver work, model state rides
+    * once per executor. */
+  private[graft] def bpeApplyMergesBig(docs: DataFrame,
+                                       merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(
+        col("doc_id").cast("long"),
+        toks,
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+      .as[(Long, Seq[String], Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, words, nChars) =>
+          var total = 0L
+          words.foreach { w =>
+            var syms = w.split("")
+            var m = 0
+            while (m < ms.length && syms.length > 1) {
+              val (a, b) = ms(m)
+              if (syms.contains(a) && syms.contains(b)) {
+                val out = scala.collection.mutable.ArrayBuffer[String](syms(0))
+                var i = 1
+                while (i < syms.length) {
+                  if (out(out.length - 1) == a && syms(i) == b)
+                    out(out.length - 1) = a + b
+                  else out += syms(i)
+                  i += 1
+                }
+                syms = out.toArray
+              }
+              m += 1
+            }
+            total += syms.length
+          }
+          (id, words.size.toLong, nChars, total)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_bpe_symbols")
       .orderBy("doc_id")
   }
 }

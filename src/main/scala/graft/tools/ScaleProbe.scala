@@ -351,6 +351,40 @@ object ScaleProbe {
         // per-batch MG summaries + driver merge; one corpus-wide
         // exact-verify job at close
         "stream_heavy_hitters",
+        // --- completing the stream_* probe coverage (r12 verdict
+        // item 6); growth classes: scan (per-batch job over the
+        // batch), state-store (per-row keyed-state lookup),
+        // verify-bound (the close-the-books job is the growth term)
+        // per-batch agg + threshold into the standing blacklist +
+        // fused left_anti — scan class (no per-row keyed state)
+        "stream_blacklist",
+        // rank window per batch over the RUNNING-AGG OUTPUT (keys,
+        // not feed rows) — verify-bound on the key table
+        "stream_province_top3",
+        // event-time sliding windows + watermark: state rows = open
+        // windows × keys — state-store class
+        "stream_sliding_window",
+        // flatMapGroupsWithState session builder — state-store class
+        // (the replay harness serializes its per-row cost)
+        "stream_sessions",
+        // per-batch shingle join vs the standing broadcast eval
+        // index — scan class, batch-bounded
+        "stream_decontaminate",
+        // per-batch band join vs the standing band store — scan
+        // class, batch×matched-buckets bounded
+        "stream_dedup_incremental",
+        // stateful chunk-pack with carry tokens — state-store class,
+        // output grows with the feed
+        "stream_chunk_pack",
+        // per-batch KMV fold into the standing k-row sketch — scan
+        // class; the merge is model-sized
+        "stream_overlap_kmv",
+        // query micro-batches vs the standing IVF index — per-batch
+        // cost = probed cells; the one-off index build dominates
+        "stream_ann_search",
+        // query micro-batches vs the standing posting index —
+        // term-bucket bounded per batch; build dominates
+        "stream_bm25_search",
         // pure regex projection — the text_pii_redact class
         "text_code_detect")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_embedding_scaled"  -> (Similarity.qDedupEmbeddingScaled _),
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
+    "sim_ivf_recall"       -> (Similarity.qIvfRecall _),
     "sim_ivf_sq8"          -> (Similarity.qSimIvfSq8 _),
     "sim_ivf_scaled"       -> (Similarity.qSimIvfScaled _),
     "sim_ivf_2level_scaled" -> (Similarity.qSimIvfTwoLevelScaled _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "text_tokens_bpe"      -> (TextAnalysis.qTextTokensBpe _),
     "text_tfidf"           -> (TextAnalysis.qTextTfidf _),
     "text_unigram_logprob" -> (TextAnalysis.qTextUnigramLogprob _),
+    "text_dsir_weights"    -> (TextAnalysis.qTextDsirWeights _),
     "text_bigram_logprob"  -> (TextAnalysis.qTextBigramLogprob _),
     "text_quality_calibrate" -> (TextAnalysis.qQualityCalibrate _),
     "text_bpe_merges"      -> (TextAnalysis.qTextBpeMerges _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "text_source_cardinality" -> (TextAnalysis.qTextSourceCardinality _),
     "eval_token_f1"        -> (EvalScoring.qEvalTokenF1 _),
     "eval_majority_vote"   -> (EvalScoring.qEvalMajorityVote _),
+    "eval_bradley_terry"   -> (EvalScoring.qBradleyTerry _),
     "eval_preference_pairs" -> (EvalScoring.qPreferencePairs _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
@@ -132,6 +135,7 @@ object SparkEntry {
     "q_mix_epochs"         -> (Mixing.qMixEpochs _),
     "q_quality_sample"     -> (Mixing.qQualitySample _),
     "q_hash_split"         -> (Mixing.qHashSplit _),
+    "q_domain_cap"         -> (Mixing.qDomainCap _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
     "q_corpus_drift"       -> (Pipeline.qCorpusDrift _),
@@ -139,6 +143,7 @@ object SparkEntry {
     "pack_sequences"       -> (Packing.qPackSequences _),
     "pack_curriculum"      -> (Packing.qCurriculumPack _),
     "pack_boundaries"      -> (Packing.qPackBoundaries _),
+    "pack_efficiency"      -> (Packing.qPackEfficiency _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     // SQL-driven twins of the LLM operators (spark.sql entry points
     // over registered views + injected graft functions)
@@ -1160,6 +1165,34 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM scored)
          SELECT q_id, "rank", neighbor_id, floor((sim) * 10000 + 0.5) / 10000 AS sim FROM r
          WHERE "rank" <= 5 ORDER BY q_id, "rank" """,
+    // recall@5 of the nprobe=1 IVF search against the exact top-5:
+    // both ranked lists recomputed with their gates' own definitions,
+    // joined per query
+    "sim_ivf_recall" ->
+      """WITH q0 AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         bscored AS (SELECT q_id, vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sim
+             FROM embeddings CROSS JOIN q0 WHERE vec_id != q_id),
+         br AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn FROM bscored),
+         exact AS (SELECT q_id, neighbor_id FROM br WHERE rn <= 5),
+         cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+         asg AS (SELECT vec_id, embedding, c_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS c_sim
+             FROM embeddings CROSS JOIN cent),
+         best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn FROM asg),
+         assigned AS (SELECT vec_id, embedding, c_id AS bucket FROM best WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket FROM assigned WHERE vec_id < 10),
+         iscored AS (SELECT q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+             FROM assigned a JOIN q ON a.bucket = q.q_bucket AND a.vec_id != q.q_id),
+         ir AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn FROM iscored),
+         approx AS (SELECT q_id, neighbor_id FROM ir WHERE rn <= 5)
+         SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           floor(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.q_id ORDER BY e.q_id""",
     // IVF+SQ8: identical bucketing to sim_ivf; the corpus side is
     // scored on its min + code·step reconstruction (the memory
     // contract of a compressed index), queries stay full-precision
@@ -1829,6 +1862,35 @@ object SparkEntry {
            coalesce(s.n_oov, 0) AS n_oov,
            floor(coalesce(s.alp, 0.0) * 10000 + 0.5) / 10000 AS avg_logprob
          FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
+    // DSIR importance weights: per-doc sum of (target-LM logprob -
+    // raw-LM logprob); target LM fit on the lang='en' slice, both LMs
+    // the 16-token-vocab unigram model with shared OOV mass
+    "text_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         cnt AS (SELECT token, count(*) AS c FROM e GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM cnt),
+         topv AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 16),
+         iv AS (SELECT sum(c) AS inv FROM topv),
+         oov AS (SELECT CASE WHEN n > inv THEN ln(CAST(n - inv AS DOUBLE) / n)
+                        ELSE ln(1.0 / n) END AS oov_lp FROM n CROSS JOIN iv),
+         lm AS (SELECT token, ln(CAST(c AS DOUBLE) / n) AS lp FROM topv CROSS JOIN n),
+         te AS (SELECT doc_id, unnest(toks) AS token FROM d WHERE lang = 'en'),
+         tcnt AS (SELECT token, count(*) AS c FROM te GROUP BY 1),
+         tn AS (SELECT sum(c) AS n FROM tcnt),
+         ttopv AS (SELECT token, c FROM tcnt ORDER BY c DESC, token LIMIT 16),
+         tiv AS (SELECT sum(c) AS inv FROM ttopv),
+         toov AS (SELECT CASE WHEN n > inv THEN ln(CAST(n - inv AS DOUBLE) / n)
+                         ELSE ln(1.0 / n) END AS oov_lp FROM tn CROSS JOIN tiv),
+         tlm AS (SELECT token, ln(CAST(c AS DOUBLE) / n) AS lp FROM ttopv CROSS JOIN tn),
+         scored AS (SELECT e.doc_id, count(*) AS n_tokens,
+             sum(coalesce(t.lp, (SELECT oov_lp FROM toov))
+                 - coalesce(r.lp, (SELECT oov_lp FROM oov))) AS lw
+           FROM e LEFT JOIN tlm t ON e.token = t.token
+                  LEFT JOIN lm r ON e.token = r.token GROUP BY e.doc_id)
+         SELECT d.doc_id, coalesce(CAST(s.n_tokens AS BIGINT), 0) AS n_tokens,
+           floor(coalesce(s.lw, 0.0) * 10000 + 0.5) / 10000 AS log_weight
+         FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
     // per-source quality percent-rank: the engine computes it from
     // the (source, quality) histogram (skew-free), the oracle from
     // the window definition — identical by the ties-share-min rule
@@ -2115,6 +2177,49 @@ object SparkEntry {
          SELECT item_id, label AS maj_label, CAST(cnt AS BIGINT) AS n_agree,
                 (cnt = n_raters) AS unanimous
          FROM rk WHERE rk = 1 ORDER BY item_id""",
+    // Bradley-Terry MM fit, 3 iterations unrolled (the kmeans
+    // unroll precedent): duels = id-successor doc pairs with
+    // different sources, longer text wins (ties -> smaller doc_id);
+    // per iteration s_i = W_i / sum_j n_ij/(s_i+s_j), mean-normalized
+    "eval_bradley_terry" ->
+      """WITH duel AS (
+           SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS winner,
+                  CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS loser
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.source != b.source),
+         w AS (SELECT winner AS s, loser AS o, count(*) AS c FROM duel GROUP BY 1, 2),
+         dir AS (SELECT s, o, c FROM w UNION ALL SELECT o AS s, s AS o, 0 AS c FROM w),
+         dd AS (SELECT s, o, sum(c) AS w_so FROM dir GROUP BY 1, 2),
+         nij AS (SELECT d.s, d.o, d.w_so, d.w_so + r.w_so AS n
+                 FROM dd d JOIN dd r ON r.s = d.o AND r.o = d.s),
+         tot AS (SELECT s, sum(w_so) AS wi, sum(n) AS games FROM nij GROUP BY 1),
+         k AS (SELECT count(*) AS k FROM tot),
+         it0 AS (SELECT s, 1.0 AS st FROM tot),
+         d1 AS (SELECT n.s, sum(n.n / (a.st + b.st)) AS den FROM nij n
+                JOIN it0 a ON a.s = n.s JOIN it0 b ON b.s = n.o GROUP BY 1),
+         r1 AS (SELECT t.s, CASE WHEN d.den > 0 THEN t.wi / d.den ELSE 0.0 END AS st
+                FROM tot t JOIN d1 d ON d.s = t.s),
+         n1 AS (SELECT s, CASE WHEN (SELECT sum(st) FROM r1) > 0
+                  THEN st * (SELECT k FROM k) / (SELECT sum(st) FROM r1) ELSE 0.0 END AS st FROM r1),
+         d2 AS (SELECT n.s, sum(n.n / (a.st + b.st)) AS den FROM nij n
+                JOIN n1 a ON a.s = n.s JOIN n1 b ON b.s = n.o GROUP BY 1),
+         r2 AS (SELECT t.s, CASE WHEN d.den > 0 THEN t.wi / d.den ELSE 0.0 END AS st
+                FROM tot t JOIN d2 d ON d.s = t.s),
+         n2 AS (SELECT s, CASE WHEN (SELECT sum(st) FROM r2) > 0
+                  THEN st * (SELECT k FROM k) / (SELECT sum(st) FROM r2) ELSE 0.0 END AS st FROM r2),
+         d3 AS (SELECT n.s, sum(n.n / (a.st + b.st)) AS den FROM nij n
+                JOIN n2 a ON a.s = n.s JOIN n2 b ON b.s = n.o GROUP BY 1),
+         r3 AS (SELECT t.s, CASE WHEN d.den > 0 THEN t.wi / d.den ELSE 0.0 END AS st
+                FROM tot t JOIN d3 d ON d.s = t.s),
+         n3 AS (SELECT s, CASE WHEN (SELECT sum(st) FROM r3) > 0
+                  THEN st * (SELECT k FROM k) / (SELECT sum(st) FROM r3) ELSE 0.0 END AS st FROM r3),
+         fin AS (SELECT t.s AS source, CAST(t.games AS BIGINT) AS n_games,
+                   CAST(t.wi AS BIGINT) AS n_wins,
+                   floor(n3.st * 10000 + 0.5) / 10000 AS strength
+                 FROM tot t JOIN n3 ON n3.s = t.s)
+         SELECT source, n_games, n_wins, strength,
+                CAST(row_number() OVER (ORDER BY strength DESC, source) AS BIGINT) AS "rank"
+         FROM fin ORDER BY source""",
     // df=1 fraction per doc; docs under 3 tokens kept via left join
     "text_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
@@ -2312,6 +2417,14 @@ object SparkEntry {
            CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    // per-domain cap: top-5 docs per source by (n_chars desc, doc_id)
+    // — the engine computes it with the bounded-heap GroupedTopK, the
+    // oracle with the window definition it implements
+    "q_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS "rank"
+         FROM documents)
+         SELECT doc_id, source, n_chars, "rank" FROM r WHERE "rank" <= 5 ORDER BY doc_id""",
     // quality-weighted importance sampling: keep iff the 24-bit md5
     // uniform falls under floor(score · 2^24) — integer compare on
     // the 4-decimal-rounded score; kept rows carry weight 1/score
@@ -2419,6 +2532,34 @@ object SparkEntry {
            string_agg(CAST(seq_offset AS VARCHAR), ',' ORDER BY seq_offset) AS boundaries,
            CAST(sum(n_bpe_tokens) AS BIGINT) AS started_tokens
          FROM p GROUP BY seq_id ORDER BY seq_id""",
+    // corpus-level packing audit over the same prefix-sum assignment:
+    // one row of fill/fragmentation numbers; end_seq of a zero-token
+    // doc pins to its own sequence
+    "pack_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_bpe_tokens,
+           CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_bpe_tokens AS BIGINT) AS start_offset FROM t),
+         p AS (SELECT doc_id, n_bpe_tokens, start_offset // 256 AS seq_id,
+                CASE WHEN n_bpe_tokens > 0
+                     THEN (start_offset + n_bpe_tokens - 1) // 256
+                     ELSE start_offset // 256 END AS end_seq FROM c),
+         agg AS (SELECT CAST(coalesce(sum(n_bpe_tokens), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(max(end_seq) + 1, 0) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing_docs,
+           CAST(coalesce(sum(end_seq - seq_id), 0) AS BIGINT) AS n_crossings FROM p)
+         SELECT total_tokens, n_seqs, n_docs, n_crossing_docs, n_crossings,
+           CAST(CASE WHEN n_seqs = 0 THEN 0
+                ELSE ((total_tokens - 1) % 256) + 1 END AS BIGINT) AS last_fill,
+           CASE WHEN n_docs = 0 THEN 0.0
+                ELSE floor(CAST(n_crossing_docs AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 END AS crossing_share,
+           CASE WHEN n_docs = 0 THEN 0.0
+                ELSE floor(CAST(total_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 END AS avg_doc_tokens
+         FROM agg""",
     // the tokenizer hook: same packing, counts read from the
     // fixture's precomputed n_chars column instead of the regex
     // stand-in — an external tokenizer's materialized output

@@ -197,6 +197,88 @@ object EvalScoring {
       col("rater"), col("label")))
   }
 
+  // Bradley–Terry MM iterations: 3 suffices for a rank-stable fit on
+  // panel-sized duel matrices; a production arena dial is ~100 with a
+  // convergence stop — iterations are driver-side arithmetic on the
+  // k×k matrix, so the dial costs nothing distributed
+  private val BtIters = 3
+
+  /** BRADLEY–TERRY STRENGTH FITTING — the pairwise-preference
+    * aggregator behind chat-arena leaderboards and RLHF reward
+    * shaping: given (winner, loser) duels between k players, fit
+    * strengths s where P(i beats j) = s_i/(s_i+s_j), via the
+    * standard MM update (Hunter 2004)
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j), mean-normalized per round.
+    *
+    * Scale shape: the corpus-sized work is ONE duel aggregation
+    * (winner/loser source pair → count, partial-agg shuffle); the fit
+    * runs driver-side on the k×k win matrix — MODEL state (the
+    * k-means/eigensolve convention; k = #sources, so the collect is
+    * k²-bounded, never corpus-bounded). A billion duels aggregate to
+    * the same k² rows.
+    *
+    * The fixture has no human preferences, so duels derive
+    * deterministically from `documents`: each doc duels its
+    * id-successor when their sources differ, longer text wins (ties →
+    * the smaller doc_id) — every source plays every neighbor and both
+    * LMs of the comparison regime execute. Output: per source, games,
+    * wins, fitted strength (4dp), and rank (ties broken by source). */
+  def qBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+    val a = docs.select(col("doc_id").as("ida"), col("source").as("sa"),
+      col("n_chars").as("ca"))
+    val b = docs.select((col("doc_id") - 1).as("ida"),
+      col("source").as("sb"), col("n_chars").as("cb"))
+    val duels = a.join(b, "ida").where(col("sa") =!= col("sb"))
+      .select(
+        when(col("ca") >= col("cb"), col("sa")).otherwise(col("sb"))
+          .as("winner"),
+        when(col("ca") >= col("cb"), col("sb")).otherwise(col("sa"))
+          .as("loser"))
+    bradleyTerryFit(duels)
+  }
+
+  /** Core over a (winner, loser) duel frame — the aggregation +
+    * driver-side MM fit [[qBradleyTerry]] gates. */
+  private[graft] def bradleyTerryFit(duelRows: DataFrame): DataFrame = {
+    val spark = duelRows.sparkSession
+    import spark.implicits._
+    val duels = duelRows
+      .groupBy("winner", "loser").agg(count(lit(1)).as("c"))
+    // k²-bounded MODEL read: duel counts over source pairs
+    val winRows = duels.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val players = winRows.keys.flatMap { case (w, l) => Seq(w, l) }
+      .toSeq.distinct.sorted
+    val wins: Map[String, Long] = players.map(p =>
+      p -> winRows.collect { case ((w, _), c) if w == p => c }.sum).toMap
+    val nij: Map[(String, String), Long] = (for {
+      i <- players; j <- players if i < j
+      n = winRows.getOrElse((i, j), 0L) + winRows.getOrElse((j, i), 0L)
+      if n > 0
+    } yield Seq((i, j) -> n, (j, i) -> n)).flatten.toMap
+    var s: Map[String, Double] = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to BtIters) {
+      val raw = players.map { i =>
+        val den = players.filter(j => nij.contains((i, j)))
+          .map(j => nij((i, j)) / (s(i) + s(j))).sum
+        i -> (if (den > 0) wins(i) / den else 0.0)
+      }.toMap
+      val mean = raw.values.sum / math.max(players.size, 1)
+      s = raw.map { case (p, v) => p -> (if (mean > 0) v / mean else 0.0) }
+    }
+    val fitted = players.map { p =>
+      val games = players.map(j => nij.getOrElse((p, j), 0L)).sum
+      (p, games, wins(p), math.floor(s(p) * 1e4 + 0.5) / 1e4)
+    }
+    val ranked = fitted.sortBy { case (p, _, _, st) => (-st, p) }
+      .zipWithIndex
+      .map { case ((p, g, w, st), i) => (p, g, w, st, (i + 1).toLong) }
+    ranked.toDF("source", "n_games", "n_wins", "strength", "rank")
+      .orderBy("source")
+  }
+
   /** Core over an (item_id, rater, label) frame. */
   private[graft] def majorityVote(votes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -376,4 +376,39 @@ object Mixing {
           .otherwise("test"))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
+
+  // Per-domain document cap — 5 keeps every fixture source
+  // over-subscribed (each has ~15-30 docs) so the cap genuinely cuts;
+  // the production dial is ~10⁵ per registrable domain
+  private val DomainCap = 5
+
+  /** PER-DOMAIN CAPPING — the domain-balancing guard of web-corpus
+    * curation (C4/RefinedWeb keep at most N pages per domain so no
+    * single site dominates training): keep the [[DomainCap]]
+    * highest-value docs per `source`, value = (longest text first,
+    * doc_id tiebreak) as the stand-in for a quality model score.
+    *
+    * Scale shape: the selection is the bounded-heap
+    * [[graft.plans.GroupedTopK]] physical operator — each task holds
+    * ≤cap rows per domain (partial mode), the one shuffle carries
+    * ≤cap·partitions rows per domain, and no domain is ever fully
+    * sorted: a 10⁹-page domain costs the same task memory as a
+    * 10-page one, which is the whole point at web scale where domain
+    * cardinality is ~10⁷ and the head domain is ~10⁶ pages. The rank
+    * column is a panel-sized window AFTER capping (≤cap rows per
+    * domain). */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+    val capped = graft.plans.GroupedTopKApi.groupedTopKOrdered(docs,
+      keys = Seq("source"),
+      sort = Seq("n_chars" -> false, "doc_id" -> true),
+      k = DomainCap)
+    capped
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(desc("n_chars"), col("doc_id"))).cast("long"))
+      .select("doc_id", "source", "n_chars", "rank")
+      .orderBy("doc_id")
+  }
 }

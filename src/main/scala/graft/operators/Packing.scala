@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Text
 
 /** Sequence packing — the concat-and-chunk step of an LLM training
   * pipeline: documents are laid end-to-end in a canonical order and
@@ -68,6 +69,58 @@ object Packing {
           x => x.cast("string")), ",").as("boundaries"),
         sum(col("n_bpe_tokens")).as("started_tokens"))
       .orderBy("seq_id")
+  }
+
+  /** PACKING-EFFICIENCY AUDIT — the one-row report a training team
+    * reads before committing to a context length: how full the packed
+    * stream is and how fragmented attention will be. From the same
+    * assignment [[qPackSequences]] ships: total tokens, sequence
+    * count, the final sequence's fill (the only padded one under
+    * concat-and-chunk — fill_last is the whole padding story),
+    * boundary-crossing documents (docs split across ≥2 sequences —
+    * each crossing is a truncated attention context) and the total
+    * crossings (a doc longer than several windows fragments more than
+    * once), the crossing share, and mean doc length. Recomputed at
+    * candidate context lengths, these numbers price the
+    * fragmentation-vs-padding trade a context-length choice makes.
+    *
+    * Scale shape: the pack's two-phase prefix sum + ONE global
+    * aggregate (partial-agg combined map-side, a single final row) —
+    * nothing new materializes; the per-sequence frame never exists. */
+  def qPackEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    val packed = packTokens(toks, bucketWidthFor(n))
+      .withColumn("end_off", col("seq_id") * SeqTokens + col("seq_offset")
+        + col("n_bpe_tokens") - 1)
+      // integer DIV, not `/` (Column./ on longs promotes to double —
+      // precision loss past 2^53 tokens, i.e. exactly the scale this
+      // report is for); zero-token docs pin end_seq to their own seq
+      .withColumn("end_seq",
+        when(col("n_bpe_tokens") > 0, expr(s"end_off DIV $SeqTokens"))
+        .otherwise(col("seq_id")))
+    packed.agg(
+        coalesce(sum("n_bpe_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(max("end_seq") + 1, lit(0L)).as("n_seqs"),
+        coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+        coalesce(sum(when(col("end_seq") > col("seq_id"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_crossing_docs"),
+        coalesce(sum(col("end_seq") - col("seq_id")), lit(0L))
+          .as("n_crossings"))
+      .select(
+        col("total_tokens"), col("n_seqs"), col("n_docs"),
+        col("n_crossing_docs"), col("n_crossings"),
+        when(col("n_seqs") === 0, lit(0L))
+          .otherwise(((col("total_tokens") - 1) % SeqTokens) + 1)
+          .as("last_fill"),
+        when(col("n_docs") === 0, lit(0.0)).otherwise(Text.roundPortable(
+          col("n_crossing_docs").cast("double") / col("n_docs"), 4))
+          .as("crossing_share"),
+        when(col("n_docs") === 0, lit(0.0)).otherwise(Text.roundPortable(
+          col("total_tokens").cast("double") / col("n_docs"), 4))
+          .as("avg_doc_tokens"))
   }
 
   private[graft] def bucketWidthFor(n: Long): Long =

@@ -190,6 +190,38 @@ object Similarity {
     ivfSearch(Tables.embeddings(spark, dir), NumCentroids, nProbes = 1,
       sq8 = false)
 
+  /** IVF RECALL AUDIT — the index-quality eval every ANN deployment
+    * runs before trusting an approximate index: per query, how many
+    * of the EXACT top-k ([[qSimBruteForce]]) the IVF search
+    * ([[qSimIvf]]) returned. recall = hits / |exact top-k| (the
+    * denominator is the realized exact list, < k only on degenerate
+    * corpora). The operator exists because recall is a FIRST-CLASS
+    * pipeline artifact — the number that decides nprobe/centroid
+    * dials — not a test-only concern; the spec-level recall probes
+    * (ScaleProbe's [recall] tables) measure the same thing offline,
+    * this gates it as a query.
+    *
+    * Scale shape: both sides are |queries|·k rows after their own
+    * top-k pruning — the join and per-query count are panel-sized.
+    * The expensive side is the brute-force ground truth by
+    * construction (one corpus scan per query batch); production runs
+    * it on a SAMPLE of queries, which is this same plan with a
+    * narrower query filter. */
+  def qIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qSimBruteForce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = qSimIvf(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+           coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        graft.functions.Text.roundPortable(
+          col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** IVF + SQ8: the standard compressed-index ANN recipe. Bucketing
     * is identical to [[qSimIvf]] (coarse assignment happens on the
     * raw vector at index-build time), but search scores the corpus

@@ -1202,6 +1202,21 @@ object TextAnalysis {
       s"dsir_target_lm:en:$LmVocab", s"$dir/documents.parquet") {
       unigramLmOf(docs.where(col("lang") === "en"))
     }
+    dsirScore(docs, tgt, raw)
+  }
+
+  /** [[qTextDsirWeights]]'s core with both fitted LMs explicit —
+    * the map-only scoring projection, reusable against any
+    * (target, raw) model pair (DsirSignSpec drives it with a
+    * genuinely-disjoint domain split, where the sign property is
+    * provable; the fixture's `lang` slices share one synthetic
+    * vocabulary, so the GATE only pins exact values, not sign). */
+  private[graft] def dsirWeightsOf(docs: DataFrame,
+                                   target: Column): DataFrame =
+    dsirScore(docs, unigramLmOf(docs.where(target)), unigramLmOf(docs))
+
+  private def dsirScore(docs: DataFrame, tgt: UnigramLm,
+                        raw: UnigramLm): DataFrame = {
     val lmT = typedLit(tgt.logp)
     val lmR = typedLit(raw.logp)
     val nTok = size(col("toks"))

@@ -61,6 +61,7 @@ object SparkEntry {
     "sim_brute_force"      -> (Similarity.qSimBruteForce _),
     "sim_ivf"              -> (Similarity.qSimIvf _),
     "sim_ivf_recall"       -> (Similarity.qIvfRecall _),
+    "sim_matryoshka_recall" -> (Similarity.qMatryoshkaRecall _),
     "sim_ivf_sq8"          -> (Similarity.qSimIvfSq8 _),
     "sim_ivf_scaled"       -> (Similarity.qSimIvfScaled _),
     "sim_ivf_2level_scaled" -> (Similarity.qSimIvfTwoLevelScaled _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "eval_bradley_terry"   -> (EvalScoring.qBradleyTerry _),
     "eval_preference_pairs" -> (EvalScoring.qPreferencePairs _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
+    "emb_silhouette"       -> (Clustering.qEmbSilhouette _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "emb_outliers"         -> (Clustering.qEmbOutliers _),
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "stream_attribution"   -> (StreamingAnalogs.qAttribution _),
     "stream_sessions"      -> (graft.streaming.StatefulSessions.qStreamSessions _),
     "stream_decontaminate" -> (graft.streaming.StreamReplays.qStreamDecontaminate _),
+    "stream_dsir"          -> (graft.streaming.StreamReplays.qStreamDsir _),
     "stream_dedup_incremental" -> (graft.streaming.StreamReplays.qStreamIncrementalDedup _),
     "stream_dedup_watermark" -> (graft.streaming.StreamReplays.qStreamDedupWatermark _),
     "stream_sequence_examples" -> (graft.streaming.StatefulSequences.qStreamSequenceExamples _),
@@ -193,6 +196,7 @@ object SparkEntry {
     "pipeline_pretrain_model"  -> (Pipeline.qPretrainCorpusModel _),
     "pipeline_epoch_pack"  -> (Pipeline.qEpochPack _),
     "pipeline_release_audit" -> (Pipeline.qReleaseAudit _),
+    "pipeline_curation_audit" -> (Pipeline.qCurationAudit _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "q_sequence_examples"  -> (Sessions.qSequenceExamples _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
@@ -486,6 +490,7 @@ object SparkEntry {
     // corpus-scan batch scorer (two plans, one semantics)
     "text_bm25_indexed" -> OracleSqlBase("text_bm25_batch"),
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
+    "stream_dsir" -> OracleSqlBase("text_dsir_weights"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
     // a twice-replayed feed through dropDuplicatesWithinWatermark
     // must leave exactly the distinct key pairs
@@ -1193,6 +1198,28 @@ object SparkEntry {
                  / count(*) * 10000 + 0.5) / 10000 AS recall
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.q_id ORDER BY e.q_id""",
+    // matryoshka truncation recall: exact top-5 at full dim vs at the
+    // first-16-dim prefix (both sides truncated), per query
+    "sim_matryoshka_recall" ->
+      """WITH q0 AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         fs AS (SELECT q_id, vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sim
+             FROM embeddings CROSS JOIN q0 WHERE vec_id != q_id),
+         fr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn FROM fs),
+         exact AS (SELECT q_id, neighbor_id FROM fr WHERE rn <= 5),
+         t AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS v FROM embeddings),
+         tq AS (SELECT vec_id AS q_id, v AS q_vec FROM t WHERE vec_id < 10),
+         ts AS (SELECT q_id, vec_id AS neighbor_id,
+             list_cosine_similarity(q_vec, v) AS sim
+             FROM t CROSS JOIN tq WHERE vec_id != q_id),
+         tr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn FROM ts),
+         approx AS (SELECT q_id, neighbor_id FROM tr WHERE rn <= 5)
+         SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           floor(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.q_id ORDER BY e.q_id""",
     // IVF+SQ8: identical bucketing to sim_ivf; the corpus side is
     // scored on its min + code·step reconstruction (the memory
     // contract of a compressed index), queries stay full-precision
@@ -1891,6 +1918,52 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(CAST(s.n_tokens AS BIGINT), 0) AS n_tokens,
            floor(coalesce(s.lw, 0.0) * 10000 + 0.5) / 10000 AS log_weight
          FROM d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
+    // DSIR gate -> per-domain cap -> pack arithmetic, one audit row;
+    // the composition of three gated operators (sequence shape is a
+    // function of the survivor token total under concat-and-chunk)
+    "pipeline_curation_audit" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS token FROM d),
+         cnt AS (SELECT token, count(*) AS c FROM e GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM cnt),
+         topv AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 16),
+         iv AS (SELECT sum(c) AS inv FROM topv),
+         oov AS (SELECT CASE WHEN n > inv THEN ln(CAST(n - inv AS DOUBLE) / n)
+                        ELSE ln(1.0 / n) END AS oov_lp FROM n CROSS JOIN iv),
+         lm AS (SELECT token, ln(CAST(c AS DOUBLE) / n) AS lp FROM topv CROSS JOIN n),
+         te AS (SELECT doc_id, unnest(toks) AS token FROM d WHERE lang = 'en'),
+         tcnt AS (SELECT token, count(*) AS c FROM te GROUP BY 1),
+         tn AS (SELECT sum(c) AS n FROM tcnt),
+         ttopv AS (SELECT token, c FROM tcnt ORDER BY c DESC, token LIMIT 16),
+         tiv AS (SELECT sum(c) AS inv FROM ttopv),
+         toov AS (SELECT CASE WHEN n > inv THEN ln(CAST(n - inv AS DOUBLE) / n)
+                         ELSE ln(1.0 / n) END AS oov_lp FROM tn CROSS JOIN tiv),
+         tlm AS (SELECT token, ln(CAST(c AS DOUBLE) / n) AS lp FROM ttopv CROSS JOIN tn),
+         scored AS (SELECT e.doc_id,
+             sum(coalesce(t.lp, (SELECT oov_lp FROM toov))
+                 - coalesce(r.lp, (SELECT oov_lp FROM oov))) AS lw
+           FROM e LEFT JOIN tlm t ON e.token = t.token
+                  LEFT JOIN lm r ON e.token = r.token GROUP BY e.doc_id),
+         keep AS (SELECT d0.doc_id, d0.source, d0.n_chars, d0.text
+                  FROM documents d0 JOIN scored s ON s.doc_id = d0.doc_id
+                  WHERE floor(s.lw * 10000 + 0.5) / 10000 > 0),
+         cap AS (SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+                 FROM keep),
+         surv AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS nt
+           FROM cap WHERE rk <= 5),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_capped,
+                   CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens FROM surv)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM keep) AS n_dsir_kept,
+           n_capped, total_tokens,
+           CAST(CASE WHEN total_tokens = 0 THEN 0
+                ELSE (total_tokens - 1) // 256 + 1 END AS BIGINT) AS n_seqs,
+           CAST(CASE WHEN total_tokens = 0 THEN 0
+                ELSE ((total_tokens - 1) % 256) + 1 END AS BIGINT) AS last_fill
+         FROM agg""",
     // per-source quality percent-rank: the engine computes it from
     // the (source, quality) histogram (skew-free), the oracle from
     // the window definition — identical by the ties-share-min rule
@@ -2260,6 +2333,22 @@ object SparkEntry {
     // emb_kmeans_joined), the dedup_clusters / dedup_clusters_dist
     // precedent — two plans, one semantics
     "emb_kmeans" -> KmeansOracleSql,
+    // simplified silhouette over the same unrolled Lloyd fit: a/b =
+    // euclidean distances to the nearest / second-nearest centroid,
+    // silhouette on unrounded a,b, rounded at output
+    "emb_silhouette" -> (kmeansCtes("8") + """,
+         s AS (SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN c_id END) AS c1,
+             max(CASE WHEN rn = 1 THEN d END) AS d1,
+             max(CASE WHEN rn = 2 THEN d END) AS d2
+           FROM rf GROUP BY vec_id)
+         SELECT vec_id, CAST(c1 AS BIGINT) AS cluster,
+           floor(sqrt(d1) * 10000 + 0.5) / 10000 AS a_dist,
+           floor(sqrt(d2) * 10000 + 0.5) / 10000 AS b_dist,
+           CASE WHEN greatest(sqrt(d1), sqrt(d2)) = 0 THEN 0.0
+                ELSE floor((sqrt(d2) - sqrt(d1)) / greatest(sqrt(d1), sqrt(d2)) * 10000 + 0.5) / 10000
+           END AS silhouette
+         FROM s ORDER BY vec_id"""),
     "emb_kmeans_joined" -> KmeansOracleSql,
     // outlier flag = top ⌈10%⌉ of own cluster by rounded dist DESC
     // (rank-based: no FP threshold recomputed engine-side)

@@ -208,6 +208,48 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** SIMPLIFIED-SILHOUETTE CLUSTER QUALITY — the per-vector audit of
+    * a clustering a curation pipeline should publish next to the
+    * clusters it used (SemDeDup pruning and cluster-balanced sampling
+    * are only as good as the cluster geometry): a = distance to the
+    * OWN centroid, b = distance to the nearest OTHER centroid,
+    * silhouette = (b − a)/max(a, b) ∈ [−1, 1]. Negative rows sit
+    * closer to a foreign prototype than their own — the standard
+    * mis-clustered flag; the corpus mean prices the whole fit. This
+    * is the centroid-based simplified silhouette (Hruschka et al.) —
+    * the exact pairwise silhouette is O(n²) and needs no engine at
+    * all for small n, while the simplified form is O(n·k), scale-free
+    * in corpus size, and the one production clustering reports.
+    *
+    * Scale shape: the fit is the memoized Lloyd model; scoring is
+    * MAP-ONLY over the centroid literals (per row: k squared
+    * distances, sort of a k-array — model-sized work inside codegen),
+    * same contract as the assignment projection. Distances are
+    * euclidean (sqrt of the Lloyd metric); silhouette is computed on
+    * unrounded a, b and rounded only at output. */
+  def qEmbSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = prepared(Tables.embeddings(spark, dir))
+    val cents = kmeansModelFor(spark, dir, K, Iters)._1
+    if (cents.size < 2)
+      return emb.where(lit(false)).select(col("vec_id"),
+        lit(0L).as("cluster"), lit(0.0).as("a_dist"),
+        lit(0.0).as("b_dist"), lit(0.0).as("silhouette"))
+    val ranked = sort_array(array(cents.map { case (id, c) =>
+      struct(sqDist(col("v"), c).as("d"), lit(id).as("c_id"))
+    }: _*))
+    val d1 = sqrt(ranked.getItem(0).getField("d"))
+    val d2 = sqrt(ranked.getItem(1).getField("d"))
+    emb.select(
+        col("vec_id"),
+        ranked.getItem(0).getField("c_id").cast("long").as("cluster"),
+        Text.roundPortable(d1, Scale).as("a_dist"),
+        Text.roundPortable(d2, Scale).as("b_dist"),
+        when(greatest(d1, d2) === 0.0, lit(0.0))
+          .otherwise(Text.roundPortable(
+            (d2 - d1) / greatest(d1, d2), Scale)).as("silhouette"))
+      .orderBy("vec_id")
+  }
+
   /** Core with k and the iteration count exposed (spec dial: more
     * iterations must not increase within-cluster sum of squares). */
   private[graft] def kmeans(embeddings: DataFrame, k: Int,

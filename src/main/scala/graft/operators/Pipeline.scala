@@ -528,4 +528,50 @@ object Pipeline {
               col("seq_id"), col("seq_offset"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** The round-13 curation composition, end to end: DSIR importance
+    * gate → per-domain cap → packing arithmetic, reported as ONE
+    * audit row (the datasheet convention). Keeps docs the target LM
+    * prefers (rounded log_weight > 0 — the sign both engines agree
+    * on by the dsir gate), caps each source at its 5 best survivors
+    * through the bounded-heap [[graft.plans.GroupedTopK]], then
+    * derives the packed-stream shape from the survivor token total —
+    * exact for concat-and-chunk, where sequence count and final fill
+    * are functions of the total alone (the per-doc assignment is
+    * pack_sequences' own gate).
+    *
+    * Scale shape: the DSIR gate is map-only against driver LMs; the
+    * join-back is doc_id-keyed; the cap holds ≤5 rows per source per
+    * task; the report is three one-row aggregates cross-joined.
+    * Every stage is itself an oracle-gated operator — this gates the
+    * COMPOSITION. */
+  def qCurationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (tgt, raw) = TextAnalysis.dsirModelsFor(spark, dir)
+    val kept = docs.join(
+      TextAnalysis.dsirScore(docs, tgt, raw)
+        .where(col("log_weight") > 0).select("doc_id"),
+      "doc_id")
+    val capped = graft.plans.GroupedTopKApi.groupedTopKOrdered(
+      kept.select("doc_id", "source", "n_chars", "text"),
+      keys = Seq("source"),
+      sort = Seq("n_chars" -> false, "doc_id" -> true),
+      k = 5)
+    val SeqTokens = 256L
+    val stats = capped
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .agg(count(lit(1)).as("n_capped"),
+           coalesce(sum("n"), lit(0L)).as("total_tokens"))
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_dsir_kept")))
+      .crossJoin(stats)
+      .select(col("n_input"), col("n_dsir_kept"), col("n_capped"),
+        col("total_tokens"),
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(total_tokens - 1) DIV $SeqTokens") + 1)
+          .as("n_seqs"),
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(((col("total_tokens") - 1) % SeqTokens) + 1)
+          .as("last_fill"))
+  }
 }

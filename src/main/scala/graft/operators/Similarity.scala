@@ -222,6 +222,52 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  // Matryoshka truncation width: 16 of the fixture's 64 dims (the
+  // 4× memory/compute cut of MRL serving tiers)
+  private val MatryoshkaDims = 16
+
+  /** MATRYOSHKA TRUNCATION RECALL — the serving-tier audit for
+    * Matryoshka-style embeddings (Kusupati et al. 2022: models
+    * trained so PREFIXES of the vector are themselves usable
+    * embeddings): per query, how much of the full-dimension exact
+    * top-k survives when BOTH sides are truncated to the first
+    * [[MatryoshkaDims]] dims. The number that decides whether the
+    * cheap tier (4× less memory and FLOPs here) is good enough for
+    * first-stage retrieval with full-dim re-rank. Fixture embeddings
+    * are not MRL-trained, so measured recall prices raw prefix
+    * information — the honest baseline an MRL model must beat.
+    *
+    * Scale shape: two broadcast-query corpus scans (full-dim and
+    * truncated — the truncated one reads 1/4 the floats through the
+    * SAME ReadSchema-pruned plan) + a |queries|·k panel join; the
+    * [[qIvfRecall]] contract with a projection swap. */
+  def qMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def topk(vecs: DataFrame): DataFrame = {
+      val q = vecs.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+      vecs.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    }
+    val exact = topk(emb)
+    val trunc = topk(emb.select(col("vec_id"),
+      slice(col("embedding"), 1, MatryoshkaDims).as("embedding")))
+    exact.join(trunc.withColumn("hit", lit(1L)),
+        Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+           coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        graft.functions.Text.roundPortable(
+          col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** IVF + SQ8: the standard compressed-index ANN recipe. Bucketing
     * is identical to [[qSimIvf]] (coarse assignment happens on the
     * raw vector at index-build time), but search scores the corpus

@@ -1196,13 +1196,8 @@ object TextAnalysis {
     * token array in one codegen'd transform+aggregate. Zero joins on
     * the scoring side; a 100 TB corpus is scored in one scan. */
   def qTextDsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val raw = unigramLmFor(spark, dir)
-    val tgt = graft.core.ModelCache.corpusModel(spark,
-      s"dsir_target_lm:en:$LmVocab", s"$dir/documents.parquet") {
-      unigramLmOf(docs.where(col("lang") === "en"))
-    }
-    dsirScore(docs, tgt, raw)
+    val (tgt, raw) = dsirModelsFor(spark, dir)
+    dsirScore(Tables.documents(spark, dir), tgt, raw)
   }
 
   /** [[qTextDsirWeights]]'s core with both fitted LMs explicit —
@@ -1215,8 +1210,22 @@ object TextAnalysis {
                                    target: Column): DataFrame =
     dsirScore(docs, unigramLmOf(docs.where(target)), unigramLmOf(docs))
 
-  private def dsirScore(docs: DataFrame, tgt: UnigramLm,
-                        raw: UnigramLm): DataFrame = {
+  /** The fitted (target, raw) LM pair behind [[qTextDsirWeights]],
+    * exposed for the streaming twin: both are session-memoized driver
+    * model state, so a stream scores every micro-batch against ONE
+    * fit. */
+  private[graft] def dsirModelsFor(spark: SparkSession,
+      dir: String): (UnigramLm, UnigramLm) = {
+    val raw = unigramLmFor(spark, dir)
+    val tgt = graft.core.ModelCache.corpusModel(spark,
+      s"dsir_target_lm:en:$LmVocab", s"$dir/documents.parquet") {
+      unigramLmOf(Tables.documents(spark, dir).where(col("lang") === "en"))
+    }
+    (tgt, raw)
+  }
+
+  private[graft] def dsirScore(docs: DataFrame, tgt: UnigramLm,
+                               raw: UnigramLm): DataFrame = {
     val lmT = typedLit(tgt.logp)
     val lmR = typedLit(raw.logp)
     val nTok = size(col("toks"))

@@ -122,6 +122,32 @@ object StreamReplays {
     rows.toDF("doc_id", "n_shared").orderBy("doc_id")
   }
 
+  /** Streaming twin of the text_dsir_weights gate (same oracle):
+    * docs stream in micro-batches and each batch is scored against
+    * the STANDING LM pair — both LMs are session-memoized driver
+    * model state fit once before the stream starts (the production
+    * shape: importance weights for incoming data against a frozen
+    * target/raw model pair). Per-batch cost is one map-only
+    * projection over the batch; scoring is per-row, so any batch
+    * split concatenates to the batch result exactly — no state, no
+    * watermark, the embarrassing end of the streaming spectrum, and
+    * gated to prove the plumbing. */
+  def qStreamDsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tgt, raw) = graft.operators.TextAnalysis.dsirModelsFor(spark, dir)
+    val feed = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").orderBy("doc_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String)].collect().toSeq
+    val rows = replay(spark, feed, nChunks = 3) { batch =>
+      graft.operators.TextAnalysis.dsirScore(batch, tgt, raw)
+        // harness-side collect: draining one micro-batch's OUTPUT rows
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    rows.toDF("doc_id", "n_tokens", "log_weight").orderBy("doc_id")
+  }
+
   /** Streaming twin of the dedup_incremental gate (same oracle): odd
     * doc_ids stream against the standing even-id corpus signatures. */
   def qStreamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {

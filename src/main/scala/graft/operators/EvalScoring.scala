@@ -243,12 +243,22 @@ object EvalScoring {
     * driver-side MM fit [[qBradleyTerry]] gates. */
   private[graft] def bradleyTerryFit(duelRows: DataFrame): DataFrame = {
     val spark = duelRows.sparkSession
-    import spark.implicits._
     val duels = duelRows
       .groupBy("winner", "loser").agg(count(lit(1)).as("c"))
     // k²-bounded MODEL read: duel counts over source pairs
-    val winRows = duels.collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    bradleyTerryFromCounts(spark, duels.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap)
+  }
+
+  /** The MM fit from an already-aggregated win-count map — the
+    * MERGEABLE-summary seam: win counts are additive, so a stream
+    * merges per-batch count maps and fits once at close
+    * ([[graft.streaming.StreamReplays.qStreamBradleyTerry]]); any
+    * batch split yields the identical fit because the merged counts
+    * ARE the one-shot counts. */
+  private[graft] def bradleyTerryFromCounts(spark: SparkSession,
+      winRows: Map[(String, String), Long]): DataFrame = {
+    import spark.implicits._
     val players = winRows.keys.flatMap { case (w, l) => Seq(w, l) }
       .toSeq.distinct.sorted
     val wins: Map[String, Long] = players.map(p =>
@@ -277,6 +287,47 @@ object EvalScoring {
       .map { case ((p, g, w, st), i) => (p, g, w, st, (i + 1).toLong) }
     ranked.toDF("source", "n_games", "n_wins", "strength", "rank")
       .orderBy("source")
+  }
+
+  // pass@k panel: 5 samples per problem, k dials of 1 and 3
+  private val PassSamples = 5
+
+  /** PASS@K ESTIMATION — the code-eval metric (Chen et al. 2021,
+    * HumanEval): given n samples per problem of which c pass,
+    * pass@k = 1 − C(n−c, k)/C(n, k), the unbiased probability that a
+    * size-k draw contains a passing sample. Computed as the product
+    * form 1 − Π_{i=0..k−1} (n−c−i)/(n−i) — when c ≥ n−k+1 a zero
+    * factor lands in the product and pass@k is exactly 1, so the
+    * expression needs no clamping.
+    *
+    * Scale shape: MAP-ONLY — c folds over [[PassSamples]] literal
+    * hash-draw terms per row (no explode, no shuffle); a billion
+    * problems score in one scan. The fixture has no execution
+    * results, so sample i of problem d passes iff the proven
+    * cross-engine hash24 draw on (d·7 + i) falls under d's own pass
+    * rate (doc_id%5+1)/10 — pass rates 10–50 % so every c regime
+    * (0..n) executes. */
+  def qEvalPassAtK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val c = (1 to PassSamples).map { i =>
+      val draw = conv(substring(
+        md5((col("doc_id") * 7 + lit(i)).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+      when(draw * 10 < lit(Hash24Space) * (pmod(col("doc_id"), lit(5)) + 1),
+        1L).otherwise(0L)
+    }.reduce(_ + _)
+    val n = PassSamples
+    def passAt(k: Int, cc: Column): Column = Text.roundPortable(
+      lit(1.0) - (0 until k).map(i =>
+        (lit(n - i) - cc).cast("double") / lit((n - i).toDouble))
+        .reduce(_ * _), 4)
+    docs
+      .withColumn("n_correct", c)
+      .select(col("doc_id"), lit(n.toLong).as("n_samples"),
+        col("n_correct"),
+        passAt(1, col("n_correct")).as("pass_at_1"),
+        passAt(3, col("n_correct")).as("pass_at_3"))
+      .orderBy("doc_id")
   }
 
   /** Core over an (item_id, rater, label) frame. */

@@ -148,6 +148,47 @@ object StreamReplays {
     rows.toDF("doc_id", "n_tokens", "log_weight").orderBy("doc_id")
   }
 
+  /** Streaming twin of the eval_bradley_terry gate (same oracle):
+    * duels stream in micro-batches; the standing state is the WIN
+    * COUNT map — k² longs of driver model state, and counts are
+    * ADDITIVE, so merging per-batch aggregates is exact for any batch
+    * split (the KMV/Misra-Gries mergeable-summary convention, here
+    * with the trivial merge). The MM fit runs ONCE at close on the
+    * merged counts — an arena leaderboard ingesting preference events
+    * all day and refitting on demand. Per-batch cost: one batch-sized
+    * duel aggregation; corpus size never re-enters. */
+  def qStreamBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+    val a = docs.select(col("doc_id").as("ida"), col("source").as("sa"),
+      col("n_chars").as("ca"))
+    val b = docs.select((col("doc_id") - 1).as("ida"),
+      col("source").as("sb"), col("n_chars").as("cb"))
+    val feed = a.join(b, "ida").where(col("sa") =!= col("sb"))
+      .select(col("ida"),
+        when(col("ca") >= col("cb"), col("sa")).otherwise(col("sb"))
+          .as("winner"),
+        when(col("ca") >= col("cb"), col("sb")).otherwise(col("sa"))
+          .as("loser"))
+      .orderBy("ida")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, String, String)].collect().toSeq
+    var standing = Map.empty[(String, String), Long]
+    replay3(spark, feed, nChunks = 3) { batch =>
+      val batchCounts = batch.toDF("ida", "winner", "loser")
+        .groupBy("winner", "loser").agg(count(lit(1)).as("c"))
+        // harness-side collect: per-batch duel counts are k²-bounded
+        // MODEL state, merged additively into the standing map
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      batchCounts.foreach { case (k, c) =>
+        standing = standing.updated(k, standing.getOrElse(k, 0L) + c)
+      }
+      Seq.empty[Unit]
+    }
+    graft.operators.EvalScoring.bradleyTerryFromCounts(spark, standing)
+  }
+
   /** Streaming twin of the dedup_incremental gate (same oracle): odd
     * doc_ids stream against the standing even-id corpus signatures. */
   def qStreamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {

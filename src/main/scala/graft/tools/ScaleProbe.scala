@@ -410,7 +410,13 @@ object ScaleProbe {
         "stream_dsir",
         // DSIR gate -> domain cap -> pack arithmetic; three one-row
         // aggregates cross-joined
-        "pipeline_curation_audit")
+        "pipeline_curation_audit",
+        // map-only: c folds over 5 literal hash draws per row
+        "eval_pass_at_k",
+        // memoized Lloyd model + bounded-heap per-cluster selection
+        "emb_cluster_sample",
+        // per-batch duel aggregation; standing state = k² win counts
+        "stream_bradley_terry")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

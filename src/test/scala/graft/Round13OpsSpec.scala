@@ -86,6 +86,53 @@ class Round13OpsSpec extends SparkSpec {
     assert(means(true) > means(false))
   }
 
+  test("pass@k: closed form per c, all regimes present, monotone in c") {
+    val rows = EvalScoring.qEvalPassAtK(spark, sf).collect()
+    assert(rows.length == 500)
+    val seen = rows.map(_.getLong(2)).toSet
+    assert(seen.contains(0L) && seen.exists(_ >= 3L),
+      s"fixture should exercise low and high c regimes: $seen")
+    rows.foreach { r =>
+      val c = r.getLong(2)
+      val p1 = r.getDouble(3); val p3 = r.getDouble(4)
+      assert(math.abs(p1 - c / 5.0) < 1e-9, s"pass@1 must be c/n: $r")
+      if (c == 0) assert(p3 == 0.0)
+      if (c >= 3) assert(p3 == 1.0, s"c=$c >= n-k+1 forces pass@3 = 1: $r")
+      assert(p3 >= p1 - 1e-9, "a bigger draw can only help")
+    }
+  }
+
+  test("cluster sample: bounded-heap plan, <=10 per cluster, disjoint from the outlier fringe") {
+    val sample = operators.Clustering.qEmbClusterSample(spark, sf)
+    assert(sample.queryExecution.executedPlan.toString.contains("GroupedTopK"))
+    val perCluster = sample.groupBy("cluster").count().collect()
+    perCluster.foreach(r => assert(r.getLong(1) <= 10))
+    // prototypes (nearest) and outliers (farthest decile) cannot meet
+    // in any cluster with >= 12 members
+    val sizes = operators.Clustering.qEmbKmeans(spark, sf)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val outliers = operators.Clustering.qEmbOutliers(spark, sf)
+      .where(col("outlier")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val clash = sample.collect()
+      .filter(r => sizes(r.getLong(1)) >= 12 && outliers(r.getLong(0)))
+    assert(clash.isEmpty, s"prototype/outlier overlap: ${clash.toSeq}")
+  }
+
+  test("bradley-terry counts are mergeable: split fits equal the one-shot fit") {
+    val duels = Seq(("a","b"),("a","b"),("b","c"),("c","a"),("a","c"),("b","a"))
+    val full = EvalScoring.bradleyTerryFit(duels.toDF("winner","loser"))
+      .collect().map(_.toSeq)
+    val (h1, h2) = duels.splitAt(3)
+    def counts(d: Seq[(String,String)]) =
+      d.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val merged = (counts(h1).toSeq ++ counts(h2).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val split = EvalScoring.bradleyTerryFromCounts(spark, merged)
+      .collect().map(_.toSeq)
+    assert(full.toSeq == split.toSeq)
+  }
+
   test("silhouette: cluster agrees with kmeans assignment, a<=b by construction, values bounded") {
     val sil = operators.Clustering.qEmbSilhouette(spark, sf)
     val asg = operators.Clustering.qEmbKmeans(spark, sf)

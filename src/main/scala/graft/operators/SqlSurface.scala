@@ -138,7 +138,9 @@ object SqlSurface {
     val termList = batch.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
       .distinct.sorted.map(t => s"'$t'").mkString(", ")
     spark.sql(
-      s"""WITH stats AS (SELECT n, sum_dl / n AS avgdl FROM bm25_index_stats),
+      s"""WITH stats AS (SELECT n,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE sum_dl / n END AS avgdl
+         |  FROM bm25_index_stats),
          |qt (q_id, term, qtf) AS (VALUES $qtRows),
          |pruned AS (SELECT term, doc_id, dl, tf FROM bm25_index
          |           WHERE term IN ($termList)),
@@ -192,7 +194,10 @@ object SqlSurface {
          |probe AS (SELECT q_id, q_vec, c_id AS q_bucket FROM rk WHERE rn <= 1),
          |cells AS (SELECT vec_id, bucket,
          |    transform(codes, c -> vmin + CAST(c AS DOUBLE) * scl) AS recon
-         |  FROM ivf_sq8_index WHERE bucket IN (${probed.mkString(", ")})),
+         |  FROM ivf_sq8_index WHERE bucket IN (${
+           // an EMPTY probe set (empty corpus/index) must stay valid
+           // SQL: -1 is never a real bucket id
+           if (probed.isEmpty) "-1" else probed.mkString(", ")})),
          |scored AS (SELECT /*+ BROADCAST(probe) */ q_id,
          |    vec_id AS neighbor_id, cosine_similarity(q_vec, recon) AS sim
          |  FROM cells JOIN probe ON bucket = q_bucket AND vec_id != q_id),

@@ -480,4 +480,42 @@ class PlanAuditSpec extends SparkSpec {
     val hashes = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashes == 1, s"expected 1 hash exchange (cluster window), got $hashes:\n$p")
   }
+
+  test("dsir scoring is one scan with no join and no hash exchange") {
+    // both LMs ride as literal maps (the classifier-inference
+    // contract): a vocabulary-table join or a shuffle would mean the
+    // model leaked back into the data plane
+    val p = planOf("text_dsir_weights")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("pass@k is map-only: one scan, no explode, no exchange except the output sort") {
+    val p = planOf("eval_pass_at_k")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), "the 5 samples must fold as literal terms, not explode")
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("silhouette is map-only over the model literals: no join, no hash exchange") {
+    val p = planOf("emb_silhouette")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("pack efficiency aggregates partial+final with no per-sequence materialization") {
+    val p = planOf("pack_efficiency")
+    assert(p.contains("HashAggregate"), p)
+    // the report must NOT group by seq_id — only the pack's two-phase
+    // prefix windows and one global aggregate
+    assert(!p.contains("hashpartitioning(seq_id"), p)
+  }
+
+  test("domain cap and cluster sample select on the bounded heap, not a corpus window sort") {
+    Seq("q_domain_cap", "emb_cluster_sample").foreach { g =>
+      val p = planOf(g)
+      assert(p.contains("GroupedTopK"), s"$g lost the bounded-heap operator:\n$p")
+    }
+  }
 }

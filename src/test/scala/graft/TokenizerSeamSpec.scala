@@ -26,6 +26,20 @@ class TokenizerSeamSpec extends SparkSpec {
   private lazy val trained = TextAnalysis.bpeMerges(docs, Steps).cache()
 
   test("train -> export-as-table -> consume round-trips exactly") {
+    // a previous JVM's warehouse dir can outlive its catalog entry,
+    // and saveAsTable refuses a dangling location even in overwrite
+    // mode — drop both before writing
+    spark.sql(s"DROP TABLE IF EXISTS $ExportTable")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), ExportTable)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     trained.write.mode("overwrite").saveAsTable(ExportTable)
     val direct = TextAnalysis.bpeApplyWith(docs, trained)
       .collect().map(_.toSeq)

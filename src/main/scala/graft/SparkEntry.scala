@@ -125,7 +125,9 @@ object SparkEntry {
     "eval_majority_vote"   -> (EvalScoring.qEvalMajorityVote _),
     "eval_bradley_terry"   -> (EvalScoring.qBradleyTerry _),
     "eval_pass_at_k"       -> (EvalScoring.qEvalPassAtK _),
+    "eval_ece"             -> (EvalScoring.qEvalEce _),
     "stream_bradley_terry" -> (graft.streaming.StreamReplays.qStreamBradleyTerry _),
+    "stream_cluster_assign" -> (graft.streaming.StreamReplays.qStreamClusterAssign _),
     "eval_preference_pairs" -> (EvalScoring.qPreferencePairs _),
     "emb_kmeans"           -> (Clustering.qEmbKmeans _),
     "emb_silhouette"       -> (Clustering.qEmbSilhouette _),
@@ -155,6 +157,7 @@ object SparkEntry {
     "pack_sequences_sql"   -> (SqlSurface.qPackSequencesSql _),
     "dedup_exact_sql"      -> (SqlSurface.qDedupExactSql _),
     "q_temperature_mix_sql" -> (SqlSurface.qTemperatureMixSql _),
+    "q_domain_cap_sql"     -> (SqlSurface.qDomainCapSql _),
     "text_bm25_sql"        -> (SqlSurface.qTextBm25Sql _),
     "sim_ivf_sql"          -> (SqlSurface.qSimIvfSql _),
     "q_global_shuffle"     -> (Packing.qGlobalShuffle _),
@@ -495,6 +498,7 @@ object SparkEntry {
     "stream_decontaminate" -> OracleSqlBase("text_decontaminate"),
     "stream_dsir" -> OracleSqlBase("text_dsir_weights"),
     "stream_bradley_terry" -> OracleSqlBase("eval_bradley_terry"),
+    "stream_cluster_assign" -> KmeansOracleSql,
     "stream_dedup_incremental" -> OracleSqlBase("dedup_incremental"),
     // a twice-replayed feed through dropDuplicatesWithinWatermark
     // must leave exactly the distinct key pairs
@@ -526,6 +530,7 @@ object SparkEntry {
     "dedup_exact_sql" -> OracleSqlBase("dedup_exact"),
     "dedup_paragraphs_sql" -> OracleSqlBase("dedup_paragraphs"),
     "q_temperature_mix_sql" -> OracleSqlBase("q_temperature_mix"),
+    "q_domain_cap_sql" -> OracleSqlBase("q_domain_cap"),
     // serving-family SQL twins: same oracles as the standing-index
     // DataFrame paths (three plans, one semantics)
     "text_bm25_sql" -> OracleSqlBase("text_bm25_batch"),
@@ -2310,6 +2315,26 @@ object SparkEntry {
            floor((1.0 - (5 - n_correct) / 5.0) * 10000 + 0.5) / 10000 AS pass_at_1,
            floor((1.0 - ((5 - n_correct) / 5.0) * ((4 - n_correct) / 4.0) * ((3 - n_correct) / 3.0)) * 10000 + 0.5) / 10000 AS pass_at_3
          FROM c ORDER BY doc_id""",
+    // ECE reliability bins: conf = the heuristic quality score,
+    // synthetic correctness draw under conf^2 (overconfident model),
+    // 10 equal-width bins, per-bin |conf - acc| gap
+    "eval_ece" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
+         q AS (SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS conf
+           FROM d),
+         s AS (SELECT doc_id, conf,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                       < floor(conf * conf * 16777216.0)
+                  THEN 1 ELSE 0 END AS correct,
+             least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin
+           FROM q)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(conf) * 10000 + 0.5) / 10000 AS avg_conf,
+           floor(avg(correct) * 10000 + 0.5) / 10000 AS avg_acc,
+           floor(abs(avg(conf) - avg(correct)) * 10000 + 0.5) / 10000 AS gap
+         FROM s GROUP BY bin ORDER BY bin""",
     // df=1 fraction per doc; docs under 3 tokens kept via left join
     "text_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),

@@ -250,6 +250,16 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** Map-only assignment of ANY (vec_id, embedding) frame against the
+    * STANDING corpus model — the online-serving shape
+    * ([[graft.streaming.StreamReplays.qStreamClusterAssign]] drives
+    * micro-batches through it); the identical projection
+    * [[qEmbKmeans]] gates, so the streaming twin dispatches the same
+    * oracle. */
+  private[graft] def assignAgainstCorpusModel(spark: SparkSession,
+      dir: String, vecs: DataFrame): DataFrame =
+    kmeansAssignWith(prepared(vecs), kmeansModelFor(spark, dir, K, Iters)._1)
+
   // prototype coreset size per cluster
   private val ClusterSampleM = 10
 

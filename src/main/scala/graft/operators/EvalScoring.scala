@@ -330,6 +330,52 @@ object EvalScoring {
       .orderBy("doc_id")
   }
 
+  /** EXPECTED-CALIBRATION-ERROR BINNING — the reliability diagram a
+    * model-based quality filter should publish before its scores gate
+    * data (an overconfident classifier silently starves the corpus):
+    * predictions bucket into 10 equal-width confidence bins; each bin
+    * reports size, mean confidence, realized accuracy, and the
+    * |confidence − accuracy| gap whose n-weighted sum is ECE.
+    *
+    * Confidence = the engine's own heuristic quality score (already
+    * in [0, 1], the text_quality formula); the fixture has no labels,
+    * so correctness is synthesized DETERMINISTICALLY as an
+    * OVERCONFIDENT model: a doc is "correct" iff its hash24 draw
+    * falls under conf² — realized accuracy tracks conf² < conf, so
+    * every bin shows the positive gap a real miscalibrated filter
+    * would, and the binning/gap machinery is exercised end to end.
+    *
+    * Scale shape: one map-only projection (score + draw + bin) and
+    * ONE 10-group partial agg — corpus touched once, output is 10
+    * rows. */
+  def qEvalEce(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks)
+    val conf = Text.roundPortable(
+      lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(0.3) * (size(filter(toks,
+        t => t.isin("the", "a", "and", "of", "to"))).cast("double") / nTok),
+      4)
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), conf.as("conf"), draw.as("draw"))
+      .withColumn("correct",
+        when(col("draw") < floor(col("conf") * col("conf")
+          * lit(Hash24Space.toDouble)), 1L).otherwise(0L))
+      .withColumn("bin",
+        least(floor(col("conf") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+           avg("conf").as("ac"), avg("correct").as("aa"))
+      .select(col("bin"), col("n_docs"),
+        Text.roundPortable(col("ac"), 4).as("avg_conf"),
+        Text.roundPortable(col("aa"), 4).as("avg_acc"),
+        Text.roundPortable(abs(col("ac") - col("aa")), 4).as("gap"))
+      .orderBy("bin")
+  }
+
   /** Core over an (item_id, rater, label) frame. */
   private[graft] def majorityVote(votes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -210,6 +210,24 @@ object SqlSurface {
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** Per-domain capping from SQL — the governance twin of
+    * [[Mixing.qDomainCap]]: a SQL-speaking consumer's cap is the
+    * window formulation (rank ≤ cap per source); the DataFrame twin
+    * computes the SAME rows on the bounded-heap GroupedTopK — the
+    * custom physical operator stays a DataFrame-side optimization,
+    * exactly the temperature-mix twin's division of labor. Gated
+    * against the same oracle. */
+  def qDomainCapSql(spark: SparkSession, dir: String): DataFrame = {
+    install(spark, dir)
+    spark.sql(
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS `rank`
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, `rank`
+        |FROM r WHERE `rank` <= 5 ORDER BY doc_id""".stripMargin)
+  }
+
   /** Temperature-sampled mixing (T=2 ⇒ √count weights, 200-doc
     * target, largest-remainder integer split, md5-ordered quota fill)
     * from SQL. The quota CTEs run over the handful of strata (window

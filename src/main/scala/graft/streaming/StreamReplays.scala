@@ -42,6 +42,50 @@ object StreamReplays {
     out.toSeq
   }
 
+  /** [[replay]] for (vec_id, embedding) feeds. */
+  private def replayVec[T](spark: SparkSession,
+                           vecs: Seq[(Long, Seq[Float])], nChunks: Int)(
+      perBatch: DataFrame => Seq[T]): Seq[T] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = ArrayBuffer[T]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out.synchronized { out ++= perBatch(batch) }
+        ()
+      }
+      .start()
+    try {
+      vecs.grouped(math.max(1, (vecs.size + nChunks - 1) / nChunks))
+        .foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    out.toSeq
+  }
+
+  /** Streaming twin of the emb_kmeans gate (same oracle): vectors
+    * stream in micro-batches and each batch is assigned against the
+    * STANDING Lloyd model — trained once before the stream starts and
+    * session-memoized, the online-serving shape of a trained
+    * clustering (embedding routers, cluster-tagged ingestion). The
+    * assignment is a per-row projection against model literals, so
+    * any batch split concatenates to the batch result exactly. */
+  def qStreamClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      // harness-side collect: feeding the MemoryStream (bounded fixture)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val rows = replayVec(spark, feed, nChunks = 3) { batch =>
+      graft.operators.Clustering.assignAgainstCorpusModel(spark, dir, batch)
+        // harness-side collect: draining one micro-batch's OUTPUT rows
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    rows.toDF("vec_id", "cluster", "dist").orderBy("vec_id")
+  }
+
   /** [[replay]] for (doc_id, text, source) feeds. */
   private def replay3[T](spark: SparkSession, docs: Seq[(Long, String, String)],
                          nChunks: Int)(

@@ -416,7 +416,14 @@ object ScaleProbe {
         // memoized Lloyd model + bounded-heap per-cluster selection
         "emb_cluster_sample",
         // per-batch duel aggregation; standing state = k² win counts
-        "stream_bradley_terry")
+        "stream_bradley_terry",
+        // one map-only projection + a 10-group partial agg
+        "eval_ece",
+        // window formulation from SQL; the DataFrame twin's heap
+        // stays a DataFrame-side optimization
+        "q_domain_cap_sql",
+        // per-batch map-only assignment vs the standing Lloyd model
+        "stream_cluster_assign")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

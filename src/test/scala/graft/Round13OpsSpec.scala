@@ -133,6 +133,23 @@ class Round13OpsSpec extends SparkSpec {
     assert(full.toSeq == split.toSeq)
   }
 
+  test("ece bins: gap consistency and the overconfident model shows net positive miscalibration") {
+    val bins = EvalScoring.qEvalEce(spark, sf).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0 && b <= 9)
+      val (ac, aa, gap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(gap - math.floor(math.abs(ac - aa) * 1e4 + 0.5) / 1e4) < 1e-9,
+        s"gap must be the rounded |conf-acc|: $r")
+    }
+    // correctness draws under conf^2: in aggregate accuracy must sit
+    // BELOW confidence (per-bin noise may flip a small bin, the
+    // n-weighted sum may not)
+    val net = bins.map(r => r.getLong(1) * (r.getDouble(2) - r.getDouble(3))).sum
+    assert(net > 0.0, s"overconfident synthetic model must show net positive gap: $net")
+  }
+
   test("silhouette: cluster agrees with kmeans assignment, a<=b by construction, values bounded") {
     val sil = operators.Clustering.qEmbSilhouette(spark, sf)
     val asg = operators.Clustering.qEmbKmeans(spark, sf)

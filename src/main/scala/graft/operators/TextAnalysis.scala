@@ -1909,8 +1909,8 @@ object TextAnalysis {
   /** The shared map-only apply projection: every word's characters
     * fold through the merges in learned order inside whole-stage
     * codegen; no shuffle on the apply side at all. */
-  private def bpeApplyMerges(docs: DataFrame,
-                             merges: Seq[(String, String)]): DataFrame = {
+  private[graft] def bpeApplyMerges(docs: DataFrame,
+                                    merges: Seq[(String, String)]): DataFrame = {
     val applyAll: Column => Column = syms =>
       merges.foldLeft(syms) { case (s, (a, b)) => bpeMergePass(s, a, b) }
     docs.select(

@@ -63,6 +63,41 @@ class TokenizerSeamSpec extends SparkSpec {
     assert(fold.toSeq == kernel.toSeq)
   }
 
+  test("fold/kernel parity holds for ARBITRARY merge tables, not just trained ones (property)") {
+    // the kernel transcribes the fold pass-for-pass, so equivalence
+    // must hold even for adversarial tables no training would emit
+    // (merges that re-merge earlier outputs, duplicate pairs,
+    // pairs over multi-char symbols created mid-sequence) — unlike a
+    // rank-heap encoder, which is only equivalent for trained tables
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val alpha = Seq("a", "b", "c")
+    val wordGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    val docGen = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    // symbols that can exist mid-apply: single chars and short runs
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")
+    val mergesGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(symGen, symGen)))
+    val seed = new scala.util.Random(20260815)
+    (1 to 25).foreach { i =>
+      val params = Gen.Parameters.default
+        .withSize(10)
+      val rng = org.scalacheck.rng.Seed(seed.nextLong())
+      val texts = Gen.listOfN(6, docGen)(params, rng).get
+      val merges = mergesGen(params, rng.next).get
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val fold = TextAnalysis.bpeApplyMerges(docs, merges)
+        .collect().map(_.toSeq)
+      val kernel = TextAnalysis.bpeApplyMergesBig(docs, merges)
+        .collect().map(_.toSeq)
+      assert(fold.toSeq == kernel.toSeq,
+        s"case $i diverged for merges=$merges texts=$texts")
+    }
+  }
+
   test("the table-fed apply plan is map-only: no hash exchange") {
     val plan = TextAnalysis.bpeApplyWith(docs, trained)
       .queryExecution.executedPlan.toString

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_hybrid_search"      -> (TextAnalysis.qHybridSearch _),
     "q_corpus_report"      -> (TextAnalysis.qCorpusReport _),
     "text_bpe_apply"       -> (TextAnalysis.qTextBpeApply _),
+    "text_bpe_apply_big"   -> (TextAnalysis.qTextBpeApplyBig _),
     "text_chunk"           -> (TextAnalysis.qTextChunk _),
     "text_sft_spans"       -> (TextAnalysis.qSftSpans _),
     "text_fertility"       -> (TextAnalysis.qTextFertility _),
@@ -151,6 +152,8 @@ object SparkEntry {
     "pack_curriculum"      -> (Packing.qCurriculumPack _),
     "pack_boundaries"      -> (Packing.qPackBoundaries _),
     "pack_efficiency"      -> (Packing.qPackEfficiency _),
+    "pack_whole_doc"       -> (Packing.qPackWholeDoc _),
+    "pack_whole_doc_audit" -> (Packing.qPackWholeDocAudit _),
     "pack_sequences_precounted" -> (Packing.qPackSequencesPrecounted _),
     // SQL-driven twins of the LLM operators (spark.sql entry points
     // over registered views + injected graft functions)
@@ -222,6 +225,93 @@ object SparkEntry {
   /** √n-centroid IVF + SQ8 search oracle — shared by
     * sim_ivf_sq8_scaled (recompute plan) and sim_ivf_indexed_scaled
     * (persisted-index plan): two plans, one semantics. */
+  /** FFD whole-doc packing replay, shared by the pack_whole_doc gate
+    * and its audit row: pieces (overlong docs pre-chunked at 256),
+    * md5 buckets at the engine's hashPrefixLenFor width (the CASE
+    * ladder mirrors that function), then the greedy first-fit scan
+    * unrolled as a recursive CTE over each bucket's rank order — the
+    * recursion carries the open-bin remaining-capacity list, finds
+    * the first fitting bin with list_position, and slices the list
+    * to update it. nullif(...,0): DuckDB's list_position returns 0,
+    * not NULL, on no match. */
+  /** First open bin that fits the item (1-based), NULL if none —
+    * inlined at every use site rather than aliased: an alias named
+    * like ANY column of the recursive CTE would silently resolve to
+    * the PREVIOUS row's column (DuckDB gives table columns precedence
+    * over lateral aliases), which mis-packs every fit. nullif:
+    * DuckDB's list_position returns 0, not NULL, on no match. */
+  private val FfdPos =
+    "nullif(list_position(list_transform(f.rem, r -> r >= i.tok), true), 0)"
+
+  private val WholeDocFfdCtes: String =
+    raw"""WITH RECURSIVE
+      t AS (SELECT doc_id, CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_tok FROM documents),
+      par AS (SELECT CASE WHEN sqrt(greatest(count(*), 1)) <= 256 THEN 2
+                          WHEN sqrt(count(*)) <= 4096 THEN 3
+                          WHEN sqrt(count(*)) <= 65536 THEN 4
+                          WHEN sqrt(count(*)) <= 1048576 THEN 5
+                          WHEN sqrt(count(*)) <= 16777216 THEN 6
+                          WHEN sqrt(count(*)) <= 268435456 THEN 7
+                          ELSE 8 END AS plen FROM t),
+      pieces AS (SELECT doc_id, p.piece,
+             CAST(least(256, n_tok - 256 * p.piece) AS BIGINT) AS tok,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT plen FROM par)) AS bucket
+        FROM t, LATERAL (SELECT unnest(range(0,
+             CASE WHEN n_tok > 0 THEN (n_tok - 1) // 256 + 1 ELSE 1 END)) AS piece) p),
+      items AS (SELECT bucket, doc_id, piece, tok,
+             row_number() OVER (PARTITION BY bucket ORDER BY tok DESC, doc_id, piece) AS rn
+        FROM pieces),
+      ffd AS (
+        SELECT bucket, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS piece, CAST(NULL AS BIGINT) AS tok,
+               CAST(NULL AS BIGINT) AS bin,
+               CAST(NULL AS BIGINT) AS off, CAST([] AS BIGINT[]) AS rem
+        FROM (SELECT DISTINCT bucket FROM items)
+        UNION ALL
+        SELECT i.bucket, i.rn, i.doc_id, i.piece, i.tok,
+               CAST(coalesce($FfdPos, len(f.rem) + 1) AS BIGINT) AS bin,
+               CAST(CASE WHEN $FfdPos IS NULL THEN 0
+                    ELSE 256 - f.rem[$FfdPos] END AS BIGINT) AS off,
+               CASE WHEN $FfdPos IS NULL THEN list_append(f.rem, 256 - i.tok)
+                    ELSE f.rem[1:$FfdPos-1] || [f.rem[$FfdPos] - i.tok]
+                         || f.rem[$FfdPos+1:len(f.rem)] END AS rem
+        FROM ffd f JOIN items i ON i.bucket = f.bucket AND i.rn = f.rn + 1),
+      placed AS (SELECT bucket, doc_id, piece, tok, bin, off FROM ffd WHERE rn > 0),
+      nb AS (SELECT bucket, max(bin) AS nbins FROM placed GROUP BY bucket),
+      pre AS (SELECT bucket, sum(nbins) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) - nbins AS bin_excl FROM nb),
+      asg AS (SELECT p.doc_id, p.piece, p.tok,
+               CAST(pre.bin_excl + p.bin - 1 AS BIGINT) AS seq_id, p.off
+              FROM placed p JOIN pre USING (bucket))"""
+
+  /** Oracle for the big-kernel BPE apply: the 40 pinned merges of
+    * [[TextAnalysis.BigMergeFixture]] unrolled as chained list_reduce
+    * passes (the text_bpe_apply idiom, one CTE per merge, GENERATED
+    * from the same constant the engine reads — the two can't drift).
+    * No training CTEs: the table is data, which is the seam's point. */
+  private val BpeApplyBigOracleSql: String = {
+    val passes = graft.operators.TextAnalysis.BigMergeFixture.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"""         da${i + 1} AS (SELECT doc_id, dword, list_reduce(string_split(st, '|'), (acc, x) -> CASE
+           |             WHEN regexp_extract(acc, '[^|]*$$') = '$a' AND x = '$b'
+           |             THEN left(acc, len(acc) - len('$a')) || '$a' || '$b'
+           |             ELSE acc || '|' || x END) AS st
+           |           FROM da$i)""".stripMargin
+      }.mkString(",\n")
+    raw"""WITH dw AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS dword
+         |  FROM documents),
+         |da0 AS (SELECT doc_id, dword, array_to_string(list_transform(
+         |    range(1, len(dword) + 1), i -> substr(dword, CAST(i AS INT), 1)), '|') AS st
+         |  FROM dw),
+         |$passes
+         |SELECT doc_id, count(*) AS n_words,
+         |       CAST(sum(len(dword)) AS BIGINT) AS n_chars,
+         |       CAST(sum(len(string_split(st, '|'))) AS BIGINT) AS n_bpe_symbols
+         |FROM da${graft.operators.TextAnalysis.BigMergeFixture.size}
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val SimIvfSq8ScaledOracleSql: String =
     """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
        cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
@@ -1878,6 +1968,10 @@ object SparkEntry {
                 CAST(sum(len(dword)) AS BIGINT) AS n_chars,
                 CAST(sum(len(string_split(st, '|'))) AS BIGINT) AS n_bpe_symbols
          FROM da3 GROUP BY doc_id ORDER BY doc_id""",
+    // the big-kernel apply: 40 PINNED merges (no training CTEs),
+    // one list_reduce pass per merge, generated from the engine's
+    // own fixture constant
+    "text_bpe_apply_big" -> BpeApplyBigOracleSql,
     // Spark's in-document-order fold to well under the 4-decimal
     // rounding (values ~1e3, double error ~1e-12)
     "text_unigram_logprob" ->
@@ -2320,9 +2414,9 @@ object SparkEntry {
     // 10 equal-width bins, per-bin |conf - acc| gap
     "eval_ece" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
-         q AS (SELECT doc_id, floor((0.4 * least(len(toks) / 100.0, 1.0)
+         q AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN floor((0.4 * least(len(toks) / 100.0, 1.0)
              + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-             + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 AS conf
+             + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks))) * 10000 + 0.5) / 10000 ELSE 0.0 END AS conf
            FROM d),
          s AS (SELECT doc_id, conf,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -2687,7 +2781,8 @@ object SparkEntry {
                      THEN (start_offset + n_bpe_tokens - 1) // 256
                      ELSE start_offset // 256 END AS end_seq FROM c),
          agg AS (SELECT CAST(coalesce(sum(n_bpe_tokens), 0) AS BIGINT) AS total_tokens,
-           CAST(coalesce(max(end_seq) + 1, 0) AS BIGINT) AS n_seqs,
+           CAST(CASE WHEN coalesce(sum(n_bpe_tokens), 0) = 0 THEN 0
+                ELSE (coalesce(sum(n_bpe_tokens), 0) - 1) // 256 + 1 END AS BIGINT) AS n_seqs,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(coalesce(sum(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing_docs,
            CAST(coalesce(sum(end_seq - seq_id), 0) AS BIGINT) AS n_crossings FROM p)
@@ -2699,6 +2794,24 @@ object SparkEntry {
            CASE WHEN n_docs = 0 THEN 0.0
                 ELSE floor(CAST(total_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 END AS avg_doc_tokens
          FROM agg""",
+    // whole-doc FFD placement: one row per piece with its sequence
+    // and offset — the recursive CTE replays the greedy scan exactly
+    "pack_whole_doc" -> (WholeDocFfdCtes + """
+      SELECT doc_id, piece, tok AS n_tok, seq_id, off AS seq_offset
+      FROM asg ORDER BY doc_id, piece"""),
+    // one-row padding report over the same placement; n_seqs = max+1
+    // (seq ids are contiguous by construction), split docs counted
+    // via their unique piece #1
+    "pack_whole_doc_audit" -> (WholeDocFfdCtes + """
+      SELECT CAST(coalesce(sum(CASE WHEN piece = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(coalesce(max(seq_id) + 1, 0) AS BIGINT) AS n_seqs,
+             CAST(coalesce(sum(tok), 0) AS BIGINT) AS total_tokens,
+             CAST(coalesce(sum(CASE WHEN piece = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_split_docs,
+             CAST(coalesce(max(seq_id) + 1, 0) * 256 - coalesce(sum(tok), 0) AS BIGINT) AS padding_tokens,
+             CASE WHEN coalesce(max(seq_id) + 1, 0) = 0 THEN 0.0
+                  ELSE floor(CAST(sum(tok) AS DOUBLE) / (256 * (max(seq_id) + 1)) * 10000 + 0.5) / 10000 END AS fill_rate
+      FROM asg"""),
     // the tokenizer hook: same packing, counts read from the
     // fixture's precomputed n_chars column instead of the regex
     // stand-in — an external tokenizer's materialized output

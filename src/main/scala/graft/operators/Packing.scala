@@ -103,12 +103,19 @@ object Packing {
         .otherwise(col("seq_id")))
     packed.agg(
         coalesce(sum("n_bpe_tokens"), lit(0L)).as("total_tokens"),
-        coalesce(max("end_seq") + 1, lit(0L)).as("n_seqs"),
         coalesce(count(lit(1)), lit(0L)).as("n_docs"),
         coalesce(sum(when(col("end_seq") > col("seq_id"), 1L)
           .otherwise(0L)), lit(0L)).as("n_crossing_docs"),
         coalesce(sum(col("end_seq") - col("seq_id")), lit(0L))
           .as("n_crossings"))
+      // n_seqs from the TOKEN TOTAL (as qCurationAudit does), not
+      // max(end_seq)+1: a trailing zero-token doc pins end_seq to its
+      // own (possibly empty) sequence, which last_fill's modulo
+      // ignores — deriving both fields from total_tokens keeps the
+      // report describing one consistent packed stream
+      .withColumn("n_seqs",
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(total_tokens - 1) DIV $SeqTokens") + lit(1L)))
       .select(
         col("total_tokens"), col("n_seqs"), col("n_docs"),
         col("n_crossing_docs"), col("n_crossings"),
@@ -292,6 +299,122 @@ object Packing {
       .select(col("doc_id"),
         (col("offset") + col("intra_rank") - 1).as("position"))
       .orderBy("doc_id")
+  }
+
+  /** WHOLE-DOCUMENT best-fit packing — the no-cross-doc-attention
+    * recipe (Ding et al. 2024, "Fewer Truncations Improve Language
+    * Modeling"): a sequence holds only COMPLETE documents, so no doc
+    * straddles a boundary and the loader needs no attention resets;
+    * the price is padding, which [[qPackWholeDocAudit]] reports.
+    * Docs longer than the budget are pre-chunked into ≤[[SeqTokens]]
+    * pieces first (the paper's recipe — the full-size pieces fill
+    * sequences exactly, only the remainder competes for space); every
+    * OTHER doc stays whole, which the spec pins.
+    *
+    * Algorithm: greedy FIRST-FIT-DECREASING within md5 hash buckets.
+    * Bin packing is inherently sequential, so the scale unit is the
+    * bucket: ~16^[[hashPrefixLenFor]] ≈ √n independent buckets run
+    * FFD in parallel via `flatMapGroups` with O(bucket) = O(√n)
+    * per-task state (the Misra–Gries imperative-kernel precedent —
+    * a global FFD would be a single-task corpus sort). Sequence ids
+    * are made globally unique by the same √n-subtotal exclusive
+    * prefix the token pack uses: per-bucket bin counts → one
+    * metadata-sized window → broadcast back. Sorting DESC inside a
+    * bucket is what makes greedy competitive (FFD ≤ 11/9·OPT + 6/9
+    * bins per bucket); the md5 bucket split costs packing quality
+    * only at the margins (each bucket leaves at most one half-empty
+    * bin — the first-fit invariant the spec asserts). */
+  def qPackWholeDoc(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+    packWholeDocs(docs, hashPrefixLenFor(n))
+      .orderBy("doc_id", "piece")
+  }
+
+  /** One-row padding/fragmentation report for the whole-doc pack —
+    * the [[qPackEfficiency]] twin for the FFD layout: sequence count,
+    * padding tokens (n_seqs·budget − total), fill rate, and how many
+    * docs the overlong pre-chunking split (the ONLY splits this
+    * recipe permits). Read next to pack_efficiency, the two rows
+    * price the padding-vs-fragmentation trade between the recipes. */
+  def qPackWholeDocAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+    // ONE partial-agg pass over the placement: seq ids are contiguous
+    // 0..N−1 by construction (bucket-prefix + local bin), so n_seqs is
+    // max+1; a split doc contributes exactly one piece #1, so
+    // n_split_docs is a filtered count — no per-doc regroup needed
+    packWholeDocs(docs, hashPrefixLenFor(n))
+      .agg(
+        coalesce(sum(when(col("piece") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs"),
+        coalesce(count(lit(1)), lit(0L)).as("n_items"),
+        coalesce(max("seq_id") + 1, lit(0L)).as("n_seqs"),
+        coalesce(sum("n_tok"), lit(0L)).as("total_tokens"),
+        coalesce(sum(when(col("piece") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_split_docs"))
+      .select(
+        col("n_docs"), col("n_items"), col("n_seqs"), col("total_tokens"),
+        col("n_split_docs"),
+        (col("n_seqs") * lit(SeqTokens) - col("total_tokens"))
+          .as("padding_tokens"),
+        when(col("n_seqs") === 0, lit(0.0)).otherwise(Text.roundPortable(
+          col("total_tokens").cast("double") / (col("n_seqs") * lit(SeqTokens)),
+          4)).as("fill_rate"))
+  }
+
+  /** The FFD core with the bucket fan-out exposed (the spec dial:
+    * prefixLen 0 = ONE bucket = textbook FFD for the closed-form
+    * assertions). Input (doc_id, n_tok); output one row per PIECE
+    * with its globally-unique sequence and in-sequence offset. */
+  private[graft] def packWholeDocs(docs: DataFrame,
+                                   prefixLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = docs
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L),
+          when(col("n_tok") > 0, expr(s"(n_tok - 1) DIV $SeqTokens"))
+            .otherwise(lit(0L)))).as("piece"))
+      .select(col("doc_id"), col("piece"),
+        least(lit(SeqTokens),
+          col("n_tok") - lit(SeqTokens) * col("piece")).cast("long").as("tok"))
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string")), 1, prefixLen))
+    // FFD inside each bucket: genuinely sequential greedy state, so an
+    // imperative per-group kernel (bucket ≈ √n rows by construction —
+    // bounded task memory, the design invariant of this file)
+    val placed = pieces.select("bucket", "doc_id", "piece", "tok")
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val items = it.toArray.sortBy { case (_, d, p, t) => (-t, d, p) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (_, d, p, t) =>
+          var j = 0
+          while (j < rem.length && rem(j) < t) j += 1
+          val off =
+            if (j < rem.length) { val o = SeqTokens - rem(j); rem(j) -= t; o }
+            else { rem += (SeqTokens - t); 0L }
+          (bucket, d, p, t, j.toLong, off)
+        }
+      }
+      .toDF("bucket", "doc_id", "piece", "tok", "local_bin", "seq_offset")
+    // globally-unique sequence ids: ~√n bucket bin-counts through one
+    // metadata-sized exclusive-prefix window, broadcast back
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = placed.groupBy("bucket")
+      .agg((max("local_bin") + 1).as("nbins"))
+      .withColumn("bin_excl", sum("nbins").over(wBucket) - col("nbins"))
+      .select("bucket", "bin_excl")
+    placed.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("piece"), col("tok").as("n_tok"),
+        (col("bin_excl") + col("local_bin")).as("seq_id"), col("seq_offset"))
   }
 
   /** Shuffle-quality audit of the deterministic training order: the

@@ -130,13 +130,17 @@ object SqlSurface {
     install(spark, dir)
     TextAnalysis.buildTextIndex(spark, dir, "bm25_index")
     val batch = TextAnalysis.Bm25BatchQueries
+    // serving seam: caller-supplied terms ride into string literals —
+    // escape quotes so a term like "o'brien" can't break (or inject
+    // into) the statement
+    def lit(t: String): String = "'" + t.replace("'", "''") + "'"
     val qtRows = batch.flatMap { case (q, text) =>
       text.split("\\s+").filter(_.nonEmpty).groupBy(identity).toSeq
         .map { case (t, g) => (q, t, g.length) }
     }.sortBy(x => (x._1, x._2))
-      .map { case (q, t, n) => s"($q, '$t', $n.0)" }.mkString(", ")
+      .map { case (q, t, n) => s"($q, ${lit(t)}, $n.0)" }.mkString(", ")
     val termList = batch.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
-      .distinct.sorted.map(t => s"'$t'").mkString(", ")
+      .distinct.sorted.map(lit).mkString(", ")
     spark.sql(
       s"""WITH stats AS (SELECT n,
          |    CASE WHEN n = 0 THEN 0.0 ELSE sum_dl / n END AS avgdl

@@ -1605,6 +1605,72 @@ object TextAnalysis {
       s"('graft.fingerprint'='appended')")
   }
 
+  /** POSTING-INDEX COMPACTION — the maintenance half of
+    * [[appendToTextIndex]], mirroring
+    * [[graft.operators.Similarity.compactIvfIndex]]: every append
+    * batch adds a file set (up to one file per term bucket per
+    * writing task), so a streaming ingest fragments each term bucket
+    * into many tiny reads. When the file count passes
+    * `maxFilesPerBucket` per bucket, rewrite the postings in ONE
+    * distributed pass into a staging table (same term bucketing) and
+    * swap via catalog renames — rows never touch the driver; search
+    * plans (term-bucket pruning included) are unchanged because name,
+    * schema, and bucketing spec survive. The stats row is untouched:
+    * compaction moves files, not content. Crash-safe swap order (the
+    * IVF lesson verbatim): staging completes before any catalog
+    * mutation; live missing + staging present can only be the
+    * inter-rename window, so staging is promoted at next entry;
+    * stale staging/retired leftovers next to a live table drop.
+    * Returns whether a rewrite happened — the no-op path costs one
+    * directory listing, zero Spark jobs. TextIndexSpec pins compacted
+    * ≡ uncompacted search bit-parity, the file-count collapse, the
+    * stamp carry, and pruning still firing. */
+  def compactTextIndex(spark: SparkSession, name: String,
+                       maxFilesPerBucket: Int = 2): Boolean = {
+    val staging = s"${name}_compacting"
+    val retired = s"${name}_retired"
+    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    else if (spark.catalog.tableExists(staging))
+      graft.sources.Readers.dropTableAndDir(spark, staging)
+    if (spark.catalog.tableExists(retired))
+      graft.sources.Readers.dropTableAndDir(spark, retired)
+    val nFiles = graft.sources.Readers.tableDataFiles(spark, name).size
+    if (nFiles <= TextIndexBuckets.toLong * maxFilesPerBucket) false
+    else {
+      // the rewrite must read BUCKET-ALIGNED so each task holds
+      // exactly one bucket and writes exactly one file. Left alone,
+      // the planner defeats this twice over: an explicit
+      // repartition(buckets, term) is elided as redundant (the
+      // relation's bucket spec already claims that partitioning),
+      // and autoBucketedScan then DISABLES the bucketed read because
+      // no operator requires the distribution — leaving input-split
+      // tasks that each spray a file into every bucket they touch
+      // (measured: a 144-file index "compacted" to 85). Pinning the
+      // bucketed scan for this one query gives the ideal compaction
+      // plan: zero shuffle, |buckets| tasks, one file per bucket.
+      val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.getOption(autoScan)
+      spark.conf.set(autoScan, "false")
+      try
+        graft.sources.Readers.saveBucketedTable(
+          spark.table(name), staging, TextIndexBuckets, "term")
+      finally prev match {
+        case Some(v) => spark.conf.set(autoScan, v)
+        case None    => spark.conf.unset(autoScan)
+      }
+      // compaction preserves contents — whatever fingerprint state
+      // the live table carries ("appended" included) survives the swap
+      graft.sources.Readers.tableProp(spark, name, "graft.fingerprint")
+        .foreach(fp => spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+          s"('graft.fingerprint'='$fp')"))
+      spark.sql(s"ALTER TABLE $name RENAME TO $retired")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+      graft.sources.Readers.dropTableAndDir(spark, retired)
+      true
+    }
+  }
+
   /** Search the posting index for a query batch: the scan is PRUNED
     * to the buckets holding the batch's terms; per-term document
     * frequency is a partial-aggregated count over the pruned postings
@@ -1869,6 +1935,42 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val merged = bpeMergeTableFor(spark, dir, BpeMergeSteps)
     bpeApplyMerges(docs, merged.map { case (_, a, b, _, _) => (a, b) })
+  }
+
+  /** A PRODUCTION-SIZED merge table for the big-kernel gate: 40
+    * merges trained by [[bpeMergeTable]] itself (40 steps over the
+    * sf0.01 fixture corpus), pinned as data so the gate is
+    * corpus-independent — exactly what a real tokenizer export looks
+    * like arriving through the weights-as-table seam. 40 ≫
+    * [[ApplyFoldLimit]], so applying it MUST take the broadcast
+    * mapPartitions kernel (the path every real export takes; the
+    * ≤6-merge gates all ride the codegen fold). */
+  private[graft] val BigMergeFixture: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"))
+
+  /** BPE application through the BIG-TABLE kernel path, oracle-gated:
+    * [[qTextBpeApply]] gates the ≤6-merge codegen fold; this gates
+    * the route a real tokenizer export takes — the 40-merge
+    * [[BigMergeFixture]] rides in as an ordered (step, lhs, rhs)
+    * frame through [[bpeApplyWith]], whose size switch sends it to
+    * [[bpeApplyMergesBig]] (broadcast merge list, imperative per-word
+    * scan, map-only). The DuckDB oracle unrolls all 40 merges as
+    * chained list_reduce passes, so kernel semantics are hash-checked
+    * end to end, not just parity-pinned against the fold. */
+  def qTextBpeApplyBig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = BigMergeFixture.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("step", "lhs", "rhs")
+    bpeApplyWith(Tables.documents(spark, dir), table)
   }
 
   /** Above this merge count, [[bpeApplyWith]] switches from the

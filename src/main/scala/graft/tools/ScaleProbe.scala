@@ -423,7 +423,22 @@ object ScaleProbe {
         // stays a DataFrame-side optimization
         "q_domain_cap_sql",
         // per-batch map-only assignment vs the standing Lloyd model
-        "stream_cluster_assign")
+        "stream_cluster_assign",
+        // --- round 14 wave
+        // per-bucket FFD kernel (task state ~√n) + √n bin-count prefix
+        "pack_whole_doc",
+        // same placement + ONE global partial agg; one row out
+        "pack_whole_doc_audit",
+        // the SQL serving twin of text_bm25_indexed: literal term
+        // IN-list prunes the posting buckets — must track the
+        // DataFrame twin's class (build dominates, search pruned)
+        "text_bm25_sql",
+        // the SQL serving twin of sim_ivf_sq8: probed-cell IN-list
+        // prunes the bucketed index scan — tracks sim_ivf_indexed
+        "sim_ivf_sql",
+        // broadcast-kernel BPE apply (40 pinned merges): map-only
+        // like text_bpe_apply's fold; prices the kernel per-word scan
+        "text_bpe_apply_big")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

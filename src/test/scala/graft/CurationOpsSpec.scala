@@ -178,4 +178,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(empty.getLong(1) == 0L && empty.getDouble(3) == 0.0)
     assert(rows.find(_.getLong(0) == 0L).get.getDouble(3) < 0.0)
   }
+
+  test("eval ECE routes zero-token docs to conf 0.0 / bin 0, not NULL") {
+    // an empty and a whitespace-only doc have no token ratios — the
+    // guard pins conf to 0.0 so they land (uncounted as correct) in
+    // bin 0 instead of producing a NULL bin the oracle would diverge on
+    val dir = corpusDir(Seq(
+      (0L, "the quick brown fox and the lazy dog of the north"),
+      (1L, ""), (2L, "   ")))
+    val rows = graft.operators.EvalScoring.qEvalEce(spark, dir).collect()
+    assert(rows.forall(r => !r.isNullAt(0)), "NULL bin leaked")
+    val bin0 = rows.find(_.getLong(0) == 0L).get
+    assert(bin0.getLong(1) == 2L, "both zero-token docs belong to bin 0")
+    assert(bin0.getDouble(2) == 0.0, "zero-token conf must be exactly 0.0")
+  }
 }

@@ -114,6 +114,67 @@ class TextIndexSpec extends SparkSpec {
     assert(viaInc == viaFull)
   }
 
+  test("compaction collapses append fragmentation, search stays bit-identical, pruning still fires") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val name = "bm25_index_compact_spec"
+    graft.sources.Readers.dropTableAndDir(spark, name)
+    graft.sources.Readers.dropTableAndDir(spark, s"${name}_stats")
+    graft.sources.Readers.dropTableAndDir(spark, s"${name}_compacting")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_retired")
+    // seed an empty typed index, then fragment it with 6 appends
+    built
+    spark.table(IndexName).where(lit(false))
+      .write.bucketBy(32, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(name)
+    graft.sources.Readers.replaceTable(
+      Seq((0L, 0.0)).toDF("n", "sum_dl"), s"${name}_stats")
+    (0 until 6).foreach { k =>
+      TextAnalysis.appendToTextIndex(spark, name,
+        docs.where(pmod(col("doc_id"), lit(6)) === k))
+    }
+    val q = Seq((0L, "spark table query"), (1L, "fast vector scan"))
+      .toDF("q_id", "q_text")
+    val before = TextAnalysis.searchTextIndex(spark, name, q).collect().toSeq
+    val filesBefore = graft.sources.Readers.tableDataFiles(spark, name).size
+    assert(TextAnalysis.compactTextIndex(spark, name, maxFilesPerBucket = 2),
+      s"compaction skipped at $filesBefore files")
+    val filesAfter = graft.sources.Readers.tableDataFiles(spark, name).size
+    assert(filesAfter < filesBefore,
+      s"no file collapse: $filesBefore -> $filesAfter")
+    // contents and stamp survive the swap
+    assert(graft.sources.Readers.tableProp(spark, name, "graft.fingerprint")
+      .contains("appended"))
+    assert(TextAnalysis.searchTextIndex(spark, name, q).collect().toSeq
+      == before, "compaction changed search results")
+    // term-bucket pruning still fires on the compacted table
+    val scan = fileScans(TextAnalysis.searchTextIndex(spark, name, q))
+      .filter(_.relation.bucketSpec.isDefined).head
+    val sel = scan.optionalBucketSet
+      .getOrElse(fail("pruning lost after compaction")).cardinality()
+    assert(sel < scan.relation.bucketSpec.get.numBuckets)
+    // idempotent: a second call is a no-op
+    assert(!TextAnalysis.compactTextIndex(spark, name, maxFilesPerBucket = 2))
+  }
+
+  test("compaction crash windows heal: a stranded staging table is promoted") {
+    import org.apache.spark.sql.functions._
+    val name = "bm25_index_heal_spec"
+    graft.sources.Readers.dropTableAndDir(spark, name)
+    graft.sources.Readers.dropTableAndDir(spark, s"${name}_compacting")
+    built
+    // simulate the inter-rename crash: a COMPLETE staging table
+    // exists, the live name does not
+    spark.table(IndexName)
+      .write.bucketBy(32, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${name}_compacting")
+    assert(!spark.catalog.tableExists(name))
+    TextAnalysis.compactTextIndex(spark, name)
+    assert(spark.catalog.tableExists(name), "staging was not promoted")
+    assert(!spark.catalog.tableExists(s"${name}_compacting"))
+    assert(spark.table(name).count() == spark.table(IndexName).count())
+  }
+
   test("indexed search equals the corpus-scan batch scorer row for row") {
     built
     val q = Seq((0L, "spark table query"), (1L, "fast vector scan"))

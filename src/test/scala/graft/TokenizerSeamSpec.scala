@@ -120,6 +120,24 @@ class TokenizerSeamSpec extends SparkSpec {
       s"40 merges ($syms symbols) should compress beyond 3 ($small)")
   }
 
+  test("the text_bpe_apply_big gate rides the kernel: fixture exceeds the fold limit and matches a direct kernel call") {
+    // the gate's whole point is exercising the big-table route — if
+    // the fixture ever shrank under the switch threshold it would
+    // silently re-gate the fold
+    assert(TextAnalysis.BigMergeFixture.size > 6,
+      "fixture no longer routes through bpeApplyMergesBig")
+    val viaGate = TextAnalysis.qTextBpeApplyBig(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = TextAnalysis.bpeApplyMergesBig(docs,
+        TextAnalysis.BigMergeFixture)
+      .collect().map(_.toSeq).toSeq
+    assert(viaGate == direct)
+    // and the kernel plan is still map-only with the 40-merge table
+    val plan = TextAnalysis.qTextBpeApplyBig(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
   test("trained counts drive packFromCounts with exact prefix-sum semantics") {
     val applied = TextAnalysis.bpeApplyWith(docs, trained)
     val n = docs.count()

@@ -144,6 +144,7 @@ object SparkEntry {
     "q_quality_sample"     -> (Mixing.qQualitySample _),
     "q_hash_split"         -> (Mixing.qHashSplit _),
     "q_domain_cap"         -> (Mixing.qDomainCap _),
+    "q_domain_reweight"    -> (Mixing.qDomainReweight _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
     "q_corpus_drift"       -> (Pipeline.qCorpusDrift _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "pipeline_epoch_pack"  -> (Pipeline.qEpochPack _),
     "pipeline_release_audit" -> (Pipeline.qReleaseAudit _),
     "pipeline_curation_audit" -> (Pipeline.qCurationAudit _),
+    "pipeline_rlhf_audit"  -> (Pipeline.qRlhfAudit _),
     "q_funnel"             -> (Sessions.qFunnel _),
     "q_sequence_examples"  -> (Sessions.qSequenceExamples _),
     "vec_norms"            -> (Vectors.qVectorNorms _),
@@ -2024,6 +2026,100 @@ object SparkEntry {
     // DSIR gate -> per-domain cap -> pack arithmetic, one audit row;
     // the composition of three gated operators (sequence shape is a
     // function of the survivor token total under concat-and-chunk)
+    // the RLHF data chain composed: synthetic 3-rater majority gate ->
+    // preference pairs over CLEAN prompts -> source duels -> 3-round
+    // Bradley-Terry MM fit -> one audit row (exact decimal margin sum)
+    "pipeline_rlhf_audit" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         v AS (SELECT doc_id AS item_id, r,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id * 3 + r AS VARCHAR)), 1, 6)) AS BIGINT) * 20
+                  < 16777216 * r THEN 'zz' ELSE lang END AS label
+           FROM documents, (SELECT unnest([1, 2, 3]) AS r)),
+         c AS (SELECT item_id, label, count(*) AS cnt FROM v GROUP BY 1, 2),
+         mrk AS (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, label) AS rk FROM c),
+         maj AS MATERIALIZED (SELECT item_id, label AS maj_label FROM mrk WHERE rk = 1),
+         clean AS (SELECT item_id FROM maj WHERE maj_label != 'zz'),
+         p AS (SELECT a.doc_id AS prompt_id, a.doc_id + r.r AS cand_id,
+                      b.text AS pred, a.text AS ref
+               FROM d a CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) r
+               JOIN d b ON b.doc_id = a.doc_id + r.r),
+         n AS (SELECT prompt_id, cand_id,
+                 lower(regexp_replace(trim(pred), '\s+', ' ', 'g')) AS pn,
+                 lower(regexp_replace(trim(ref), '\s+', ' ', 'g')) AS rn
+               FROM p),
+         t AS (SELECT prompt_id, cand_id,
+                 list_filter(string_split_regex(pn, '\s+'), x -> x != '') AS pt,
+                 list_filter(string_split_regex(rn, '\s+'), x -> x != '') AS rt
+               FROM n),
+         o AS (SELECT prompt_id, cand_id, len(pt) AS np, len(rt) AS nr,
+                 coalesce(CAST(list_sum(list_transform(list_distinct(pt), tk ->
+                   least(len(list_filter(pt, x -> x = tk)),
+                         len(list_filter(rt, x -> x = tk))))) AS BIGINT), 0) AS ov
+               FROM t),
+         s AS (SELECT prompt_id, cand_id,
+                 floor((CASE WHEN np + nr = 0 THEN 0.0
+                        ELSE 2.0 * ov / (np + nr) END) * 10000 + 0.5) / 10000 AS token_f1
+               FROM o),
+         rk2 AS (SELECT *,
+                 row_number() OVER (PARTITION BY prompt_id ORDER BY token_f1 DESC, cand_id) AS rb,
+                 row_number() OVER (PARTITION BY prompt_id ORDER BY token_f1, cand_id DESC) AS rw
+                FROM s),
+         pair AS MATERIALIZED (SELECT prompt_id,
+                 max(CASE WHEN rb = 1 THEN cand_id END) AS chosen_id,
+                 max(CASE WHEN rb = 1 THEN token_f1 END) AS chosen_f1,
+                 max(CASE WHEN rw = 1 THEN cand_id END) AS rejected_id,
+                 max(CASE WHEN rw = 1 THEN token_f1 END) AS rejected_f1
+                FROM rk2 GROUP BY prompt_id),
+         cpair AS MATERIALIZED (SELECT pr.prompt_id, pr.chosen_id, pr.rejected_id,
+                 floor((pr.chosen_f1 - pr.rejected_f1) * 10000 + 0.5) / 10000 AS margin
+               FROM pair pr JOIN clean ON clean.item_id = pr.prompt_id
+               WHERE pr.chosen_f1 > pr.rejected_f1),
+         duel AS (SELECT ws.source AS winner, ls.source AS loser
+               FROM cpair
+               JOIN documents ws ON ws.doc_id = cpair.chosen_id
+               JOIN documents ls ON ls.doc_id = cpair.rejected_id
+               WHERE ws.source != ls.source),
+         w AS (SELECT winner AS s, loser AS o, count(*) AS c FROM duel GROUP BY 1, 2),
+         dir AS (SELECT s, o, c FROM w UNION ALL SELECT o AS s, s AS o, 0 AS c FROM w),
+         dd AS (SELECT s, o, sum(c) AS w_so FROM dir GROUP BY 1, 2),
+         nij AS MATERIALIZED (SELECT dx.s, dx.o, dx.w_so, dx.w_so + r.w_so AS n
+                 FROM dd dx JOIN dd r ON r.s = dx.o AND r.o = dx.s),
+         tot AS (SELECT s, sum(w_so) AS wi, sum(n) AS games FROM nij GROUP BY 1),
+         k AS (SELECT count(*) AS k FROM tot),
+         it0 AS (SELECT s, 1.0 AS st FROM tot),
+         d1 AS (SELECT nx.s, sum(nx.n / (a.st + b.st)) AS den FROM nij nx
+                JOIN it0 a ON a.s = nx.s JOIN it0 b ON b.s = nx.o GROUP BY 1),
+         r1 AS (SELECT t2.s, CASE WHEN dn.den > 0 THEN t2.wi / dn.den ELSE 0.0 END AS st
+                FROM tot t2 JOIN d1 dn ON dn.s = t2.s),
+         n1 AS (SELECT s, CASE WHEN (SELECT sum(st) FROM r1) > 0
+                  THEN st * (SELECT k FROM k) / (SELECT sum(st) FROM r1) ELSE 0.0 END AS st FROM r1),
+         d2 AS (SELECT nx.s, sum(nx.n / (a.st + b.st)) AS den FROM nij nx
+                JOIN n1 a ON a.s = nx.s JOIN n1 b ON b.s = nx.o GROUP BY 1),
+         r2 AS (SELECT t2.s, CASE WHEN dn.den > 0 THEN t2.wi / dn.den ELSE 0.0 END AS st
+                FROM tot t2 JOIN d2 dn ON dn.s = t2.s),
+         n2 AS (SELECT s, CASE WHEN (SELECT sum(st) FROM r2) > 0
+                  THEN st * (SELECT k FROM k) / (SELECT sum(st) FROM r2) ELSE 0.0 END AS st FROM r2),
+         d3 AS (SELECT nx.s, sum(nx.n / (a.st + b.st)) AS den FROM nij nx
+                JOIN n2 a ON a.s = nx.s JOIN n2 b ON b.s = nx.o GROUP BY 1),
+         r3 AS (SELECT t2.s, CASE WHEN dn.den > 0 THEN t2.wi / dn.den ELSE 0.0 END AS st
+                FROM tot t2 JOIN d3 dn ON dn.s = t2.s),
+         n3 AS (SELECT s, CASE WHEN (SELECT sum(st) FROM r3) > 0
+                  THEN st * (SELECT k FROM k) / (SELECT sum(st) FROM r3) ELSE 0.0 END AS st FROM r3),
+         fin AS MATERIALIZED (SELECT t2.s AS source, floor(n3.st * 10000 + 0.5) / 10000 AS strength
+                 FROM tot t2 JOIN n3 ON n3.s = t2.s),
+         toprow AS (SELECT source AS top_source, strength AS top_strength,
+                 row_number() OVER (ORDER BY strength DESC, source) AS r FROM fin),
+         agg AS (SELECT (SELECT count(*) FROM maj) AS n_items,
+                 (SELECT count(*) FROM clean) AS n_clean,
+                 (SELECT count(*) FROM cpair) AS n_pairs,
+                 (SELECT CAST(coalesce(sum(CAST(margin AS DECIMAL(20,4))), 0) AS DOUBLE) FROM cpair) AS margin_sum,
+                 (SELECT count(*) FROM fin) AS n_ranked)
+         SELECT CAST(n_items AS BIGINT) AS n_items, CAST(n_clean AS BIGINT) AS n_clean,
+                CAST(n_pairs AS BIGINT) AS n_pairs,
+                CASE WHEN n_pairs = 0 THEN 0.0
+                     ELSE floor(margin_sum / n_pairs * 10000 + 0.5) / 10000 END AS mean_margin,
+                CAST(n_ranked AS BIGINT) AS n_ranked, tr.top_source, tr.top_strength
+         FROM agg CROSS JOIN (SELECT top_source, top_strength FROM toprow WHERE r = 1) tr""",
     "pipeline_curation_audit" ->
       """WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks FROM documents),
          e AS (SELECT doc_id, unnest(toks) AS token FROM d),
@@ -2658,6 +2754,32 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS "rank"
          FROM documents)
          SELECT doc_id, source, n_chars, "rank" FROM r WHERE "rank" <= 5 ORDER BY doc_id""",
+    // DoReMi one-shot reweight over synthetic md5-draw losses:
+    // clipped excess -> exp score in integer millionths -> the exact
+    // integer-ratio ideal B*(9*wi*k + S)/(10*S*k) -> largest remainder
+    "q_domain_reweight" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+         l AS (SELECT source,
+             1.0 + (CAST(('0x' || substr(md5(source), 1, 6)) AS BIGINT) % 1000) / 500.0 AS proxy_loss,
+             1.0 + (CAST(('0x' || substr(md5(source || '_ref'), 1, 6)) AS BIGINT) % 1000) / 500.0 AS ref_loss
+           FROM s),
+         e AS (SELECT source, proxy_loss, ref_loss,
+             least(greatest(proxy_loss - ref_loss, 0.0), 1.0) AS excess FROM l),
+         w AS (SELECT *, CAST(floor(exp(excess / 0.5) * 1000000 + 0.5) AS BIGINT) AS wi FROM e),
+         t AS (SELECT sum(wi) AS s_wi, CAST(count(*) AS BIGINT) AS k FROM w),
+         q AS (SELECT source, proxy_loss, ref_loss, excess,
+             CAST(1000 * (9 * wi * k + s_wi) AS DOUBLE) / CAST(10 * s_wi * k AS DOUBLE) AS ideal
+           FROM w CROSS JOIN t),
+         b AS (SELECT *, floor(ideal) AS base, ideal - floor(ideal) AS rem FROM q),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT 1000 - sum(base) FROM b) AS leftover FROM b)
+         SELECT source,
+           floor(proxy_loss * 10000 + 0.5) / 10000 AS proxy_loss,
+           floor(ref_loss * 10000 + 0.5) / 10000 AS ref_loss,
+           floor(excess * 10000 + 0.5) / 10000 AS excess,
+           floor(ideal / 1000.0 * 1000000 + 0.5) / 1000000 AS weight,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM r ORDER BY source""",
     // quality-weighted importance sampling: keep iff the 24-bit md5
     // uniform falls under floor(score · 2^24) — integer compare on
     // the 4-decimal-rounded score; kept rows carry weight 1/score

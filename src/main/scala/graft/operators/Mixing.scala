@@ -262,6 +262,26 @@ object Mixing {
         (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
           .cast("long"))
       .select(col("source"), col("quota"), col("n_docs"))
+    realizeQuotas(docs, quotas)
+  }
+
+  /** Quota realization over an EXTERNAL (source, quota) table — where
+    * [[domainReweightWith]]'s DoReMi quotas (or any per-source quota
+    * policy) plug into the [[epochCopies]] resampler; per-source doc
+    * counts are one metadata-sized partial agg. */
+  private[graft] def resampleByQuotas(docs: DataFrame,
+                                      quotaTable: DataFrame): DataFrame =
+    realizeQuotas(docs,
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(quotaTable.select("source", "quota"), "source"))
+
+  /** The realization core shared by both quota sources: every doc
+    * gets ⌊quota/n⌋ full epochs plus one more iff its 24-bit hash
+    * falls under the fractional remainder — the exact integer
+    * compare, no rank, no float; broadcast quota join + MAP-ONLY
+    * corpus side. */
+  private def realizeQuotas(docs: DataFrame,
+                            quotas: DataFrame): DataFrame = {
     docs.select("source", "doc_id", "n_chars")
       .join(broadcast(quotas), "source")
       .withColumn("copies",
@@ -410,5 +430,89 @@ object Mixing {
           .orderBy(desc("n_chars"), col("doc_id"))).cast("long"))
       .select("doc_id", "source", "n_chars", "rank")
       .orderBy("doc_id")
+  }
+
+  private val ReweightBudget = 1000L
+  private val ReweightTemp = 0.5
+  private val ReweightClip = 1.0
+
+  /** DOREMI-STYLE DOMAIN REWEIGHTING (Xie et al. 2023) through the
+    * weights-as-table seam: a (domain, proxy_loss, reference_loss)
+    * table — losses measured by a PROXY training run and a reference
+    * model, ridden in as data exactly like qualityClassifierWith's
+    * weights (no training in-engine) — becomes normalized domain
+    * weights and integer sampling quotas. Arithmetic, one shot of
+    * the multiplicative-weights step: excess = clip(proxy − ref) to
+    * [0, clip] (a domain the proxy already beats the reference on
+    * has nothing left to learn — floor at 0), smoothed score =
+    * exp(excess / T), ε-mixed with uniform (ε = 1/10, DoReMi's
+    * starvation guard: a zero-excess domain still gets ε/k of the
+    * budget), then largest-remainder rounding to quotas summing to
+    * the budget EXACTLY — the same integer-scaled-weight contract as
+    * [[qTemperatureMix]] (scores scale to integer millionths before
+    * any ranking; ideals are ratios of exactly-representable
+    * integers, so no engine's FP summation order can flip a
+    * remainder rank).
+    *
+    * Scale shape: the loss table is domains-many rows (model-sized);
+    * everything here is metadata-scale — the corpus is never touched.
+    * The quotas feed the same machinery [[epochCopies]] consumes
+    * (MixingClusteringSpec wires one through). */
+  private[graft] def domainReweightWith(losses: DataFrame,
+      budget: Long = ReweightBudget): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy().orderBy(desc("rem"), col("source"))
+    losses
+      .withColumn("excess",
+        least(greatest(col("proxy_loss") - col("ref_loss"), lit(0.0)),
+          lit(ReweightClip)))
+      // integer millionths of the smoothed score (the [[weight]]
+      // rationale): exp is the one transcendental, HALF-UP-scaled at
+      // 6 decimals exactly once — the kmeans accepted-risk class
+      .withColumn("wi", floor(exp(col("excess") / lit(ReweightTemp))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("s_wi", sum("wi").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      // ideal = B·((1−ε)·wi/Σ + ε/k) with ε = 1/10, as ONE ratio of
+      // exact integers: B·(9·wi·k + Σ) / (10·Σ·k) — numerator ≤
+      // ~10¹² here, exactly representable; the division is a single
+      // correctly-rounded IEEE op in both engines
+      .withColumn("ideal",
+        (lit(budget) * (lit(9L) * col("wi") * col("k") + col("s_wi")))
+          .cast("double") /
+        (lit(10L) * col("s_wi") * col("k")).cast("double"))
+      .withColumn("base", floor(col("ideal")))
+      .withColumn("rem", col("ideal") - col("base"))
+      .withColumn("leftover", lit(budget) - sum("base").over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("source"),
+        graft.functions.Text.roundPortable(col("proxy_loss"), 4)
+          .as("proxy_loss"),
+        graft.functions.Text.roundPortable(col("ref_loss"), 4)
+          .as("ref_loss"),
+        graft.functions.Text.roundPortable(col("excess"), 4).as("excess"),
+        graft.functions.Text.roundPortable(
+          col("ideal") / lit(budget.toDouble), 6).as("weight"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long").as("quota"))
+      .orderBy("source")
+  }
+
+  /** Gate: [[domainReweightWith]] over a DETERMINISTIC synthetic loss
+    * table — the fixture has no proxy run, so per-source losses are
+    * md5 draws in [1, 3) (the eval_ece synthetic-correctness
+    * precedent: the seam's arithmetic is exercised end to end and the
+    * oracle replays the draws bit-for-bit; a real pipeline feeds real
+    * measured losses through the same entry point). */
+  def qDomainReweight(spark: SparkSession, dir: String): DataFrame = {
+    def draw(seed: Column): Column =
+      lit(1.0) + (conv(substring(md5(seed), 1, 6), 16, 10).cast("long")
+        % 1000L).cast("double") / 500.0
+    val losses = Tables.documents(spark, dir)
+      .select("source").distinct()
+      .select(col("source"),
+        draw(col("source")).as("proxy_loss"),
+        draw(concat(col("source"), lit("_ref"))).as("ref_loss"))
+    domainReweightWith(losses)
   }
 }

@@ -574,4 +574,66 @@ object Pipeline {
           .otherwise(((col("total_tokens") - 1) % SeqTokens) + 1)
           .as("last_fill"))
   }
+
+  /** END-TO-END RLHF DATA AUDIT — the eval family's composition gate
+    * (the r13 verdict's stretch): the chain a preference-data build
+    * runs, each stage an independently-gated operator, hash-checked
+    * as one row. Rater frame → majority labels
+    * ([[EvalScoring.qEvalMajorityVote]]'s synthetic 3-rater panel) →
+    * CLEAN prompts (majority label uncorrupted — the annotation-QA
+    * gate a real pipeline applies before building pairs) →
+    * preference pairs over clean prompts only
+    * ([[EvalScoring.qPreferencePairs]]) → source-level duels (the
+    * chosen doc's source beats the rejected's — the arena reduction)
+    * → Bradley–Terry strengths → one audit row: panel size, clean
+    * share, pair count, exact decimal mean margin, ranked-source
+    * count, and the top source with its fitted strength.
+    *
+    * Scale shape: every stage keeps its own gated plan (panel-sized
+    * windows, one duel partial-agg shuffle, k²-bounded driver fit);
+    * the composition adds two broadcast-sized joins (clean-prompt
+    * semi-join, source lookups) and three one-row aggregates. */
+  def qRlhfAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // both stage outputs feed TWO consumers each (the count aggregates
+    // and the next stage) and are panel-sized — localCheckpoint so the
+    // F1 reward kernel and the vote windows run once, not per consumer
+    val maj = EvalScoring.qEvalMajorityVote(spark, dir).localCheckpoint()
+    val clean = maj.where(col("maj_label") =!= "zz")
+      .select(col("item_id").as("prompt_id"))
+    val pairs = EvalScoring.qPreferencePairs(spark, dir)
+      .join(clean, "prompt_id")
+      .localCheckpoint()
+    val src = docs.select("doc_id", "source")
+    val duels = pairs
+      .join(src.select(col("doc_id").as("chosen_id"),
+        col("source").as("ws")), "chosen_id")
+      .join(src.select(col("doc_id").as("rejected_id"),
+        col("source").as("ls")), "rejected_id")
+      .where(col("ws") =!= col("ls"))
+      .select(col("ws").as("winner"), col("ls").as("loser"))
+    // ONE fit: the duel aggregation collects once; the returned frame
+    // is driver-built model state, free to reuse
+    val bt = EvalScoring.bradleyTerryFit(duels)
+    val top = bt.where(col("rank") === 1)
+      .select(col("source").as("top_source"),
+        col("strength").as("top_strength"))
+    val nRanked = bt.agg(count(lit(1)).as("n_ranked"))
+    maj.agg(count(lit(1)).as("n_items"),
+        coalesce(sum(when(col("maj_label") =!= "zz", 1L).otherwise(0L)),
+          lit(0L)).as("n_clean"))
+      .crossJoin(pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        // margins are 4dp-rounded: a DECIMAL sum is exact and
+        // order-independent, then ONE correctly-rounded division
+        coalesce(sum(col("margin").cast("decimal(20,4)")), lit(0))
+          .cast("double").as("margin_sum")))
+      .crossJoin(nRanked)
+      .crossJoin(top)
+      .select(col("n_items"), col("n_clean"), col("n_pairs"),
+        when(col("n_pairs") === 0, lit(0.0)).otherwise(
+          Text.roundPortable(col("margin_sum") / col("n_pairs"), 4))
+          .as("mean_margin"),
+        col("n_ranked"), col("top_source"), col("top_strength"))
+  }
 }

@@ -438,7 +438,13 @@ object ScaleProbe {
         "sim_ivf_sql",
         // broadcast-kernel BPE apply (40 pinned merges): map-only
         // like text_bpe_apply's fold; prices the kernel per-word scan
-        "text_bpe_apply_big")
+        "text_bpe_apply_big",
+        // one DISTINCT-source pass; the DoReMi arithmetic runs on the
+        // domains-many loss table — metadata-scale by construction
+        "q_domain_reweight",
+        // majority gate (panel windows) + pair windows + one duel
+        // partial agg + k²-bounded driver fit + three one-row aggs
+        "pipeline_rlhf_audit")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -51,4 +51,36 @@ class MajorityVoteSpec extends SparkSpec {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(out.length.toLong == nDocs)
   }
+
+  test("the RLHF audit composition reconciles with its own stages") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Pipeline.qRlhfAudit(spark, sf).head()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nItems = row.getAs[Long]("n_items")
+    val nClean = row.getAs[Long]("n_clean")
+    val nPairs = row.getAs[Long]("n_pairs")
+    assert(nItems == nDocs, "stage 1 must label every doc")
+    assert(nClean < nItems && nClean > 0, "the rater-QA gate must actually cut")
+    assert(nPairs <= nClean, "pairs only form over clean prompts")
+    assert(row.getAs[Double]("mean_margin") > 0.0,
+      "kept pairs have strictly positive margins by construction")
+    // the audit's top source is the direct majority-gated BT fit's #1
+    val maj = EvalScoring.qEvalMajorityVote(spark, sf)
+      .where(col("maj_label") =!= "zz")
+      .select(col("item_id").as("prompt_id"))
+    val pairs = EvalScoring.qPreferencePairs(spark, sf).join(maj, "prompt_id")
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    val duels = pairs
+      .join(src.select(col("doc_id").as("chosen_id"),
+        col("source").as("ws")), "chosen_id")
+      .join(src.select(col("doc_id").as("rejected_id"),
+        col("source").as("ls")), "rejected_id")
+      .where(col("ws") =!= col("ls"))
+      .select(col("ws").as("winner"), col("ls").as("loser"))
+    val top = EvalScoring.bradleyTerryFit(duels)
+      .where(col("rank") === 1).head()
+    assert(row.getAs[String]("top_source") == top.getAs[String]("source"))
+    assert(row.getAs[Double]("top_strength") == top.getAs[Double]("strength"))
+  }
 }

@@ -145,6 +145,65 @@ class MixingClusteringSpec extends SparkSpec {
       "all docs got identical copy counts — threshold branch untested")
   }
 
+  test("domain reweight: hand-computed DoReMi quotas on 2 and 3 domains, clip included") {
+    import spark.implicits._
+    // A learns (excess 0.5 -> e^1 scaled 2718282); B already beats the
+    // reference (excess floors at 0 -> 1000000). Ideals are the exact
+    // integer ratio B·(9·wi·k + S)/(10·S·k): 707.95.. / 292.05.. ->
+    // largest remainder gives A the leftover seat
+    val two = Mixing.domainReweightWith(
+      Seq(("A", 2.0, 1.5), ("B", 1.0, 2.0))
+        .toDF("source", "proxy_loss", "ref_loss"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getLong(5))).toMap
+    assert(two("A") == (0.707953, 708L) && two("B") == (0.292047, 292L))
+    // C's raw excess 4.0 CLIPS to 1.0 (e^2); quotas: 254/114/632
+    val three = Mixing.domainReweightWith(
+      Seq(("A", 2.0, 1.5), ("B", 1.0, 2.0), ("C", 5.0, 1.0))
+        .toDF("source", "proxy_loss", "ref_loss"))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(three == Map("A" -> 254L, "B" -> 114L, "C" -> 632L))
+  }
+
+  test("domain reweight: quotas conserve the budget, zero-excess domains keep the uniform floor") {
+    val rows = Mixing.qDomainReweight(spark, sf).collect()
+    val k = rows.length
+    assert(rows.map(_.getLong(5)).sum == 1000L, "quotas must sum to the budget")
+    // ε-uniform mixing: every domain's weight ≥ ε/k = 1/(10k), so no
+    // domain is starved no matter how bad its excess loss
+    val floor = 1.0 / (10.0 * k)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= floor - 1e-6,
+        s"${r.getString(0)} starved below the uniform floor")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "excess out of clip range")
+    }
+    // and the weights themselves sum to 1 (up to the 6dp rounding)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
+
+  test("domain reweight quotas feed the epoch resampler: per-source epochs track the quota") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+    val quotas = Mixing.qDomainReweight(spark, sf).select("source", "quota")
+    val out = Mixing.resampleByQuotas(docs, quotas).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val got = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val q = quotas.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBySrc = docs.collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // base epochs are exact (quota DIV n per doc); the fractional
+    // remainder is hash-proportional IN EXPECTATION — bound the
+    // realized count to base ≤ got ≤ base + n (the remainder adds at
+    // most one epoch per doc)
+    q.foreach { case (s, quota) =>
+      val n = nBySrc(s)
+      val baseTotal = (quota / n) * n
+      val gotS = got.getOrElse(s, 0L)
+      assert(gotS >= baseTotal && gotS <= baseTotal + n,
+        s"$s: $gotS epochs outside [$baseTotal, ${baseTotal + n}] for quota $quota")
+    }
+  }
+
   test("semantic dedup: output partitions the corpus and every cluster keeps its farthest member") {
     val n = Tables.embeddings(spark, sf).count()
     for (out <- Seq(Clustering.qSemanticDedup(spark, sf).collect(),

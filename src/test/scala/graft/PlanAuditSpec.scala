@@ -518,4 +518,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("GroupedTopK"), s"$g lost the bounded-heap operator:\n$p")
     }
   }
+
+  test("whole-doc FFD pack: bucket-grouped kernel + BROADCAST bin offsets, no corpus-wide window") {
+    val p = planOf("pack_whole_doc")
+    // the per-bucket FFD state rides a groupByKey kernel (one bucket
+    // exchange); the bin-count prefix comes back as a broadcast join,
+    // never a corpus-side shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bin offsets not broadcast:\n$p")
+    // no window may partition by anything corpus-wide: the only Window
+    // is the metadata-sized bucket-subtotal prefix (unpartitioned over
+    // ~sqrt(n) rows AFTER the per-bucket aggregate)
+    assert(!p.contains("windowspecdefinition(doc_id"), p)
+  }
 }

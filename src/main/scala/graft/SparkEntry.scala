@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_clusters"       -> ((s: SparkSession, d: String) => Dedup.qDedupClusters(s, d)),
     "dedup_clusters_dist"  -> (Dedup.qDedupClustersDist _),
     "dedup_keep_best"      -> (Dedup.qDedupKeepBest _),
+    "q_delete_propagate"   -> (Dedup.qDeletePropagate _),
     "dedup_verbatim"       -> (Dedup.qVerbatimCoverage _),
     "dedup_verbatim_rewrite" -> (Dedup.qVerbatimRewrite _),
     "dedup_paragraphs"     -> (Dedup.qDedupParagraphs _),
@@ -986,6 +987,17 @@ object SparkEntry {
     "dedup_clusters" -> DedupClustersOracleSql,
     "dedup_clusters_dist" -> DedupClustersOracleSql,
     "dedup_keep_best" -> DedupKeepBestOracleSql,
+    // takedown propagation: every 100th doc seeds a deletion that
+    // removes its whole near-dup cluster; reasons tag the audit trail
+    "q_delete_propagate" -> (DedupClustersCtes +
+      """,
+         seeds AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+         sc AS (SELECT DISTINCT cluster_id FROM clusters JOIN seeds USING (doc_id)),
+         via AS (SELECT c.doc_id FROM clusters c JOIN sc USING (cluster_id)
+                 WHERE c.doc_id NOT IN (SELECT doc_id FROM seeds))
+         SELECT doc_id, 'seed' AS reason FROM seeds
+         UNION ALL SELECT doc_id, 'near_dup_of_seed' AS reason FROM via
+         ORDER BY doc_id"""),
     // ExactSubstr-style span coverage: 8-token windows shared verbatim
     // across >= 2 distinct docs; per-doc interval merge (island scan)
     "dedup_verbatim" ->

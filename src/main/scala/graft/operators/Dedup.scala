@@ -628,6 +628,40 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** DELETION PROPAGATION — the takedown sweep a real corpus owes its
+    * removal requests (GDPR erasure, DMCA, contamination purges):
+    * deleting only the requested documents leaves their near-verbatim
+    * copies training anyway, so a deletion seed removes its WHOLE
+    * near-dup cluster. Seeds not in any near-dup pair delete alone.
+    * Output tags each removed doc with why (`seed` vs
+    * `near_dup_of_seed`) — the audit trail a takedown log needs.
+    *
+    * Scale shape: the clusters are the already-gated
+    * [[qDedupClusters]] machinery (LSH candidates → exact verify →
+    * min-label components); propagation adds one broadcast join of
+    * the seed-cluster ids (request-batch-sized — takedown lists are
+    * thousands, not billions) and a map-only reason tag. */
+  def qDeletePropagate(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic stand-in for a takedown request list: every 100th doc
+    val seeds = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(100)) === 0).select("doc_id")
+    deletePropagate(spark, dir, seeds)
+  }
+
+  private[graft] def deletePropagate(spark: SparkSession, dir: String,
+                                     seeds: DataFrame): DataFrame = {
+    val clusters = qDedupClusters(spark, dir)
+    val seedClusters = clusters.join(seeds, "doc_id")
+      .select("cluster_id").distinct()
+    val viaCluster = clusters
+      .join(broadcast(seedClusters), "cluster_id")
+      .join(seeds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("near_dup_of_seed").as("reason"))
+    seeds.select(col("doc_id"), lit("seed").as("reason"))
+      .unionByName(viaCluster)
+      .orderBy("doc_id")
+  }
+
   /** Window width (tokens) for [[qVerbatimCoverage]]. Real ExactSubstr
     * pipelines use ~50-token windows; 8 fits the 10–99-token fixture
     * docs while keeping chance collisions negligible (40⁸ keyspace). */

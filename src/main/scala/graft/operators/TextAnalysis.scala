@@ -1605,6 +1605,62 @@ object TextAnalysis {
       s"('graft.fingerprint'='appended')")
   }
 
+  /** POSTING-INDEX DELETION — the takedown half of the maintenance
+    * story (GDPR erasure, DMCA removal, contamination purge): the
+    * batch of documents to remove rides in with its text (the
+    * [[appendToTextIndex]] symmetry — stats must subtract EXACTLY
+    * what append added, so the same tokenization computes the same
+    * integer-double sums), posting rows anti-join away in ONE
+    * distributed pass through the compaction staging swap, and the
+    * stats row decrements algebraically. Delete ≡ rebuild holds
+    * BIT-FOR-BIT — including scores: BM25's df is recomputed from the
+    * index at search time, so removed docs stop counting everywhere
+    * (TextIndexSpec pins stats and search parity against a fresh
+    * build on the surviving docs). The build-once stamp drops to
+    * "mutated": a deleted index no longer equals a fresh dir build. */
+  def deleteFromTextIndex(spark: SparkSession, name: String,
+                          batch: DataFrame): Unit = {
+    val docs = batch
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val ids = docs.select("doc_id")
+    val staging = s"${name}_compacting"
+    val retired = s"${name}_retired"
+    healStagedSwap(spark, name)
+    graft.sources.Readers.saveBucketedTable(
+      spark.table(name).join(broadcast(ids), Seq("doc_id"), "left_anti"),
+      staging, TextIndexBuckets, "term")
+    spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+      s"('graft.fingerprint'='mutated')")
+    spark.sql(s"ALTER TABLE $name RENAME TO $retired")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    graft.sources.Readers.dropTableAndDir(spark, retired)
+    val b = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0.0)).as("sum_dl")).head
+    val old = spark.table(s"${name}_stats").head
+    import spark.implicits._
+    graft.sources.Readers.replaceTable(
+      Seq((old.getLong(0) - b.getLong(0),
+        old.getDouble(1) - b.getDouble(1))).toDF("n", "sum_dl"),
+      s"${name}_stats")
+  }
+
+  /** Crash-heal preamble shared by every staged-swap mutation of a
+    * posting index: a live-missing/staging-present state can only be
+    * the inter-rename window (staging is always complete before any
+    * catalog mutation), so staging promotes; stale staging/retired
+    * leftovers NEXT TO a live table drop. */
+  private def healStagedSwap(spark: SparkSession, name: String): Unit = {
+    val staging = s"${name}_compacting"
+    val retired = s"${name}_retired"
+    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    else if (spark.catalog.tableExists(staging))
+      graft.sources.Readers.dropTableAndDir(spark, staging)
+    if (spark.catalog.tableExists(retired))
+      graft.sources.Readers.dropTableAndDir(spark, retired)
+  }
+
   /** POSTING-INDEX COMPACTION — the maintenance half of
     * [[appendToTextIndex]], mirroring
     * [[graft.operators.Similarity.compactIvfIndex]]: every append
@@ -1629,12 +1685,7 @@ object TextAnalysis {
                        maxFilesPerBucket: Int = 2): Boolean = {
     val staging = s"${name}_compacting"
     val retired = s"${name}_retired"
-    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(staging))
-      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
-    else if (spark.catalog.tableExists(staging))
-      graft.sources.Readers.dropTableAndDir(spark, staging)
-    if (spark.catalog.tableExists(retired))
-      graft.sources.Readers.dropTableAndDir(spark, retired)
+    healStagedSwap(spark, name)
     val nFiles = graft.sources.Readers.tableDataFiles(spark, name).size
     if (nFiles <= TextIndexBuckets.toLong * maxFilesPerBucket) false
     else {

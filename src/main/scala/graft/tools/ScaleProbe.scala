@@ -444,7 +444,10 @@ object ScaleProbe {
         "q_domain_reweight",
         // majority gate (panel windows) + pair windows + one duel
         // partial agg + k²-bounded driver fit + three one-row aggs
-        "pipeline_rlhf_audit")
+        "pipeline_rlhf_audit",
+        // the gated cluster machinery + one broadcast seed-cluster
+        // join + a map-only reason tag — must track dedup_clusters
+        "q_delete_propagate")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

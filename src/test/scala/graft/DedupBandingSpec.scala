@@ -99,4 +99,32 @@ class DedupBandingSpec extends SparkSpec {
     }
     rm(tmp)
   }
+
+  test("deletion propagation removes exactly the seeds' clusters, tagged by reason") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = graft.operators.Dedup.qDeletePropagate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val reasons = out.toMap
+    val seeds = spark.read.parquet(s"$sf/documents.parquet")
+      .where(pmod(col("doc_id"), lit(100)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every seed is deleted AS a seed; no doc appears twice
+    assert(seeds.forall(s => reasons.get(s).contains("seed")))
+    assert(out.length == reasons.size, "a doc was deleted twice")
+    // every propagated deletion shares a cluster with some seed, and
+    // every member of a seeded cluster is deleted — no survivors
+    val clusters = graft.operators.Dedup.qDedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seededClusters = clusters.collect {
+      case (d, c) if seeds(d) => c }.toSet
+    reasons.foreach { case (d, why) =>
+      if (why == "near_dup_of_seed")
+        assert(seededClusters(clusters(d)), s"$d deleted without a seeded cluster")
+    }
+    clusters.foreach { case (d, c) =>
+      if (seededClusters(c))
+        assert(reasons.contains(d), s"cluster-mate $d of a seed survived")
+    }
+  }
 }

@@ -157,6 +157,51 @@ class TextIndexSpec extends SparkSpec {
     assert(!TextAnalysis.compactTextIndex(spark, name, maxFilesPerBucket = 2))
   }
 
+  test("deletion equals a rebuild on the survivors, stats and scores included") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val gone = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val kept = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delName = "bm25_index_del_spec"
+    val refName = "bm25_index_delref_spec"
+    Seq(delName, refName).foreach { n =>
+      graft.sources.Readers.dropTableAndDir(spark, n)
+      graft.sources.Readers.dropTableAndDir(spark, s"${n}_stats")
+      graft.sources.Readers.dropTableAndDir(spark, s"${n}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_retired")
+    }
+    // full build, then delete a third — vs a fresh build on the rest
+    TextAnalysis.buildTextIndex(spark, sf, delName)
+    TextAnalysis.deleteFromTextIndex(spark, delName, gone)
+    built
+    spark.table(IndexName).where(lit(false))
+      .write.bucketBy(32, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(refName)
+    graft.sources.Readers.replaceTable(
+      Seq((0L, 0.0)).toDF("n", "sum_dl"), s"${refName}_stats")
+    TextAnalysis.appendToTextIndex(spark, refName, kept)
+    // stats BIT-identical: append added exactly what delete subtracted
+    val sd = spark.table(s"${delName}_stats").head
+    val sr = spark.table(s"${refName}_stats").head
+    assert(sd.getLong(0) == sr.getLong(0) && sd.getDouble(1) == sr.getDouble(1),
+      s"stats diverged after delete: $sd vs $sr")
+    // search row-identical — df recomputes from the index, so removed
+    // docs stop counting in every survivor's idf too
+    val q = Seq((0L, "spark table query"), (1L, "fast vector scan"))
+      .toDF("q_id", "q_text")
+    val viaDel = TextAnalysis.searchTextIndex(spark, delName, q).collect().toSeq
+    val viaRef = TextAnalysis.searchTextIndex(spark, refName, q).collect().toSeq
+    assert(viaDel == viaRef, "delete != rebuild on the survivors")
+    assert(viaDel.nonEmpty)
+    // no deleted doc can ever be returned
+    val goneIds = gone.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!viaDel.exists(r => goneIds(r.getLong(2))))
+    // the build-once stamp is gone: a mutated index must not be
+    // mistaken for a fresh dir build
+    assert(graft.sources.Readers.tableProp(spark, delName, "graft.fingerprint")
+      .contains("mutated"))
+  }
+
   test("compaction crash windows heal: a stranded staging table is promoted") {
     import org.apache.spark.sql.functions._
     val name = "bm25_index_heal_spec"

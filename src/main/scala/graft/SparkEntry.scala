@@ -146,6 +146,7 @@ object SparkEntry {
     "q_hash_split"         -> (Mixing.qHashSplit _),
     "q_domain_cap"         -> (Mixing.qDomainCap _),
     "q_domain_reweight"    -> (Mixing.qDomainReweight _),
+    "q_mix_doremi"         -> (Mixing.qMixDoremi _),
     "pipeline_chunked_pretrain" -> (Pipeline.qChunkedPretrain _),
     "q_corpus_diff"        -> (Pipeline.qCorpusDiff _),
     "q_corpus_drift"       -> (Pipeline.qCorpusDrift _),
@@ -314,6 +315,27 @@ object SparkEntry {
          |FROM da${graft.operators.TextAnalysis.BigMergeFixture.size}
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** The DoReMi reweight arithmetic as CTEs (synthetic md5-draw
+    * losses, clipped excess, exp scores in integer millionths, the
+    * exact integer-ratio ideal, largest-remainder seats in `r`) —
+    * shared by the weight-table gate and the realized-mix gate. */
+  private val DomainReweightCtes: String =
+    """WITH s AS (SELECT DISTINCT source FROM documents),
+         l AS (SELECT source,
+             1.0 + (CAST(('0x' || substr(md5(source), 1, 6)) AS BIGINT) % 1000) / 500.0 AS proxy_loss,
+             1.0 + (CAST(('0x' || substr(md5(source || '_ref'), 1, 6)) AS BIGINT) % 1000) / 500.0 AS ref_loss
+           FROM s),
+         e AS (SELECT source, proxy_loss, ref_loss,
+             least(greatest(proxy_loss - ref_loss, 0.0), 1.0) AS excess FROM l),
+         w AS (SELECT *, CAST(floor(exp(excess / 0.5) * 1000000 + 0.5) AS BIGINT) AS wi FROM e),
+         t AS (SELECT sum(wi) AS s_wi, CAST(count(*) AS BIGINT) AS k FROM w),
+         q AS (SELECT source, proxy_loss, ref_loss, excess,
+             CAST(1000 * (9 * wi * k + s_wi) AS DOUBLE) / CAST(10 * s_wi * k AS DOUBLE) AS ideal
+           FROM w CROSS JOIN t),
+         b AS (SELECT *, floor(ideal) AS base, ideal - floor(ideal) AS rem FROM q),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT 1000 - sum(base) FROM b) AS leftover FROM b)"""
 
   private val SimIvfSq8ScaledOracleSql: String =
     """WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c FROM embeddings),
@@ -2769,29 +2791,28 @@ object SparkEntry {
     // DoReMi one-shot reweight over synthetic md5-draw losses:
     // clipped excess -> exp score in integer millionths -> the exact
     // integer-ratio ideal B*(9*wi*k + S)/(10*S*k) -> largest remainder
-    "q_domain_reweight" ->
-      """WITH s AS (SELECT DISTINCT source FROM documents),
-         l AS (SELECT source,
-             1.0 + (CAST(('0x' || substr(md5(source), 1, 6)) AS BIGINT) % 1000) / 500.0 AS proxy_loss,
-             1.0 + (CAST(('0x' || substr(md5(source || '_ref'), 1, 6)) AS BIGINT) % 1000) / 500.0 AS ref_loss
-           FROM s),
-         e AS (SELECT source, proxy_loss, ref_loss,
-             least(greatest(proxy_loss - ref_loss, 0.0), 1.0) AS excess FROM l),
-         w AS (SELECT *, CAST(floor(exp(excess / 0.5) * 1000000 + 0.5) AS BIGINT) AS wi FROM e),
-         t AS (SELECT sum(wi) AS s_wi, CAST(count(*) AS BIGINT) AS k FROM w),
-         q AS (SELECT source, proxy_loss, ref_loss, excess,
-             CAST(1000 * (9 * wi * k + s_wi) AS DOUBLE) / CAST(10 * s_wi * k AS DOUBLE) AS ideal
-           FROM w CROSS JOIN t),
-         b AS (SELECT *, floor(ideal) AS base, ideal - floor(ideal) AS rem FROM q),
-         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
-             (SELECT 1000 - sum(base) FROM b) AS leftover FROM b)
+    "q_domain_reweight" -> (DomainReweightCtes + """
          SELECT source,
            floor(proxy_loss * 10000 + 0.5) / 10000 AS proxy_loss,
            floor(ref_loss * 10000 + 0.5) / 10000 AS ref_loss,
            floor(excess * 10000 + 0.5) / 10000 AS excess,
            floor(ideal / 1000.0 * 1000000 + 0.5) / 1000000 AS weight,
            CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
-         FROM r ORDER BY source""",
+         FROM r ORDER BY source"""),
+    // the DoReMi quotas REALIZED through the shared epoch resampler
+    // (the q_mix_epochs arithmetic with the reweight quota table in
+    // place of the sqrt-mass one) — the end-to-end mix gate
+    "q_mix_doremi" -> (DomainReweightCtes + """,
+         rq AS (SELECT source, CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota FROM r),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+         qn AS (SELECT rq.source, quota, n_docs FROM rq JOIN g USING (source)),
+         cp AS (SELECT dd.source, dd.doc_id,
+               quota // n_docs +
+               CASE WHEN CAST(('0x'||substr(md5(CAST(dd.doc_id AS VARCHAR)),1,6)) AS BIGINT) * n_docs
+                         < (quota % n_docs) * 16777216 THEN 1 ELSE 0 END AS copies
+               FROM documents dd JOIN qn USING (source))
+         SELECT source, doc_id, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+         FROM cp WHERE copies >= 1 ORDER BY source, doc_id, epoch"""),
     // quality-weighted importance sampling: keep iff the 24-bit md5
     // uniform falls under floor(score · 2^24) — integer compare on
     // the 4-decimal-rounded score; kept rows carry weight 1/score

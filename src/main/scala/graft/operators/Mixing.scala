@@ -498,6 +498,18 @@ object Mixing {
       .orderBy("source")
   }
 
+  /** The DoReMi quotas REALIZED — [[qDomainReweight]]'s weight table
+    * fed through [[resampleByQuotas]], closing the reweight→resample
+    * chain as one oracle-checked gate: per-source budget seats become
+    * per-doc epoch copies by the exact integer hash threshold, so the
+    * emitted mix IS the reweighted training stream a loader reads. */
+  def qMixDoremi(spark: SparkSession, dir: String): DataFrame =
+    resampleByQuotas(
+        Tables.documents(spark, dir),
+        qDomainReweight(spark, dir).select("source", "quota"))
+      .select("source", "doc_id", "epoch")
+      .orderBy("source", "doc_id", "epoch")
+
   /** Gate: [[domainReweightWith]] over a DETERMINISTIC synthetic loss
     * table — the fixture has no proxy run, so per-source losses are
     * md5 draws in [1, 3) (the eval_ece synthetic-correctness

@@ -447,7 +447,10 @@ object ScaleProbe {
         "pipeline_rlhf_audit",
         // the gated cluster machinery + one broadcast seed-cluster
         // join + a map-only reason tag — must track dedup_clusters
-        "q_delete_propagate")
+        "q_delete_propagate",
+        // reweight quotas realized through the shared resampler:
+        // metadata-scale fit + the map-only q_mix_epochs corpus side
+        "q_mix_doremi")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // both scale configs are oracle-gated since round 7
       // (dedup_embedding_scaled / dedup_simhash_wide in SparkEntry)

@@ -931,8 +931,40 @@ object Similarity {
     * window (staging is always complete), so staging is promoted;
     * a staging or retired leftover NEXT TO a live table is stale and
     * dropped. */
-  def compactIvfIndex(spark: SparkSession, name: String,
-                      maxFilesPerBucket: Int = 2): Boolean = {
+  /** IVF-INDEX DELETION — takedown maintenance for the vector store
+    * (erasure requests, decontamination purges): the batch of vec_ids
+    * anti-joins away through the staged swap; the CENTROIDS — the
+    * trained model — stay, so deletion commutes with append exactly:
+    * append(B) then delete(B) restores the original index rows
+    * bit-for-bit (IvfIndexSpec pins it), and post-delete search is
+    * the pre-delete ranking with the deleted ids removed (scores are
+    * per-row cosines — no survivor's score can move). The mode stamp
+    * carries (a deleted two-level index must not read back flat);
+    * the build-once stamp drops to "mutated". */
+  def deleteFromIvfIndex(spark: SparkSession, name: String,
+                         ids: DataFrame): Unit = {
+    val staging = s"${name}_compacting"
+    val retired = s"${name}_retired"
+    healIvfSwap(spark, name)
+    val mode = if (assignModeOf(spark, name)) "twolevel" else "flat"
+    graft.sources.Readers.saveBucketedTable(
+      spark.table(name)
+        .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti"),
+      staging, IndexFileBuckets, "bucket")
+    spark.sql(
+      s"ALTER TABLE $staging SET TBLPROPERTIES ('$AssignModeProp'='$mode')")
+    spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+      s"('$FingerprintProp'='mutated')")
+    spark.sql(s"ALTER TABLE $name RENAME TO $retired")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    graft.sources.Readers.dropTableAndDir(spark, retired)
+    assignModeMemo.remove((spark, name))
+  }
+
+  /** Shared crash-heal preamble for the staged-swap mutations
+    * (compaction, deletion) — the inter-rename window promotes
+    * staging; stale leftovers next to a live table drop. */
+  private def healIvfSwap(spark: SparkSession, name: String): Unit = {
     val staging = s"${name}_compacting"
     val retired = s"${name}_retired"
     if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(staging))
@@ -941,6 +973,13 @@ object Similarity {
       graft.sources.Readers.dropTableAndDir(spark, staging)
     if (spark.catalog.tableExists(retired))
       graft.sources.Readers.dropTableAndDir(spark, retired)
+  }
+
+  def compactIvfIndex(spark: SparkSession, name: String,
+                      maxFilesPerBucket: Int = 2): Boolean = {
+    val staging = s"${name}_compacting"
+    val retired = s"${name}_retired"
+    healIvfSwap(spark, name)
     val nFiles = graft.sources.Readers.tableDataFiles(spark, name).size
     if (nFiles <= IndexFileBuckets.toLong * maxFilesPerBucket) false
     else {

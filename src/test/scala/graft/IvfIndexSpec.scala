@@ -149,6 +149,59 @@ class IvfIndexSpec extends SparkSpec {
       "compacted index scan lost bucket pruning")
   }
 
+  test("deletion commutes with append: add a batch, delete it, get the original index back") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val col = org.apache.spark.sql.functions.col _
+    val name = "ivf_index_spec_del"
+    Similarity.buildIvfIndexFrom(emb.where(col("vec_id") < 300), name, 8)
+    val rowsBefore = spark.table(name).collect().map(_.toSeq).toSet
+    val searchBefore = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq
+    val batch = emb.where(col("vec_id") >= 300 && col("vec_id") < 400)
+    Similarity.appendToIvfIndex(spark, name, batch)
+    Similarity.deleteFromIvfIndex(spark, name, batch.select("vec_id"))
+    // append assigned against the STANDING centroids; delete removed
+    // exactly those rows — contents restore bit-for-bit
+    assert(spark.table(name).collect().map(_.toSeq).toSet == rowsBefore)
+    assert(Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(_.toSeq).toSeq == searchBefore)
+    // the mode stamp survived the swap and pruning still fires
+    val pruned = fileScans(Similarity.searchIvfIndex(spark, sf, name, nProbes = 1))
+      .filter(_.relation.bucketSpec.isDefined)
+    assert(pruned.exists(_.optionalBucketSet.isDefined))
+  }
+
+  test("deleting corpus vectors removes them from results; survivors keep rank order") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val col = org.apache.spark.sql.functions.col _
+    val name = "ivf_index_spec_del2"
+    Similarity.buildIvfIndexFrom(emb, name, 8)
+    val before = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))) // (q_id, vec_id)
+    // delete every 7th vector (queries themselves stay: they come
+    // from the embeddings table, not the index)
+    val gone = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    Similarity.deleteFromIvfIndex(spark, name, gone)
+    val after = Similarity.searchIvfIndex(spark, sf, name, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!after.exists { case (_, v) => goneIds(v) }, "a deleted vector surfaced")
+    // per query: the surviving pre-delete results appear in the same
+    // relative order (per-row cosine scores can't move; only new tail
+    // entrants — scores ≤ the old rank-10's — may interleave at ties)
+    def isOrderedSubseq(sub: Seq[Long], full: Seq[Long]): Boolean = {
+      var i = 0
+      full.foreach { v => if (i < sub.length && sub(i) == v) i += 1 }
+      i == sub.length
+    }
+    before.groupBy(_._1).foreach { case (q, rows) =>
+      val surviving = rows.map(_._2).filterNot(goneIds).toSeq
+      val got = after.filter(_._1 == q).map(_._2).toSeq
+      assert(isOrderedSubseq(surviving, got),
+        s"q=$q survivor order broke: $surviving vs $got")
+    }
+  }
+
   test("compaction heals a crashed swap: orphaned staging promotes, stale staging drops") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val col = org.apache.spark.sql.functions.col _

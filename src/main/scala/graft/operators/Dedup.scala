@@ -41,27 +41,31 @@ object Dedup {
       .orderBy("canonical_id")
 
   /** Document signatures for any (doc_id, text) projection: distinct
-    * 3-gram shingles + 8 minhashes + 4 LSH bands. Shingles are
-    * exploded once and the 8 component minima come out of a single
-    * codegen'd hash aggregate — much faster than evaluating 8
-    * interpreted higher-order `transform` lambdas per document, and
-    * the same one-shuffle-on-doc_id cost profile at any scale.
-    * collect_set in the same pass returns the distinct-shingle set
-    * the verify join needs. Shared by the standalone LSH query, the
-    * cluster query, and the curation pipeline (which feeds only its
-    * quality/exact survivors — computing signatures over documents
-    * that a cheaper upstream filter already dropped is pure waste). */
-  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(Text.shingles3(col("text"))).as("sh"))
-    val minCols = (0 until MinhashSeeds).map(j =>
-      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
-    sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shingles"), minCols: _*)
+    * 3-gram shingles + 8 minhashes + 4 LSH bands, as a PURE
+    * PROJECTION — zero shuffle (r14, guide §2.4). [[Text.shingles3]]
+    * already returns the distinct-shingle set per row, so the
+    * previous explode + groupBy(doc_id) plan was re-aggregating a set
+    * the scan stage had in hand: one corpus-wide ObjectHashAggregate
+    * exchange (collect_set forces the non-codegen aggregate) spent
+    * recovering its own input. [[graft.functions.MinHash8]] computes
+    * the 8 seeded component minima in one static kernel per row —
+    * bit-identical to `min(md5(concat("j|", sh)))` over the exploded
+    * rows (the oracles' formulation, unchanged) — and the band md5s
+    * are ordinary codegen'd builtins over its output. Docs with no
+    * shingles (< 3 tokens) are dropped exactly as the explode
+    * dropped them. Shared by the standalone LSH query, the cluster
+    * query, the incremental/streaming dedups (where per-BATCH
+    * signature shuffles used to be the recurring cost), and the
+    * curation pipelines. */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.shingles3(col("text")).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .withColumn("mh", graft.functions.MinHashes.minhash8(col("shingles")))
       .withColumn("bands",
         array((0 until MinhashSeeds / 2).map(b =>
-          Text.band(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
-  }
+          Text.band(element_at(col("mh"), 2 * b + 1),
+                    element_at(col("mh"), 2 * b + 2))): _*))
+      .drop("mh")
 
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     signaturesOf(Tables.documents(spark, dir))

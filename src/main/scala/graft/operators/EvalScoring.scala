@@ -32,21 +32,23 @@ object EvalScoring {
   private def norm(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
-  /** Multiset token overlap of two token-array columns,
-    * Σ_t min(count_p(t), count_r(t)), in O(L log L) element ops per
-    * row: tag each token with its source, `array_sort` the combined
-    * struct array (orders by token, sources adjacent within a run),
-    * then ONE `aggregate` pass walks the sorted runs keeping per-run
-    * (count_p, count_r) and flushing min(cp, cr) at each run
-    * boundary. Replaces the earlier per-distinct-token `filter`
-    * rescan (O(L²) — quadratic bites on 4k-token generations); same
-    * HOF vocabulary, still a pure per-row projection, no shuffle.
+  /** Higher-order-function twin of
+    * [[graft.functions.MultisetOverlap]] — Σ_t min(count_p(t),
+    * count_r(t)) in O(L log L) element ops per row: tag each token
+    * with its source, `array_sort` the combined struct array (orders
+    * by token, sources adjacent within a run), then ONE `aggregate`
+    * pass walks the sorted runs keeping per-run (count_p, count_r)
+    * and flushing min(cp, cr) at each run boundary. Kept as the
+    * no-custom-code cross-check (MultisetOverlapSpec pins parity on
+    * arbitrary arrays); the hot path uses the custom expression —
+    * the interpreted lambdas here were ~75 % of the
+    * eval_preference_pairs bench row (r14 measurement).
     *
     * The fold state starts with cp+cr = 0 — true ONLY before the
     * first element (every step increments one counter), so the
     * "fresh run" test never needs a sentinel token and the empty
     * string is an ordinary token. */
-  private def multisetOverlap(p: Column, r: Column): Column = {
+  private[graft] def multisetOverlapViaHof(p: Column, r: Column): Column = {
     val tagged = array_sort(concat(
       transform(p, t => struct(t.as("tok"), lit(1).as("src"))),
       transform(r, t => struct(t.as("tok"), lit(2).as("src")))))
@@ -76,7 +78,8 @@ object EvalScoring {
       .withColumn("rt", Text.tokens(norm(col("ref"))))
       .withColumn("np", size(col("pt")))
       .withColumn("nr", size(col("rt")))
-      .withColumn("ov", multisetOverlap(col("pt"), col("rt")))
+      .withColumn("ov", graft.functions.MultisetOverlap
+        .multisetOverlap(col("pt"), col("rt")))
       .withColumn("token_f1", Text.roundPortable(
         when(col("np") + col("nr") === 0, lit(0.0))
           .otherwise(lit(2.0) * col("ov") / (col("np") + col("nr"))), 4))

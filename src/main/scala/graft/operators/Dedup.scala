@@ -32,6 +32,19 @@ object Dedup {
   // shared ~40-word vocab collapses token sets.)
   private val SimhashMaxHamming = 12
 
+  /** |A ∩ B| of two DISTINCT-element string arrays (every shingle
+    * array here comes from [[graft.functions.Shingles3]], which
+    * dedups) — the [[graft.functions.MultisetOverlap]] kernel, whose
+    * min-count sum equals intersection cardinality on sets. Replaces
+    * `size(array_intersect(a, b))` in the verify joins (r14):
+    * array_intersect materializes the intersection ARRAY and re-dedups
+    * its left side per row; the kernel is one hash-probe loop
+    * returning the count. Same value on every pair, checked by
+    * R14KernelsSpec. */
+  private def interSize(a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column) =
+    graft.functions.MultisetOverlap.multisetOverlap(a, b)
+
   /** Exact dedup: canonical row per distinct text, by content hash
     * (groupBy md5 — one shuffle on the hash, min doc_id wins). */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -89,10 +102,10 @@ object Dedup {
     val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-        (size(col("sh_a")) + size(col("sh_b")) -
-         size(array_intersect(col("sh_a"), col("sh_b")))))
+        col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -176,10 +189,10 @@ object Dedup {
     val shB = bs.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
     val shC = cs.select(col("doc_id").as("c_id"), col("shingles").as("sh_c"))
     cands.join(shB, "b_id").join(shC, "c_id")
+      .withColumn("inter", interSize(col("sh_b"), col("sh_c")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_b"), col("sh_c"))) /
-        (size(col("sh_b")) + size(col("sh_c")) -
-         size(array_intersect(col("sh_b"), col("sh_c")))))
+        col("inter") /
+        (size(col("sh_b")) + size(col("sh_c")) - col("inter")))
       .where(col("jaccard") >= JaccardThreshold)
       .groupBy("b_id")
       .agg(min("c_id").as("dup_of"),
@@ -240,7 +253,7 @@ object Dedup {
     // a shuffle join instead of an 8 GB broadcast failure.
     val sets = docs.select(col("doc_id"),
       Text.shingles3(col("text")).as("shingles"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = interSize(col("sh_a"), col("sh_b"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -317,7 +330,7 @@ object Dedup {
     val sets = docs.select(col("doc_id"),
         Text.shingles3(col("text")).as("shingles"))
       .where(size(col("shingles")) > 0)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = interSize(col("sh_a"), col("sh_b"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

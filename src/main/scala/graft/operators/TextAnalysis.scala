@@ -314,6 +314,21 @@ object TextAnalysis {
     * [[Pipeline]] gates on it inline instead of joining back to a
     * scored table (at scale the score is a projection, never a join). */
   private[graft] def classifierProb: Column = {
+    // r14: the per-token md5-hash weight mean runs in the
+    // ClassifierMeanW static kernel (one codegen'd call per row)
+    // instead of an interpreted aggregate(transform(...)) chain —
+    // measured 2.4 s/pass at sf0.1, the whole gate stage of
+    // pipeline_pretrain_model. Same digits: the oracle still spells
+    // conv(substring(md5(t),1,6),16,10) % 2001 etc., and
+    // R14KernelsSpec pins kernel == builtin fold.
+    val meanW = graft.functions.ClassifierMeanWKernel
+      .classifierMeanW(toks, None)
+    lit(1.0) / (lit(1.0) + exp(lit(-4.0) * meanW))
+  }
+
+  /** The builtin-composition twin of the kernel above — kept as the
+    * no-custom-code cross-check (R14KernelsSpec). */
+  private[graft] def classifierProbViaHof: Column = {
     // md5 hex → BIGINT via conv(,16,10); DuckDB: CAST('0x'||hex AS BIGINT)
     val tokenWeight = (t: Column) =>
       (conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 2001L - 1000L)
@@ -360,13 +375,11 @@ object TextAnalysis {
     * of the stand-in's fixed ±1 codomain. Swapping stand-in → trained
     * model is exactly this substitution — zero plan changes. */
   private[graft] def classifierProbWith(w: Array[Double]): Column = {
-    val weightsLit = typedLit(w.toSeq)
-    val tokenWeight = (t: Column) =>
-      element_at(weightsLit,
-        (pmod(conv(substring(md5(t), 1, 6), 16, 10).cast("long"),
-          lit(w.length.toLong)) + 1L).cast("int"))
-    val meanW = aggregate(transform(toks, tokenWeight), lit(0.0),
-      (acc, x) => acc + x) / size(toks)
+    // same kernel as [[classifierProb]], with the exported table
+    // shipped as a plan reference object instead of the stand-in
+    // weight function — the swap is still zero plan changes
+    val meanW = graft.functions.ClassifierMeanWKernel
+      .classifierMeanW(toks, Some(w))
     lit(1.0) / (lit(1.0) + exp(lit(-4.0) * meanW))
   }
 

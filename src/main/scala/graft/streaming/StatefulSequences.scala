@@ -75,13 +75,18 @@ object StatefulSequences {
     val feed = graft.Tables.eventsNorm(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_ord"),
         col("ts_sec"), col("event_type"))
-      .orderBy("ts_ord", "event_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, Long, Long, Long, String)].collect().toSeq
+      // feeding the MemoryStream (bounded fixture). r14: sorted on
+      // the driver (a distributed range sort before a driver collect
+      // is harness overhead), and fed as Ev rows directly — the tuple
+      // feed paid a deserialize→map→re-serialize pass per batch
+      // before the stateful shuffle: harness-side collect + sort
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(t => (t._3, t._2))
+      .map(t => Ev(t._1, t._2, t._3, t._4, t._5)).toSeq
     val out = ListBuffer[Example]()
-    val input = MemoryStream[(Long, Long, Long, Long, String)]
-    val q = examples(
-        input.toDS().map(t => Ev(t._1, t._2, t._3, t._4, t._5)))
+    implicit val evEnc = Encoders.product[Ev]
+    val input = MemoryStream[Ev]
+    val q = examples(input.toDS())
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Example], _: Long) =>

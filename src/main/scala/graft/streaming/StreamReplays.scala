@@ -74,9 +74,12 @@ object StreamReplays {
   def qStreamClusterAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feed = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, Seq[Float])].collect().toSeq
+      .select(col("vec_id"), col("embedding"))
+      // feeding the MemoryStream (bounded fixture); sorted on the
+      // driver — a distributed range sort (sample job + shuffle)
+      // before a driver collect is pure harness overhead (r14):
+      // harness-side collect + driver sort
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
     val rows = replayVec(spark, feed, nChunks = 3) { batch =>
       graft.operators.Clustering.assignAgainstCorpusModel(spark, dir, batch)
         // harness-side collect: draining one micro-batch's OUTPUT rows
@@ -124,9 +127,9 @@ object StreamReplays {
     import spark.implicits._
     val k = graft.operators.TextAnalysis.KmvK
     val docs = graft.Tables.documents(spark, dir)
-    val feed = docs.select("doc_id", "text", "source").orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String, String)].collect().toSeq
+    val feed = docs.select("doc_id", "text", "source")
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     var standing: Seq[(String, String)] = Vector.empty
     replay3(spark, feed, nChunks = 3) { batch =>
       val merged = graft.operators.TextAnalysis.kmvMerge(
@@ -153,9 +156,9 @@ object StreamReplays {
       .select("sh").distinct().cache()
     evalSh.count()
     val train = docs.where(col("doc_id") % 20 =!= 0)
-      .select("doc_id", "text").orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String)].collect().toSeq
+      .select("doc_id", "text")
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
     val rows = replay(spark, train, nChunks = 3) { batch =>
       graft.operators.TextAnalysis.decontaminateAgainst(
           evalSh, graft.operators.TextAnalysis.shingleSet(batch, w))
@@ -180,9 +183,9 @@ object StreamReplays {
     import spark.implicits._
     val (tgt, raw) = graft.operators.TextAnalysis.dsirModelsFor(spark, dir)
     val feed = graft.Tables.documents(spark, dir)
-      .select("doc_id", "text").orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String)].collect().toSeq
+      .select("doc_id", "text")
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
     val rows = replay(spark, feed, nChunks = 3) { batch =>
       graft.operators.TextAnalysis.dsirScore(batch, tgt, raw)
         // harness-side collect: draining one micro-batch's OUTPUT rows
@@ -215,9 +218,8 @@ object StreamReplays {
           .as("winner"),
         when(col("ca") >= col("cb"), col("sb")).otherwise(col("sa"))
           .as("loser"))
-      .orderBy("ida")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String, String)].collect().toSeq
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     var standing = Map.empty[(String, String), Long]
     replay3(spark, feed, nChunks = 3) { batch =>
       val batchCounts = batch.toDF("ida", "winner", "loser")
@@ -242,9 +244,9 @@ object StreamReplays {
       docs.where(pmod(col("doc_id"), lit(2)) === 0)).cache()
     corpusSigs.count()
     val stream = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-      .select("doc_id", "text").orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String)].collect().toSeq
+      .select("doc_id", "text")
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
     val rows = replay(spark, stream, nChunks = 3) { batch =>
       // lifecycle-safe per-batch body: batch signatures cached for the
       // band join + verify, unpersisted after the collect; the
@@ -281,9 +283,9 @@ object StreamReplays {
     import spark.implicits._
     val h = graft.operators.TextAnalysis.HhDen
     val docs = graft.Tables.documents(spark, dir)
-    val feed = docs.select("doc_id", "text").orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String)].collect().toSeq
+    val feed = docs.select("doc_id", "text")
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
     // standing MG summary + running token total: driver model state
     var standing = Map.empty[String, Long]
     var total = 0L
@@ -328,9 +330,9 @@ object StreamReplays {
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     val h1 = graft.operators.Pipeline.driftHist(
       graft.operators.Pipeline.syntheticPreviousVersion(docs), "c1")
-    val feed = docs.orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String)].collect().toSeq
+    val feed = docs
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
     // standing histogram: ≤ DriftBuckets entries of driver model state
     var standing = Map.empty[Long, Long]
     replay(spark, feed, nChunks = 3) { batch =>
@@ -371,9 +373,11 @@ object StreamReplays {
     implicit val ctx = spark.sqlContext
     val feed = graft.Tables.eventsNorm(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts_sec"))
-      .orderBy("ts_sec", "user_id", "event_type")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String, Long)].collect().toSeq
+      // driver sort in the same (ts_sec, user_id, event_type) order —
+      // event_type values are ASCII, so Java string order == the
+      // engine's UTF8 binary order: harness-side collect + sort
+      .as[(Long, String, Long)].collect()
+      .sortBy(t => (t._3, t._1, t._2)).toSeq
     val out = ArrayBuffer[(Long, String)]()
     val input = MemoryStream[(Long, String, Long)]
     val q = input.toDF().toDF("user_id", "event_type", "ts_sec")
@@ -511,9 +515,9 @@ object StreamReplays {
     val nDocs = graft.Tables.parquetRowCount(spark, s"$dir/documents.parquet")
     val stream = graft.Tables.documents(spark, dir)
       .where(graft.operators.Mixing.hashBucket(col("text")) < 90)
-      .select("doc_id", "text").orderBy("doc_id")
-      // harness-side collect: feeding the MemoryStream (bounded fixture)
-      .as[(Long, String)].collect().toSeq
+      .select("doc_id", "text")
+      // harness-side collect + driver sort (see qStreamClusterAssign)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
     var base = 0L
     val rows = replay(spark, stream, nChunks) { batch =>
       val packed = graft.operators.Packing.packFromCounts(

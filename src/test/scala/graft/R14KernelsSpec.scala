@@ -66,6 +66,61 @@ class R14KernelsSpec extends SparkSpec {
     assert(bad == 0, "MinHash8 diverged from the builtin composition")
   }
 
+  test("ClassifierMeanW kernel prob == builtin HOF prob on the fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      graft.operators.TextAnalysis.classifierProb.as("fast"),
+      graft.operators.TextAnalysis.classifierProbViaHof.as("slow"))
+    // bit-identical (not approximately): both sum the same doubles in
+    // the same order; NaN rows (empty docs) must be NaN on both sides
+    val bad = both.where(
+      (isnan($"fast") =!= isnan($"slow")) ||
+      (!isnan($"fast") && $"fast" =!= $"slow")).count()
+    assert(bad == 0)
+  }
+
+  test("ClassifierMeanW table variant == element_at composition") {
+    val w = Array(0.25, -0.5, 0.125, 1.0, -1.0, 0.0625, 0.0)
+    // no empty text here: the builtin REFERENCE division throws under
+    // ANSI on a zero-token doc (production always filters those out
+    // before the division — the kernel itself returns NaN, asserted
+    // separately below)
+    val texts = Seq("the quick brown fox", "a a a", "Ünïcode emoji🙂")
+      .toDF("text")
+    val toksCol = graft.functions.Text.tokens($"text")
+    val weightsLit = typedLit(w.toSeq)
+    val ref = aggregate(transform(toksCol, t =>
+        element_at(weightsLit,
+          (pmod(conv(substring(md5(t), 1, 6), 16, 10).cast("long"),
+            lit(w.length.toLong)) + 1L).cast("int"))),
+      lit(0.0), (acc, x) => acc + x) / size(toksCol)
+    val both = texts.select(
+      graft.functions.ClassifierMeanWKernel
+        .classifierMeanW(toksCol, Some(w)).as("fast"),
+      ref.as("slow"))
+    val bad = both.where(
+      (isnan($"fast") =!= isnan($"slow")) ||
+      (!isnan($"fast") && $"fast" =!= $"slow")).count()
+    assert(bad == 0)
+    // empty token array -> NaN mean (the builtin's 0.0/0 value), so a
+    // `prob >= 0.5` gate drops it exactly as the filtered path does
+    val empty = Seq("").toDF("text").select(
+      graft.functions.ClassifierMeanWKernel
+        .classifierMeanW(graft.functions.Text.tokens($"text"), Some(w))
+        .as("m"))
+    assert(empty.where(isnan($"m")).count() == 1)
+  }
+
+  test("interSize == size(array_intersect) on distinct arrays") {
+    val cases = (1 to 100).map { _ =>
+      (randomTokens(20).distinct, randomTokens(20).distinct)
+    }
+    val df = cases.toDF("a", "b")
+      .withColumn("fast", MultisetOverlap.multisetOverlap($"a", $"b"))
+      .withColumn("slow", size(array_intersect($"a", $"b")))
+    assert(df.where($"fast" =!= $"slow").count() == 0)
+  }
+
   test("signaturesOf drops shingle-less docs and keeps the band layout") {
     val docs = Seq(
       (1L, "one two three four"),   // has shingles

@@ -525,6 +525,25 @@ object Dedup {
     nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
   }
 
+  /** Component labels over a (doc_a, doc_b) pair frame with the
+    * row-count guard applied: the driver-side union-find runs only
+    * when the guard proves the pair set tiny (≤ [[DriverCcMaxEdges]];
+    * `forceDistributed = true` disables even that, for scale probes
+    * and the distributed-path gate query). Shared by the dedup
+    * cluster gates and the mutual-kNN clustering (r14 — its edge set
+    * obeys the same ≤ n·k bound, and both label paths are
+    * oracle-checked equal). */
+  private[graft] def componentsOver(pairs: DataFrame,
+                                    forceDistributed: Boolean): DataFrame =
+    if (forceDistributed) connectedComponents(pairs)
+    else {
+      val n = pairs.limit((DriverCcMaxEdges + 1).toInt).count()
+      if (n <= DriverCcMaxEdges)
+        driverComponents(pairs.sparkSession,
+          pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+      else connectedComponents(pairs)
+    }
+
   /** Connected-component dedup clusters over the LSH-verified pairs:
     * each document involved in any near-dup pair → the minimum doc_id
     * of its component (the canonical survivor). Label assignment is
@@ -538,16 +557,7 @@ object Dedup {
     val sigs = signatures(spark, dir).cache()
     val pairs = lshVerifiedPairs(sigs).select("doc_a", "doc_b").cache()
     try {
-      val result =
-        if (forceDistributed) connectedComponents(pairs)
-        else {
-          val n = pairs.limit((DriverCcMaxEdges + 1).toInt).count()
-          if (n <= DriverCcMaxEdges)
-            driverComponents(spark,
-              pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
-          else connectedComponents(pairs)
-        }
-      result.orderBy("doc_id")
+      componentsOver(pairs, forceDistributed).orderBy("doc_id")
     } finally {
       // both paths have materialized everything downstream of the
       // caches (collect, or the eager localCheckpoints inside
@@ -653,11 +663,15 @@ object Dedup {
     * Output tags each removed doc with why (`seed` vs
     * `near_dup_of_seed`) — the audit trail a takedown log needs.
     *
-    * Scale shape: the clusters are the already-gated
-    * [[qDedupClusters]] machinery (LSH candidates → exact verify →
-    * min-label components); propagation adds one broadcast join of
-    * the seed-cluster ids (request-batch-sized — takedown lists are
-    * thousands, not billions) and a map-only reason tag. */
+    * Scale shape: the clusters come off the MATERIALIZED
+    * [[clustersTableFor]] table (the [[qDedupKeepBest]] convention —
+    * built on first use per (session, corpus fingerprint); a takedown
+    * sweep reads the standing cluster artifact a curation run already
+    * ships, it does not re-derive the band join per request batch;
+    * the derivation itself stays gated by dedup_clusters/_dist);
+    * propagation adds one broadcast join of the seed-cluster ids
+    * (request-batch-sized — takedown lists are thousands, not
+    * billions) and a map-only reason tag. */
   def qDeletePropagate(spark: SparkSession, dir: String): DataFrame = {
     // deterministic stand-in for a takedown request list: every 100th doc
     val seeds = Tables.documents(spark, dir)
@@ -667,7 +681,7 @@ object Dedup {
 
   private[graft] def deletePropagate(spark: SparkSession, dir: String,
                                      seeds: DataFrame): DataFrame = {
-    val clusters = qDedupClusters(spark, dir)
+    val clusters = clustersTableFor(spark, dir)
     val seedClusters = clusters.join(seeds, "doc_id")
       .select("cluster_id").distinct()
     val viaCluster = clusters

@@ -458,7 +458,11 @@ object Similarity {
                          col("f.neighbor_id") === col("r.q_id"))
       .where(col("f.q_id") < col("f.neighbor_id"))
       .select(col("f.q_id").as("doc_a"), col("f.neighbor_id").as("doc_b"))
-    Dedup.connectedComponents(mutual)
+    // r14: the guarded chooser — driver union-find when the mutual
+    // edge count (≤ n·k by construction) proves tiny, min-label
+    // propagation otherwise; both paths gate-checked equal on the
+    // dedup cluster queries
+    Dedup.componentsOver(mutual, forceDistributed = false)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
   }

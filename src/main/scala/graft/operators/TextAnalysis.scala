@@ -474,17 +474,20 @@ object TextAnalysis {
   }
 
   /** (doc_id, sh) — each doc exploded to its distinct word w-grams.
-    * Tokens are materialized in their own projection BEFORE the
-    * higher-order shingle transform: HOFs don't codegen, and an
-    * inline tokens(text) inside the lambda re-runs the regex split
-    * once per sequence element (measured 2.9 s vs 0.9 s at sf0.1). */
+    * r14: the [[graft.functions.ShinglesW]] kernel (one codegen'd
+    * pass per doc, the Shingles3 pattern at any width) replaces the
+    * two-projection HOF chain — the interpreted transform was the
+    * dominant cost of every caller (decontamination ×4 plans,
+    * source overlap). The HOF twin stays below as the cross-check. */
   private[graft] def shingleSet(documents: DataFrame, w: Int): DataFrame =
     documents
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingleArray(col("toks"), w)).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShinglesW(col("text"), w)).as("sh"))
 
-  /** Distinct word w-grams of a token array (empty below w tokens). */
-  private def shingleArray(t: Column, w: Int): Column =
+  /** Distinct word w-grams of a token array (empty below w tokens) —
+    * the builtin-composition twin of [[graft.functions.ShinglesW]],
+    * kept as the no-custom-code cross-check (R14KernelsSpec). */
+  private[graft] def shingleArray(t: Column, w: Int): Column =
     when(size(t) >= w,
         array_distinct(transform(sequence(lit(0), size(t) - w),
           i => array_join(slice(t, i + 1, lit(w)), " "))))
@@ -508,13 +511,27 @@ object TextAnalysis {
 
   private[graft] def sourceOverlap(documents: DataFrame, w: Int): DataFrame = {
     val vocab = documents
-      .select(col("source"), Text.tokens(col("text")).as("toks"))
-      .select(col("source"), explode(shingleArray(col("toks"), w)).as("sh"))
+      .select(col("source"),
+        explode(graft.functions.ShinglesW(col("text"), w)).as("sh"))
       .distinct()
     val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
-    vocab.as("a").join(vocab.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // r14: pair counting via ONE groupBy(sh) + map-side pair explode,
+    // instead of the vocab⋈vocab self-join on sh — the join shuffled
+    // the distinct-shingle universe twice and emitted the same
+    // (sh, pair) rows the explode builds for free. The source set per
+    // shingle is ≤ the (small, fixed) source count, so the per-row
+    // pair fan-out is C(sources, 2)-bounded exactly as before; the
+    // sorted set keeps source_a < source_b.
+    val pairsPerShingle = vocab.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ss")) - 1),
+        i => transform(slice(col("ss"), i + 1, size(col("ss"))),
+          b => struct(element_at(col("ss"), i).as("sa"), b.as("sb"))))))
+        .as("p"))
+    pairsPerShingle
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
       .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")

@@ -168,8 +168,16 @@ class PlanAuditSpec extends SparkSpec {
       assert("Join \\[cluster#".r.findFirstIn(planOf(q)).isDefined,
         s"$q prune join must key on cluster:\n${planOf(q)}")
     }
-    assert("Join \\[sh#".r.findFirstIn(planOf("text_source_overlap")).isDefined,
-      "overlap join must key on the shingle")
+    // r14: pair generation is ONE aggregate keyed on the shingle
+    // (sorted per-shingle source set + bounded in-row pair explode) —
+    // the former vocab⋈vocab join shuffled the distinct-shingle
+    // universe twice for the same (sh, pair) rows. Contract now: an
+    // aggregate grouped on the shingle exists, and NO join keys on it.
+    val overlapPlan = planOf("text_source_overlap")
+    assert("Aggregate\\(keys=\\[sh#".r.findFirstIn(overlapPlan).isDefined,
+      s"overlap pair generation must aggregate on the shingle:\n$overlapPlan")
+    assert("Join \\[sh#".r.findFirstIn(overlapPlan).isEmpty,
+      "the shingle-keyed self-join should be gone (one shuffle, not two)")
     // the scaled plan's only nested-loop joins are the ×k centroid
     // assignments (one per Lloyd pass + final assignment)
     val bnlj = "BroadcastNestedLoopJoin".r

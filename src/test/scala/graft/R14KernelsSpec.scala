@@ -121,6 +121,24 @@ class R14KernelsSpec extends SparkSpec {
     assert(df.where($"fast" =!= $"slow").count() == 0)
   }
 
+  test("ShinglesW kernel == the HOF shingleArray composition") {
+    val texts = Seq("a b c d e f", "x y", "", "a a a a",
+      "tab\tsep  and   runs", "Ünï côde 🙂 mixé quatre mots") .toDF("text")
+    for (w <- Seq(2, 3, 4, 8)) {
+      val both = texts.select(
+        graft.functions.ShinglesW($"text", w).as("fast"),
+        graft.operators.TextAnalysis.shingleArray(
+          graft.functions.Text.tokens($"text"), w).as("slow"))
+      // same SET per row (HOF preserves first-occurrence order too,
+      // but set equality is what the consumers rely on)
+      val bad = both.where(
+        size(array_except($"fast", $"slow")) =!= 0 ||
+        size(array_except($"slow", $"fast")) =!= 0 ||
+        size($"fast") =!= size($"slow")).count()
+      assert(bad == 0, s"ShinglesW($w) diverged from the HOF twin")
+    }
+  }
+
   test("signaturesOf drops shingle-less docs and keeps the band layout") {
     val docs = Seq(
       (1L, "one two three four"),   // has shingles

@@ -35,15 +35,12 @@ object Pipeline {
 
   /** The stage-1 heuristic score over `text` — the text_quality
     * formula (length saturation + lexical diversity + stopword
-    * share), unrounded. */
-  private def heuristicQuality: org.apache.spark.sql.Column = {
-    val toks = Text.tokens(col("text"))
-    val nTok = size(toks)
-    lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
-    lit(0.3) * (size(array_distinct(toks)).cast("double") / nTok) +
-    lit(0.3) * (size(filter(toks,
-      t => t.isin("the", "a", "and", "of", "to"))).cast("double") / nTok)
-  }
+    * share), unrounded. r14: the shared
+    * [[graft.functions.QualityScore]] kernel — this was a third
+    * hand-spelled copy of the formula, interpreted per doc and paid
+    * once per curation (twice in qReleaseAudit). */
+  private def heuristicQuality: org.apache.spark.sql.Column =
+    graft.functions.QualityScore(col("text"))
 
   /** Stages 1–3 over an arbitrary document pool: quality gate →
     * exact dedup → LSH near-dup removal. Returns the surviving docs

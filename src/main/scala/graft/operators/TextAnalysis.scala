@@ -101,7 +101,16 @@ object TextAnalysis {
     * stopword share, HALF_UP to 4 decimals. Exposed as a column so
     * score-driven operators ([[Mixing.qQualitySample]]) share ONE
     * definition with the gate. */
-  private[graft] def qualityScoreCol: Column = {
+  private[graft] def qualityScoreCol: Column =
+    // r14: the [[graft.functions.QualityScore]] kernel (one pass per
+    // doc) replaces tokens + array_distinct + an interpreted
+    // filter(isin) lambda; same digits (R14KernelsSpec pins kernel ==
+    // the HOF twin below), same oracle SQL.
+    Text.roundPortable(graft.functions.QualityScore(col("text")), 4)
+
+  /** Builtin-composition twin of [[graft.functions.QualityScore]] —
+    * the no-custom-code cross-check (R14KernelsSpec). */
+  private[graft] def qualityScoreColViaHof: Column = {
     val nTok = size(toks)
     val stopRatio =
       size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok

@@ -139,6 +139,15 @@ class R14KernelsSpec extends SparkSpec {
     }
   }
 
+  test("QualityScore kernel == the builtin HOF composition, bit for bit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      graft.operators.TextAnalysis.qualityScoreCol.as("fast"),
+      graft.operators.TextAnalysis.qualityScoreColViaHof.as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("signaturesOf drops shingle-less docs and keeps the band layout") {
     val docs = Seq(
       (1L, "one two three four"),   // has shingles

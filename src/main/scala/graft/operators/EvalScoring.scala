@@ -352,17 +352,14 @@ object EvalScoring {
     * ONE 10-group partial agg — corpus touched once, output is 10
     * rows. */
   def qEvalEce(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val nTok = size(toks)
+    val nTok = size(Text.tokens(col("text")))
     // empty-doc guard: a zero-token doc has no distinct/stopword
     // ratio — pin conf to 0.0 instead of engine-dependent NULL/inf
-    // (same hardening as qTextCodeDetect's 0-length division)
+    // (same hardening as qTextCodeDetect's 0-length division).
+    // r14: the formula is the shared QualityScore kernel (this was a
+    // fourth hand-spelled copy; R14KernelsSpec pins kernel == HOF).
     val conf = when(nTok > 0, Text.roundPortable(
-      lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
-      lit(0.3) * (size(array_distinct(toks)).cast("double") / nTok) +
-      lit(0.3) * (size(filter(toks,
-        t => t.isin("the", "a", "and", "of", "to"))).cast("double") / nTok),
-      4)).otherwise(lit(0.0))
+      graft.functions.QualityScore(col("text")), 4)).otherwise(lit(0.0))
     val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
       16, 10).cast("long")
     Tables.documents(spark, dir)

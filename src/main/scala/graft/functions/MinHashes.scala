@@ -33,12 +33,25 @@ case class MinHash8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash8"
 
+  // r15 (ADVICE): compute returns a top-level null for an EMPTY
+  // shingle array (no shingles → no signature). The expression must
+  // declare that, and codegen must surface it through ev.isNull —
+  // with the default defineCodeGen the null landed in ev.value while
+  // ev.isNull stayed child-derived, an NPE for any caller without
+  // Dedup.signaturesOf's size>0 pre-filter.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     MinHashes.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"${MinHashes.getClass.getName.stripSuffix("$")}.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val kernel = MinHashes.getClass.getName.stripSuffix("$")
+      s"""
+         |${ev.value} = $kernel.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

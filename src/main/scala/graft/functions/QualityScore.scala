@@ -42,9 +42,18 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression {
 }
 
 object QualityScore {
-  // == TextAnalysis.Stopwords; a mismatch here would flunk every
-  // quality gate's oracle hash immediately
-  private val Stop = java.util.Set.of("the", "a", "and", "of", "to")
+  /** THE canonical stopword list — the single source the kernels
+    * ([[QualityScore]], [[GopherSignals]]), the builtin/HOF twins,
+    * and TextAnalysis.Stopwords all derive from (r15, ADVICE: the
+    * list was previously re-declared per site with only a comment
+    * guarding against drift). Every quality gate's oracle SQL unrolls
+    * the same five words. */
+  val StopwordList: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  private[functions] val StopwordSet: java.util.Set[String] =
+    java.util.Set.copyOf(java.util.Arrays.asList(StopwordList: _*))
+
+  private val Stop = StopwordSet
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 

@@ -226,21 +226,43 @@ object Dedup {
     * output is identical to the all-pairs formulation the oracle
     * runs. */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = NgramJaccardThreshold
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"),
-      explode(Text.shingles3(col("text"))).as("sh"))
+    // ns = |shingles(doc)| rides along from the scan (map-only, the
+    // containmentCandidates convention) — r15 drops the second window
+    // that used to recount it after the df join
+    val sh = docs.select(col("doc_id"), Text.shingles3(col("text")).as("shs"))
+      .withColumn("ns", size(col("shs")))
+      .select(col("doc_id"), col("ns"), explode(col("shs")).as("sh"))
     // global document frequency = the prefix order (rarest first)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
     val prefix = sh.join(dfreq, "sh")
       .withColumn("rnk", row_number().over(wDoc))
-      .withColumn("ns", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .where(col("rnk") <=
-        col("ns") - ceil(lit(NgramJaccardThreshold) * col("ns")) + 1)
-      .select("doc_id", "sh")
+      .where(col("rnk") <= col("ns") - ceil(lit(t) * col("ns")) + 1)
+      .select("doc_id", "ns", "sh", "rnk")
+    // r15 (guide §3.2 posture — prune the join's output before it is
+    // deduped and verified): LENGTH and POSITIONAL prefix filters,
+    // both lossless for the threshold.
+    //   J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| is
+    //   an integer, so |A∩B| ≥ ⌈t·max⌉ =: minOverlap.
+    //   Length: |A∩B| ≤ min(|A|,|B|) ⇒ min(ns) ≥ minOverlap.
+    //   Positional: for the FIRST common shingle in the global
+    //   (df, sh) order, at ranks (i, j), every other common shingle
+    //   ranks after it on BOTH sides ⇒ |A∩B| ≤ 1 + min(ns_a−i, ns_b−j)
+    //   ≥ minOverlap must hold. A qualifying pair always survives via
+    //   its first-common-shingle join row (which both prefixes contain
+    //   by the prefix theorem); rows failing the test are pruned
+    //   before the distinct. Same ceil(lit(t)·…) idiom as the prefix
+    //   bound above; the oracle is the brute-force definition and
+    //   gates the result at two SFs.
+    val minOverlap = ceil(lit(t) * greatest(col("a.ns"), col("b.ns")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.ns"), col("b.ns")) >= minOverlap &&
+        lit(1) + least(col("a.ns") - col("a.rnk"),
+                       col("b.ns") - col("b.rnk")) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify on full shingle sets. No broadcast hint on the
@@ -251,8 +273,16 @@ object Dedup {
     // post-shuffle size and broadcasts iff it fits — the well-behaved
     // corpus gets the broadcast plan, the adversarial one degrades to
     // a shuffle join instead of an 8 GB broadcast failure.
+    // r15 (guide §3.1, measured): the shingle-ARRAY side of the
+    // verify join is corpus-sized — AQE broadcast it at bench SF
+    // (two ~50 MB serial hashed-relation builds, the dominant verify
+    // cost: 3.72 → 2.16 s under the shuffle-hash hint in the ProbeR15
+    // contjoin A/B) and at 100 TB it can never broadcast. Force the
+    // scale-honest strategy: hash-shuffle both sides by doc id, build
+    // on the array side per partition, no sort.
     val sets = docs.select(col("doc_id"),
       Text.shingles3(col("text")).as("shingles"))
+      .hint("shuffle_hash")
     val inter = interSize(col("sh_a"), col("sh_b"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -277,33 +307,59 @@ object Dedup {
     // ns (= |shingles(doc)|) is computed map-only at the scan and rides
     // along on every posting row — no extra shuffle — because the
     // candidate join needs BOTH sides' sizes for the size predicate.
+    val t = ContainmentThreshold
     val sh = docs.select(col("doc_id"), Text.shingles3(col("text")).as("shs"))
       .withColumn("ns", size(col("shs")))
       .select(col("doc_id"), col("ns"), explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val prefix = sh.join(dfreq, "sh")
+    // r15: the FULL posting side is ranked too (one more window pass
+    // over the same exchange — the two branches' shuffles are
+    // identical subtrees, so the doc_id exchange is written once and
+    // ReusedExchange feeds both) so the POSITIONAL filter below can
+    // prune the candidate join's output before the distinct+verify.
+    val ranked = sh.join(dfreq, "sh")
       .withColumn("rnk", row_number().over(wDoc))
-      .where(col("rnk") <=
-        col("ns") - ceil(lit(ContainmentThreshold) * col("ns")) + 1)
-      .select("doc_id", "ns", "sh")
-    // Size predicate (lossless): in the surviving direction the prefix
-    // side `a` is the contained doc, so C(a→b) ≥ t ⇒ |a∩b| ≥ t·|a| and
-    // |b| ≥ |a∩b| ⇒ ns_b ≥ ⌈t·ns_a⌉. Without it a short doc's prefix
-    // shingle with df ~ n pairs it against every holder — the
-    // boilerplate-concentration blowup; with it the short-side×huge-list
-    // candidates collapse to the size-compatible band only.
-    val sizeOk =
-      if (sizePrune)
-        col("b.ns") >= ceil(lit(ContainmentThreshold) * col("a.ns"))
-      else lit(true)
-    prefix.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
-        sizeOk)
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val prefix = ranked
+      .where(col("rnk") <= col("ns") - ceil(lit(t) * col("ns")) + 1)
+      .select("doc_id", "ns", "sh", "rnk")
+    if (!sizePrune)
+      // r11 measurement seam, unchanged: prefix × full posting list,
+      // no size predicate (ScaleProbe prices exactly this shape)
+      prefix.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+    else {
+      // Size predicate (lossless): in the surviving direction the
+      // prefix side `a` is the contained doc, so C(a→b) ≥ t ⇒
+      // |a∩b| ≥ t·|a| (integer ⇒ ≥ ⌈t·ns_a⌉ =: minOv) and |b| ≥ |a∩b|
+      // ⇒ ns_b ≥ minOv. Without it a short doc's prefix shingle with
+      // df ~ n pairs it against every holder — the
+      // boilerplate-concentration blowup.
+      // Positional predicate (lossless, r15): for the FIRST common
+      // shingle of the pair in the global (df, sh) order, at ranks
+      // (i, j), every other common shingle ranks after it on both
+      // sides ⇒ |a∩b| ≤ 1 + min(ns_a−i, ns_b−j), which must reach
+      // minOv. A qualifying pair always survives via its
+      // first-common-shingle row (the a-prefix contains it by the
+      // prefix theorem; the b side is the full list); other rows are
+      // prunable. At t = 0.9 this keeps only b-postings ranked in
+      // roughly the last ⌈t·ns_a⌉-sized tail's complement — ~10 % of
+      // the size-compatible band that dominated the candidate count.
+      val minOv = ceil(lit(t) * col("a.ns"))
+      prefix.as("a")
+        .join(ranked.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.ns") >= minOv &&
+          lit(1) + least(col("a.ns") - col("a.rnk"),
+                         col("b.ns") - col("b.rnk")) >= minOv)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+    }
   }
 
   /** CONTAINMENT near-dup (Broder's asymmetric resemblance):
@@ -327,9 +383,12 @@ object Dedup {
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cands = containmentCandidates(docs)
+    // r15: shuffle-hash verify — same measurement and 100 TB argument
+    // as qDedupNgramJaccard above (ProbeR15 contjoin: 3.72 → 2.16 s)
     val sets = docs.select(col("doc_id"),
         Text.shingles3(col("text")).as("shingles"))
       .where(size(col("shingles")) > 0)
+      .hint("shuffle_hash")
     val inter = interSize(col("sh_a"), col("sh_b"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -900,12 +959,25 @@ object Dedup {
     toksDf.join(ivs, Seq("doc_id"), "left")
       .withColumn("ivs",
         coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")))
-      .withColumn("kept", filter(col("toks"),
-        (t, i) => !exists(col("ivs"),
-          iv => (i + 1) >= iv("s") && (i + 1) <= iv("e"))))
+      // r15: interval removal as the RemoveIntervals kernel (guide §4)
+      // — the filter×exists HOF chain it replaces interpreted a lambda
+      // per token × a nested one per interval, the residual hot path
+      // of pipeline_chunked_pretrain; the HOF twin stays below and
+      // R15KernelsSpec pins them equal
+      .withColumn("kept", graft.functions.RemoveIntervals
+        .removeIntervals(col("toks"), col("ivs")))
       .select(col("doc_id"),
         (col("n") - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Builtin/HOF twin of [[graft.functions.RemoveIntervals]] — the
+    * no-custom-code spelling [[verbatimRewrite]] used through r14,
+    * kept as the spec-pinned cross-check (the oracle replays the same
+    * positional rule independently). */
+  private[graft] def removeIntervalsViaHof(toks: org.apache.spark.sql.Column,
+      ivs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(toks, (t, i) => !exists(ivs,
+      iv => (i + 1) >= iv("s") && (i + 1) <= iv("e")))
 }

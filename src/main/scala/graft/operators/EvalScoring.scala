@@ -73,9 +73,16 @@ object EvalScoring {
     * kernel ([[scorePairs]] and the preference-pair builder share
     * it). */
   private[graft] def withF1(pairs: DataFrame): DataFrame =
-    pairs
+    withF1FromTokens(pairs
       .withColumn("pt", Text.tokens(norm(col("pred"))))
-      .withColumn("rt", Text.tokens(norm(col("ref"))))
+      .withColumn("rt", Text.tokens(norm(col("ref")))))
+
+  /** [[withF1]] over pre-tokenized pt/rt columns — r15: the
+    * preference-pair gate tokenizes per DOC before the panel join
+    * (n docs) instead of per PAIR after it (3n pairs × 2 sides), so
+    * this tail is shared by both entries. */
+  private[graft] def withF1FromTokens(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("np", size(col("pt")))
       .withColumn("nr", size(col("rt")))
       .withColumn("ov", graft.functions.MultisetOverlap
@@ -116,20 +123,33 @@ object EvalScoring {
     * convention, widened to a panel. */
   def qPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val panel = docs.select(col("doc_id").as("prompt_id"),
-        col("text").as("ref"),
+    // r15 (verdict item 8): tokenize each DOC once before the panel
+    // join — the panel is 3 pairs per prompt, each carrying the
+    // prompt's ref and a successor's pred, so tokenizing after the
+    // join paid normalize+split 6× per prompt; the arrays it computes
+    // are identical (same norm∘tokens expression over the same text)
+    val toksD = docs.select(col("doc_id"),
+      Text.tokens(norm(col("text"))).as("tk"))
+    val panel = toksD.select(col("doc_id").as("prompt_id"),
+        col("tk").as("rt"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("r"))
       .withColumn("cand_id", col("prompt_id") + col("r"))
-      .join(docs.select(col("doc_id").as("cand_id"),
-        col("text").as("pred")), "cand_id")
-      .select("prompt_id", "cand_id", "pred", "ref")
-    preferencePairs(panel)
+      .join(toksD.select(col("doc_id").as("cand_id"),
+        col("tk").as("pt")), "cand_id")
+      .select("prompt_id", "cand_id", "pt", "rt")
+    pairSelection(withF1FromTokens(panel))
   }
 
-  /** Core over a (prompt_id, cand_id, pred, ref) candidate panel. */
-  private[graft] def preferencePairs(panel: DataFrame): DataFrame = {
+  /** Core over a (prompt_id, cand_id, pred, ref) candidate panel —
+    * the pre-r15 text-level entry, kept for the specs and any panel
+    * whose texts aren't pre-tokenized. */
+  private[graft] def preferencePairs(panel: DataFrame): DataFrame =
+    pairSelection(withF1(panel))
+
+  /** Best/worst selection over a scored panel (shared tail). */
+  private def pairSelection(scoredPanel: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = withF1(panel)
+    val scored = scoredPanel
       .select("prompt_id", "cand_id", "token_f1")
     val best = Window.partitionBy("prompt_id")
       .orderBy(desc("token_f1"), col("cand_id"))

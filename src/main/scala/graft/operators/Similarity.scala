@@ -446,25 +446,48 @@ object Similarity {
       NumProbes, KnnK)
   }
 
+  /** Forced-distributed twin of [[qSimMutualKnnClusters]] — the
+    * min-label-propagation else-branch of the components guard,
+    * exercised on THIS operator's own mutual edge set (r15, verdict
+    * item 9: at gate SFs the guard always proves the edge set tiny,
+    * so the distributed path was only oracle-checked on the dedup
+    * pair sets). R15KernelsSpec pins it equal to the guarded path. */
+  private[graft] def qSimMutualKnnClustersDist(spark: SparkSession,
+                                               dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    mutualKnnClusters(Tables.embeddings(spark, dir), scaledCentroids(n),
+      NumProbes, KnnK, forceDistributed = true)
+  }
+
   /** [[qSimMutualKnnClusters]]'s core over an arbitrary embedding
     * frame (private[graft]: ScaleProbe runs it over planted corpora
     * to measure cluster purity/completeness). */
   private[graft] def mutualKnnClusters(emb: DataFrame, numCentroids: Int,
-                                       nProbes: Int, k: Int): DataFrame = {
+                                       nProbes: Int, k: Int,
+                                       forceDistributed: Boolean = false): DataFrame = {
     val knn = knnTopK(emb, numCentroids, nProbes, k)
       .select(col("q_id"), col("neighbor_id"))
+    // r15 (ADVICE): componentsOver runs TWO actions on its input (the
+    // bounded limit+count guard, then the collect / the propagation
+    // loop) — cache the mutual edge frame so the IVF kNN join and the
+    // mutuality self-join compute once, mirroring qDedupClusters'
+    // cached pairs; unpersist once both actions have materialized it
     val mutual = knn.as("f")
       .join(knn.as("r"), col("f.q_id") === col("r.neighbor_id") &&
                          col("f.neighbor_id") === col("r.q_id"))
       .where(col("f.q_id") < col("f.neighbor_id"))
       .select(col("f.q_id").as("doc_a"), col("f.neighbor_id").as("doc_b"))
-    // r14: the guarded chooser — driver union-find when the mutual
-    // edge count (≤ n·k by construction) proves tiny, min-label
-    // propagation otherwise; both paths gate-checked equal on the
-    // dedup cluster queries
-    Dedup.componentsOver(mutual, forceDistributed = false)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .orderBy("vec_id")
+      .cache()
+    try {
+      // r14: the guarded chooser — driver union-find when the mutual
+      // edge count (≤ n·k by construction) proves tiny, min-label
+      // propagation otherwise; both paths gate-checked equal on the
+      // dedup cluster queries, and on THIS operator's own edge set by
+      // MutualKnnQualitySpec's forced-distributed twin (r15)
+      Dedup.componentsOver(mutual, forceDistributed)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    } finally mutual.unpersist()
   }
 
   /** Hard-negative mining — the embedding-training companion of

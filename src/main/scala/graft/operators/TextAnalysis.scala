@@ -14,7 +14,8 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "and", "of", "to")
+  // the shared canonical list — kernels and twins can't drift (r15)
+  private val Stopwords = graft.functions.QualityScore.StopwordList
 
   private def toks: Column = Text.tokens(col("text"))
 
@@ -183,25 +184,45 @@ object TextAnalysis {
     *  - r_repetition:   most-frequent token ≤ 15 % of tokens
     */
   def qTextGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val n = size(toks).cast("double")
-    val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
-      (acc, x) => acc + x).cast("double") / n
-    val alphaFrac =
-      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n
-    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val topFrac = array_max(transform(array_distinct(toks),
-      d => size(filter(toks, x => x === d)))).cast("double") / n
+    // r15: the five signals come from the one-pass GopherSignals
+    // kernel (guide §4) — the HOF spelling it replaces (kept below as
+    // [[gopherSignalsViaHof]], R15KernelsSpec-pinned) paid
+    // O(distinct·len) interpreted lambda dispatch per doc for the
+    // top-token count. Flag arithmetic below is byte-identical to the
+    // r14 expressions, only the counters' provenance changed.
+    val g = col("g")
+    val n = g("n").cast("double")
+    val meanLen = g("len_sum").cast("double") / n
+    val alphaFrac = g("n_alpha").cast("double") / n
+    val topFrac = g("top_cnt").cast("double") / n
     Tables.documents(spark, dir)
+      .withColumn("g", graft.functions.GopherSignals(col("text")))
       .select(col("doc_id"),
-        (size(toks) >= 50 && size(toks) <= 100000).as("r_word_count"),
+        (g("n") >= 50 && g("n") <= 100000).as("r_word_count"),
         (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_word_len"),
         (alphaFrac >= 0.8).as("r_alpha"),
-        (stopCnt >= 2).as("r_stopwords"),
+        (g("stop_cnt") >= 2).as("r_stopwords"),
         (topFrac <= 0.15).as("r_repetition"))
       .withColumn("keep",
         col("r_word_count") && col("r_mean_word_len") && col("r_alpha") &&
         col("r_stopwords") && col("r_repetition"))
       .orderBy("doc_id")
+  }
+
+  /** Builtin/HOF twin of [[graft.functions.GopherSignals]] — the
+    * counter spellings [[qTextGopherRules]] used through r14, bundled
+    * into the same struct layout so R15KernelsSpec can pin the kernel
+    * field-for-field. */
+  private[graft] def gopherSignalsViaHof(text: Column): Column = {
+    val tk = Text.tokens(text)
+    struct(
+      size(tk).as("n"),
+      aggregate(transform(tk, t => length(t)), lit(0),
+        (acc, x) => acc + x).as("len_sum"),
+      size(filter(tk, t => t.rlike("[A-Za-z]"))).as("n_alpha"),
+      size(filter(tk, t => t.isin(Stopwords: _*))).as("stop_cnt"),
+      array_max(transform(array_distinct(tk),
+        d => size(filter(tk, x => x === d)))).as("top_cnt"))
   }
 
   /** Language-ID heuristic (CJK codepoint share, then stopword votes

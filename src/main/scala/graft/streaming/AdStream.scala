@@ -115,11 +115,13 @@ object AdStream {
   def sinkPerBatch(stats: DataFrame, queryName: String,
                    upsertBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stats.writeStream
-      .outputMode("update")
-      .queryName(queryName)
-      .foreachBatch(upsertBatch)
-      .start()
+    StateStores.withProvider(stats.sparkSession) {
+      stats.writeStream
+        .outputMode("update")
+        .queryName(queryName)
+        .foreachBatch(upsertBatch)
+        .start()
+    }
 
   /** The Kafka source configuration, exposed as plain data: no
     * broker or spark-sql-kafka connector jar ships in this offline

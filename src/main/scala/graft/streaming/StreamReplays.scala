@@ -380,20 +380,22 @@ object StreamReplays {
       .sortBy(t => (t._3, t._1, t._2)).toSeq
     val out = ArrayBuffer[(Long, String)]()
     val input = MemoryStream[(Long, String, Long)]
-    val q = input.toDF().toDF("user_id", "event_type", "ts_sec")
-      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
-      .withWatermark("event_time", "4000 hours")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select("user_id", "event_type")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // harness-side collect: draining one micro-batch's OUTPUT rows
-        val rows = batch.collect().map(r => (r.getLong(0), r.getString(1)))
-        out.synchronized { out ++= rows }
-        ()
-      }
-      .start()
+    val q = StateStores.withProvider(spark) {
+      input.toDF().toDF("user_id", "event_type", "ts_sec")
+        .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+        .withWatermark("event_time", "4000 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // harness-side collect: draining one micro-batch's OUTPUT rows
+          val rows = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .start()
+    }
     try {
       val passes = feed ++ feed // the duplicate injection
       passes.grouped(math.max(1, (passes.size + 5) / 6))

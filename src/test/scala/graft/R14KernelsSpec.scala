@@ -129,6 +129,15 @@ class R14KernelsSpec extends SparkSpec {
         graft.functions.ShinglesW($"text", w).as("fast"),
         graft.operators.TextAnalysis.shingleArray(
           graft.functions.Text.tokens($"text"), w).as("slow"))
+      // r15 (ADVICE follow-up): the advice suspected the HOF twin
+      // returns NULL below w tokens, which would have NULLed the
+      // set-difference predicates and silently excluded short-doc
+      // rows. Checked: shingleArray carries `.otherwise(array())`, so
+      // both sides are [] on short docs and the rows WERE compared.
+      // Pin that boundary explicitly so a future twin edit that drops
+      // the otherwise can't reintroduce the silent exclusion.
+      assert(both.where($"slow".isNull || $"fast".isNull).count() == 0,
+        s"ShinglesW($w): a NULL side would void the set comparison below")
       // same SET per row (HOF preserves first-occurrence order too,
       // but set equality is what the consumers rely on)
       val bad = both.where(
